@@ -1,0 +1,316 @@
+"""Command-line interface, compatible with the reference option surface.
+
+Accepts the blastz one-letter shortcuts (W=, T=, C=, K=, L=, H=, O=,
+E=, X=, Y=, Z=, M=, G=, R=) and the --long options of the reference
+(lastz.c:5357+), mapped onto Config.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .config import (
+    Config, ScoreThreshold,
+    GFEX_NO_EXTEND, GFEX_XDROP, GFEX_EXACT, GFEX_MISMATCH_BASE,
+    HIT_SIMPLE, HIT_RECOVER,
+)
+from .core.seeds import SEED_12OF19, SEED_14OF22, match_seed
+
+
+class UsageError(Exception):
+    pass
+
+
+def parse_threshold(text: str) -> ScoreThreshold:
+    """Parse K=/L= values: plain score, '<n>%', or 'top<n>%'."""
+    t = text.strip()
+    if t.lower().startswith("top") and t.endswith("%"):
+        return ScoreThreshold("P", p=float(t[3:-1]) / 100.0)
+    if t.endswith("c"):
+        return ScoreThreshold("C", c=int(t[:-1]))
+    return ScoreThreshold("S", s=int(float(t)))
+
+
+def parse_options(argv: list[str]) -> Config:
+    cfg = Config()
+    positional = []
+    have_with_trans = False
+    have_gapped_thresh = False
+    have_step = False
+    seed_string = None
+    args_parts = []
+
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        i += 1
+        args_parts.append(arg)
+        val = arg.split("=", 1)[1] if "=" in arg else None
+
+        if not arg.startswith("-") and "=" not in arg:
+            positional.append(arg)
+            args_parts.pop()
+            continue
+
+        # one-letter blastz shortcuts
+        if arg == "T=0":
+            cfg.with_trans = 0
+            have_with_trans = True
+        elif arg == "T=1":
+            seed_string = SEED_12OF19
+            cfg.with_trans = 1
+            have_with_trans = True
+        elif arg == "T=2":
+            seed_string = SEED_12OF19
+            cfg.with_trans = 0
+            have_with_trans = True
+        elif arg == "T=3":
+            seed_string = SEED_14OF22
+            cfg.with_trans = 1
+            have_with_trans = True
+        elif arg == "T=4":
+            seed_string = SEED_14OF22
+            cfg.with_trans = 0
+            have_with_trans = True
+        elif arg.startswith("W="):
+            seed_string = match_seed(int(val))
+            if not have_with_trans:
+                cfg.with_trans = 0
+                have_with_trans = True
+        elif arg.startswith("Z="):
+            cfg.step = int(val)
+            have_step = True
+        elif arg == "C=0":
+            cfg.chain = False
+            cfg.gapped_extend = True
+        elif arg == "C=1":
+            cfg.chain = True
+            cfg.gapped_extend = False
+        elif arg == "C=2":
+            cfg.chain = True
+            cfg.gapped_extend = True
+        elif arg == "C=3":
+            cfg.chain = False
+            cfg.gapped_extend = False
+        elif arg.startswith("K="):
+            cfg.hsp_threshold = parse_threshold(val)
+        elif arg.startswith("L="):
+            cfg.gapped_threshold = parse_threshold(val)
+            have_gapped_thresh = True
+        elif arg.startswith("H="):
+            cfg.inner_threshold = int(float(val))
+        elif arg.startswith("O="):
+            _set_gap(cfg, open_=int(val))
+        elif arg.startswith("E="):
+            _set_gap(cfg, extend=int(val))
+        elif arg.startswith("X="):
+            cfg.x_drop = int(val)
+        elif arg.startswith("Y="):
+            cfg.y_drop = int(val)
+        elif arg.startswith("M="):
+            cfg.dynamic_masking = int(val)
+        elif arg.startswith("G="):
+            cfg.chain_diag = int(val)
+        elif arg.startswith("R="):
+            cfg.chain_anti = int(val)
+        elif arg.startswith("--seed="):
+            if val == "12of19":
+                seed_string = SEED_12OF19
+            elif val == "14of22":
+                seed_string = SEED_14OF22
+            elif val.startswith("match"):
+                n = val[5:].strip("()")
+                seed_string = match_seed(int(n))
+                if not have_with_trans:
+                    cfg.with_trans = 0
+                    have_with_trans = True
+            else:
+                seed_string = val
+        elif arg in ("--transition", "--trans", "--transitions"):
+            cfg.with_trans = 1
+            have_with_trans = True
+        elif arg in ("--transition=2", "--trans=2", "--transitions=2"):
+            cfg.with_trans = 2
+            have_with_trans = True
+        elif arg in ("--notransition", "--notrans", "--notransitions"):
+            cfg.with_trans = 0
+            have_with_trans = True
+        elif arg.startswith("--step="):
+            cfg.step = int(val)
+            have_step = True
+        elif arg.startswith("--word="):
+            cfg.max_index_bits = int(val)
+        elif arg == "--strand=both" or arg == "--both":
+            cfg.which_strand = 1
+        elif arg in ("--strand=plus", "--plus"):
+            cfg.which_strand = 0
+        elif arg in ("--strand=minus", "--minus"):
+            cfg.which_strand = -1
+        elif arg == "--gfextend":
+            cfg.gf_extend = GFEX_XDROP
+        elif arg in ("--nogfextend", "--justhits", "--hitsonly"):
+            cfg.gf_extend = GFEX_NO_EXTEND
+        elif arg == "--chain":
+            cfg.chain = True
+        elif arg == "--nochain":
+            cfg.chain = False
+        elif arg.startswith("--chain="):
+            cfg.chain = True
+            d, a = val.split(",")
+            cfg.chain_diag, cfg.chain_anti = int(d), int(a)
+        elif arg == "--gapped":
+            cfg.gapped_extend = True
+        elif arg in ("--nogapped", "--ungapped", "--nogappedextension"):
+            cfg.gapped_extend = False
+        elif arg.startswith("--xdrop="):
+            cfg.x_drop = int(val)
+        elif arg.startswith("--ydrop="):
+            cfg.y_drop = int(val)
+        elif arg == "--noytrim":
+            cfg.y_drop_untrimmed = True
+        elif arg.startswith("--hspthresh=") or arg.startswith("--hspthreshold="):
+            cfg.hsp_threshold = parse_threshold(val)
+        elif arg.startswith("--gappedthresh=") or arg.startswith("--gappedthreshold="):
+            cfg.gapped_threshold = parse_threshold(val)
+            have_gapped_thresh = True
+        elif arg == "--entropy":
+            cfg.entropic_hsp = True
+        elif arg == "--noentropy":
+            cfg.entropic_hsp = False
+        elif arg in ("--self",):
+            cfg.self_compare = True
+            cfg.cloned_query = True
+            cfg.inhibit_trivial = True
+        elif arg == "--notrivial":
+            cfg.inhibit_trivial = True
+        elif arg == "--recoverseeds":
+            cfg.basic_hit_type = HIT_RECOVER
+        elif arg.startswith("--filter="):
+            parts = val.split(",")
+            if len(parts) == 2:
+                cfg.max_transversions = int(parts[0])
+                cfg.min_matches = int(parts[1])
+            else:
+                cfg.min_matches = int(parts[0])
+        elif arg.startswith("--masking="):
+            cfg.dynamic_masking = int(val)
+        elif arg.startswith("--inner="):
+            cfg.inner_threshold = int(float(val))
+        elif arg.startswith("--identity="):
+            lo, _, hi = val.partition("..")
+            cfg.min_identity = float(lo) / 100.0
+            cfg.max_identity = float(hi) / 100.0 if hi else 1.0
+        elif arg.startswith("--coverage="):
+            lo, _, hi = val.partition("..")
+            cfg.min_coverage = float(lo) / 100.0
+            cfg.max_coverage = float(hi) / 100.0 if hi else 1.0
+        elif arg.startswith("--continuity="):
+            lo, _, hi = val.partition("..")
+            cfg.min_continuity = float(lo) / 100.0
+            cfg.max_continuity = float(hi) / 100.0 if hi else 1.0
+        elif arg.startswith("--format="):
+            fmt = val
+            if fmt.startswith("general:"):
+                cfg.output_format = "general"
+                cfg.output_info = fmt[len("general:"):]
+            elif fmt.startswith("general-:"):
+                cfg.output_format = "general-"
+                cfg.output_info = fmt[len("general-:"):]
+            else:
+                cfg.output_format = fmt
+        elif arg == "--gfa":
+            cfg.output_format = "gfa"
+        elif arg == "--lav":
+            cfg.output_format = "lav"
+        elif arg == "--axt":
+            cfg.output_format = "axt"
+        elif arg == "--maf":
+            cfg.output_format = "maf"
+        elif arg == "--maf-":
+            cfg.output_format = "maf-"
+        elif arg == "--sam":
+            cfg.output_format = "sam"
+        elif arg.startswith("--segments="):
+            cfg.segments_filename = val
+        elif arg.startswith("--anchors="):
+            cfg.segments_filename = val  # alias (reference synonym)
+        elif arg.startswith("--ambiguous="):
+            parts = val.split(",")
+            kind = parts[0]
+            if kind in ("n", "iupac"):
+                cfg.n_is_ambiguous = True
+                cfg.allow_ambi_dna = kind == "iupac"
+                cfg.ambi_match = int(parts[1]) if len(parts) > 1 else 0
+                cfg.ambi_mismatch = int(parts[2]) if len(parts) > 2 else 0
+        elif arg.startswith("--maxwordcount="):
+            if val.endswith("%"):
+                cfg.word_count_keep = float(val[:-1]) / 100.0
+            else:
+                cfg.word_count_limit = int(val)
+        elif arg == "--markend":
+            cfg.end_comment = True
+        elif arg.startswith("--output="):
+            cfg.output_filename = val
+        elif arg == "--version":
+            print("lastz_tpu 0.1.0")
+            sys.exit(0)
+        elif arg.startswith("--"):
+            raise UsageError(f"unknown option {arg}")
+        else:
+            raise UsageError(f"unknown option {arg}")
+
+    if len(positional) >= 1:
+        cfg.seq1_filename = positional[0]
+    if len(positional) >= 2:
+        cfg.seq2_filename = positional[1]
+    if cfg.self_compare and cfg.seq2_filename is None:
+        cfg.seq2_filename = cfg.seq1_filename
+    if seed_string is not None:
+        cfg.seed_string = seed_string
+
+    # reconstruct the args string as the reference does (all args with
+    # trailing spaces, file names removed)
+    cfg.args = "".join(p + " " for p in args_parts)
+    return cfg
+
+
+def _set_gap(cfg, open_=None, extend=None):
+    from .core.scoring import new_dna_score_set
+
+    if cfg.scoring is None:
+        cfg.scoring = new_dna_score_set()
+    if open_ is not None:
+        cfg.scoring.gap_open = open_
+        cfg.scoring.gap_open_set = True
+    if extend is not None:
+        cfg.scoring.gap_extend = extend
+        cfg.scoring.gap_extend_set = True
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    try:
+        cfg = parse_options(argv)
+    except UsageError as e:
+        print(f"lastz_tpu: {e}", file=sys.stderr)
+        return 1
+    if cfg.seq1_filename is None:
+        print("usage: lastz_tpu target [query] [options]", file=sys.stderr)
+        return 1
+    from .pipeline import Pipeline
+
+    out = sys.stdout
+    close = False
+    if getattr(cfg, "output_filename", None):
+        out = open(cfg.output_filename, "w")
+        close = True
+    try:
+        Pipeline(cfg, out).run()
+    finally:
+        if close:
+            out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,162 @@
+"""Run configuration (the reference's ~120-field `control` struct, lastz.h:95-467).
+
+Only behavior-bearing fields are kept; debug/stat plumbing is handled
+by Python logging instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .core.scoring import ScoreSet
+from .core.seeds import Seed
+
+
+@dataclass
+class ScoreThreshold:
+    """Tagged threshold (reference sthresh, dna_utilities.h:252-259).
+
+    t == 'S': plain score; t == 'P': fraction of target (resolved to
+    'C' once target length is known); t == 'C': coverage base count.
+    """
+
+    t: str = "S"
+    s: int = 0  # score (valid when t == 'S')
+    c: int = 0  # base count (valid when t == 'C')
+    p: float = 0.0  # fraction (valid when t == 'P')
+
+    def copy(self) -> "ScoreThreshold":
+        return ScoreThreshold(self.t, self.s, self.c, self.p)
+
+    def to_string(self) -> str:
+        # reference score_thresh_to_string
+        if self.t == "S":
+            return f"{self.s}"
+        if self.t == "C":
+            return f"{self.c}c"
+        if self.t == "P":
+            return f"top{self.p:.9g}%"
+        return "?"
+
+
+GFEX_NO_EXTEND = 0
+GFEX_XDROP = 1
+GFEX_EXACT = 2
+GFEX_MISMATCH_BASE = 10  # GFEX_MISMATCH_BASE + n => n-mismatch extension
+
+HIT_SIMPLE = 0
+HIT_RECOVER = 1
+
+
+@dataclass
+class Config:
+    """Alignment run controls, defaults per reference lastz.c:333-449."""
+
+    seq1_filename: Optional[str] = None
+    seq2_filename: Optional[str] = None
+
+    self_compare: bool = False
+    cloned_query: bool = False
+    inhibit_trivial: bool = False
+
+    which_strand: int = 1  # 0: + only, >0: both, <0: - only
+    step: int = 1
+
+    seed: Optional[Seed] = None  # default 12of19, 1 transition
+    seed_string: Optional[str] = None
+    max_index_bits: int = 28
+    with_trans: int = 1
+    twin_min_span: int = 0
+    twin_max_span: int = 0
+    basic_hit_type: int = HIT_SIMPLE
+    min_matches: int = -1
+    max_transversions: int = -1
+    filter_cares_only: bool = False
+
+    gf_extend: int = GFEX_XDROP
+    merge_anchors: bool = False
+    chain: bool = False
+    chain_diag: int = 0
+    chain_anti: int = 0
+    gapped_extend: bool = True
+
+    scoring: Optional[ScoreSet] = None
+    masked_scoring: Optional[ScoreSet] = None
+    x_drop: int = 0  # 0 => default 10*sub[A][A]
+    y_drop: int = 0  # 0 => default open + 300*extend
+    x_drop_untrimmed: bool = False
+    y_drop_untrimmed: bool = False
+    hsp_threshold: ScoreThreshold = field(default_factory=lambda: ScoreThreshold("S", 3000))
+    gapped_threshold: ScoreThreshold = field(default_factory=lambda: ScoreThreshold("S", 0))
+    entropic_hsp: bool = True
+    report_entropy: bool = False
+    gapped_all_bounds: bool = False
+    mirror_hsp: bool = False
+    mirror_gapped: bool = False
+    traceback_mem: int = 80 * 1024 * 1024
+
+    n_is_ambiguous: bool = False
+    allow_ambi_dna: bool = False
+    ambi_match: int = 0
+    ambi_mismatch: int = 0
+
+    hsp_immediate: bool = False
+    search_limit: int = 0
+    search_limit_warn: bool = True
+    search_limit_keep: bool = False
+    num_best_hsps: int = 0
+    max_paired_bases: int = 0
+    max_paired_depth: float = 0.0
+    overly_paired_warn: bool = False
+    overly_paired_keep: bool = False
+
+    word_count_keep: float = 0.0
+    word_count_limit: int = 0
+    max_word_count_chasm: int = 0
+    dynamic_masking: int = 0
+    report_census: bool = False
+
+    min_identity: float = 0.0
+    max_identity: float = 1.0
+    min_coverage: float = 0.0
+    max_coverage: float = 1.0
+    min_continuity: float = 0.0
+    max_continuity: float = 1.0
+    min_match_count: int = 0
+    min_match_count_ratio: float = 0.0
+    max_mismatch_count: int = -1
+    max_separate_gaps_count: int = -1
+    max_gap_columns_count: int = -1
+
+    output_format: str = "lav"
+    output_info: Optional[str] = None  # genpaf field keys
+    output_filename: Optional[str] = None
+    end_comment: bool = False
+    de_gapify_output: bool = False
+
+    inner_threshold: int = 0  # interpolation (H=)
+    inner_seed: Optional[Seed] = None
+    inner_window: int = 20000
+
+    anchors_filename: Optional[str] = None
+    segments_filename: Optional[str] = None  # --segments= input
+
+    args: str = ""  # reconstructed command tail for job headers
+    verbosity: int = 0
+
+    # runtime backend: "host" exact engine or "tpu" batched kernels
+    backend: str = "host"
+
+    def effective_x_drop(self) -> int:
+        if self.x_drop != 0:
+            return self.x_drop
+        a = ord("A")
+        return int(10 * self.scoring.sub[a, a])
+
+    def effective_y_drop(self) -> int:
+        if self.y_drop != 0:
+            return self.y_drop
+        return int(self.scoring.gap_open + 300 * self.scoring.gap_extend)

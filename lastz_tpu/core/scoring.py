@@ -1,0 +1,182 @@
+"""Score sets (substitution matrix + affine gap penalties).
+
+Replicates the observable semantics of the reference's scoreset
+(dna_utilities.c:137-560): a 256x256 integer substitution table indexed
+directly by ASCII character codes, HOXD70 defaults, the 'masked' copy
+that penalizes soft-masked (lower-case) and N bases during the
+seeding/HSP stages, and the entropy adjustment applied to marginal
+HSP scores (dna_utilities.c:2882-2960).
+
+Score type is int32 (the reference's default build); a float64 variant
+(reference lastz_D) is selected with dtype=np.float64.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .encoding import BITS_TO_NUC
+
+# reference dna_utilities.h:130-139
+WORST_POSSIBLE_SCORE = -0x7FFFFFFF - 1
+NEG_INFINITY_SCORE = int(0.9 * WORST_POSSIBLE_SCORE)  # -1932735283
+VERY_BAD_SCORE = -((NEG_INFINITY_SCORE - WORST_POSSIBLE_SCORE) // 2)  # -107374182
+
+# default substitution scores (reference dna_utilities.c:137-148)
+HOXD70 = np.array(
+    [
+        [91, -114, -31, -123],
+        [-114, 100, -125, -31],
+        [-31, -125, 100, -114],
+        [-123, -31, -114, 91],
+    ],
+    dtype=np.int64,
+)
+HOXD70_OPEN = 400
+HOXD70_EXTEND = 30
+HOXD70_X = -1000
+HOXD70_FILL = -100
+
+UNIT_SCORES = np.array(
+    [[1, -1, -1, -1], [-1, 1, -1, -1], [-1, -1, 1, -1], [-1, -1, -1, 1]],
+    dtype=np.int64,
+)
+
+
+@dataclass
+class ScoreSet:
+    """Substitution scores + gap penalties, indexed by raw ASCII codes."""
+
+    sub: np.ndarray  # (256, 256) int32 or float64
+    gap_open: int = HOXD70_OPEN
+    gap_extend: int = HOXD70_EXTEND
+    row_chars: bytes = b"ACGTacgt"
+    col_chars: bytes = b"ACGTacgt"
+    bad_row: int = ord("X")
+    bad_col: int = ord("X")
+    rows_are_dna: bool = True
+    cols_are_dna: bool = True
+    gap_open_set: bool = False
+    gap_extend_set: bool = False
+    # derived 4x4 view over upper-case ACGT, used by device kernels
+    _dna4: np.ndarray | None = field(default=None, repr=False)
+
+    @property
+    def dna4(self) -> np.ndarray:
+        if self._dna4 is None:
+            idx = np.frombuffer(BITS_TO_NUC, dtype=np.uint8)
+            self._dna4 = self.sub[np.ix_(idx, idx)].copy()
+        return self._dna4
+
+    def copy(self) -> "ScoreSet":
+        return ScoreSet(
+            sub=self.sub.copy(),
+            gap_open=self.gap_open,
+            gap_extend=self.gap_extend,
+            row_chars=self.row_chars,
+            col_chars=self.col_chars,
+            bad_row=self.bad_row,
+            bad_col=self.bad_col,
+            rows_are_dna=self.rows_are_dna,
+            cols_are_dna=self.cols_are_dna,
+            gap_open_set=self.gap_open_set,
+            gap_extend_set=self.gap_extend_set,
+        )
+
+
+def new_dna_score_set(
+    template: np.ndarray | None = None,
+    bad_score: int = HOXD70_X,
+    fill_score: int = HOXD70_FILL,
+    gap_open: int = HOXD70_OPEN,
+    gap_extend: int = HOXD70_EXTEND,
+    dtype=np.int64,
+) -> ScoreSet:
+    """Build a DNA score set (reference new_dna_score_set, dna_utilities.c:206).
+
+    Layout of the 256x256 table:
+      * row/column 0 (NUL, the partition separator): VERY_BAD_SCORE
+      * rows/columns for 'X'/'x': bad_score
+      * every other non-ACGT pairing: fill_score
+      * ACGT x ACGT (both cases): the 4x4 template
+    """
+    if template is None:
+        template = HOXD70
+    sub = np.full((256, 256), fill_score, dtype=dtype)
+    sub[0, :] = VERY_BAD_SCORE
+    sub[:, 0] = VERY_BAD_SCORE
+    # note: the X rows/columns deliberately cover index 0 too, matching the
+    # reference fill order (dna_utilities.c:283-291)
+    for xc in (ord("X"), ord("x")):
+        sub[xc, :] = bad_score
+        sub[:, xc] = bad_score
+    for r in range(4):
+        for c in range(4):
+            ru, cu = BITS_TO_NUC[r], BITS_TO_NUC[c]
+            for rr in (ru, ru + 32):
+                for cc in (cu, cu + 32):
+                    sub[rr, cc] = template[r, c]
+    return ScoreSet(sub=sub, gap_open=gap_open, gap_extend=gap_extend)
+
+
+def masked_score_set(ss: ScoreSet) -> ScoreSet:
+    """Copy of a score set with soft-masked letters scored badly.
+
+    Mirrors reference masked_score_set (dna_utilities.c:497-560): every
+    lower-case DNA row/column, plus 'N'/'n'/'X', is filled with the
+    score of (good row x bad column) — i.e. the X score — except the
+    NUL row/column keeps VERY_BAD_SCORE.
+    """
+    new = ss.copy()
+    good_row = ss.row_chars[0]
+    bad = ss.sub[good_row, ss.bad_col]
+    if ss.rows_are_dna:
+        new.row_chars = bytes(c for c in ss.row_chars if 65 <= c <= 90)
+        n_is_row = ord("N") in new.row_chars
+        for r in ss.row_chars:
+            if not (65 <= r <= 90):
+                new.sub[r, 1:] = bad
+        if not n_is_row:
+            new.sub[ord("N"), 1:] = bad
+        new.sub[ord("n"), 1:] = bad
+        new.sub[ord("X"), 1:] = bad
+    if ss.cols_are_dna:
+        new.col_chars = bytes(c for c in ss.col_chars if 65 <= c <= 90)
+        n_is_col = ord("N") in new.col_chars
+        for c in ss.col_chars:
+            if not (65 <= c <= 90):
+                new.sub[1:, c] = bad
+        if not n_is_col:
+            new.sub[1:, ord("N")] = bad
+        new.sub[1:, ord("n")] = bad
+        new.sub[1:, ord("X")] = bad
+    new._dna4 = None
+    return new
+
+
+def entropy(s: np.ndarray, t: np.ndarray) -> float:
+    """Entropy of an ungapped alignment (reference dna_utilities.c:2882).
+
+    Counts positions where the two ASCII characters are equal AND are
+    upper-case A/C/G/T; if fewer than 20 such matches, returns 1.0.
+    Otherwise the normalized Shannon entropy (base 4) of the matched-
+    base composition, with probabilities divided by the full alignment
+    length (not the match count).
+    """
+    length = len(s)
+    eq = s == t
+    counts = []
+    for ch in BITS_TO_NUC:
+        counts.append(int(np.count_nonzero(eq & (s == ch))))
+    total = sum(counts)
+    if total < 20:
+        return 1.0
+    acc = 0.0
+    for c in counts:
+        if c != 0:
+            p = c / length
+            acc += p * math.log(p)
+    return -acc / math.log(4.0)

@@ -1,0 +1,56 @@
+"""Identity filters over segments and alignments (reference identity_dist.c)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.encoding import NUC_TO_BITS
+
+
+def _identity_of_segment(v1, pos1, v2, pos2, length):
+    b1 = NUC_TO_BITS[v1[pos1 : pos1 + length]]
+    b2 = NUC_TO_BITS[v2[pos2 : pos2 + length]]
+    ok = (b1 >= 0) & (b2 >= 0)
+    denom = int(np.count_nonzero(ok))
+    if denom == 0:
+        return 0.0, 0
+    matches = int(np.count_nonzero(ok & (b1 == b2)))
+    return matches / denom, denom
+
+
+def filter_segments_by_identity(v1, v2, table, min_identity, max_identity):
+    kept = []
+    for seg in table.segments:
+        ident, denom = _identity_of_segment(v1, seg.pos1, v2, seg.pos2, seg.length)
+        if min_identity <= ident <= max_identity:
+            kept.append(seg)
+    table.segments = kept
+
+
+def alignment_identity(v1, v2, a):
+    """match/mismatch ratio over substitution columns of an alignment."""
+    i = a.beg1 - 1
+    j = a.beg2 - 1
+    matches = 0
+    denom = 0
+    for op, run in a.script.ops:
+        if op == "S":
+            b1 = NUC_TO_BITS[v1[i : i + run]]
+            b2 = NUC_TO_BITS[v2[j : j + run]]
+            ok = (b1 >= 0) & (b2 >= 0)
+            denom += int(np.count_nonzero(ok))
+            matches += int(np.count_nonzero(ok & (b1 == b2)))
+            i += run
+            j += run
+        elif op == "I":
+            j += run
+        else:
+            i += run
+    if denom == 0:
+        return 0.0
+    return matches / denom
+
+
+def filter_aligns_by_identity(v1, v2, align_list, min_identity, max_identity):
+    return [a for a in align_list
+            if min_identity <= alignment_identity(v1, v2, a) <= max_identity]

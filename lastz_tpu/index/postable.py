@@ -1,0 +1,209 @@
+"""Seed-word position index over the target sequence.
+
+The reference builds `last[word] -> most recent position` plus a
+`prev[pos]` linked list (pos_table.c:118-470, 1326-1397), which yields,
+for each word, its target end-positions in DESCENDING order.  That
+enumeration order is observable in output (it sets HSP discovery
+order), so it is part of this module's contract.
+
+Here the index is a CSR over sorted packed words, built with O(n log n)
+vectorized numpy (and, on device, jnp.sort/searchsorted): positions are
+stored ascending per word, and `positions_for(word)` returns them
+reversed, which is exactly the reference's last/prev walk.
+
+Position values are word END positions (one past the last base,
+origin-0 byte index + 1), stored divided by `step` relative to
+adj_start = start - (start % step), mirroring pos_table.c:1018-1122.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.seeds import Seed
+
+
+@dataclass
+class PositionTable:
+    seed: Seed
+    step: int
+    start: int  # first sequence position considered (origin-0)
+    end: int  # one past the last position considered
+    adj_start: int
+    # CSR: for word w, stored positions are csr_pos[csr_start[w]:csr_start[w+1]]
+    # ascending; actual end-position = adj_start + step*value.
+    csr_start: np.ndarray  # (4^weight + 1,) int64
+    csr_pos: np.ndarray  # (num_entries,) uint32/int64
+    # packed 2-bit copy of the target, for overweight-seed resolution
+    # (reference pos_table 'asBits'); None unless seed.type == 'R'
+    as_bits: np.ndarray | None = None
+
+    @property
+    def num_words(self) -> int:
+        return len(self.csr_start) - 1
+
+    def positions_for(self, word: int) -> np.ndarray:
+        """Target end positions for `word`, in reference (descending) order."""
+        lo, hi = self.csr_start[word], self.csr_start[word + 1]
+        stored = self.csr_pos[lo:hi][::-1]
+        return self.adj_start + self.step * stored.astype(np.int64)
+
+    def counts(self) -> np.ndarray:
+        return np.diff(self.csr_start)
+
+    def remove_positions(self, word_end_positions: np.ndarray, words: np.ndarray):
+        """Remove specific (word, end position) entries (dynamic masking).
+
+        Marks entries as removed by setting them to a sentinel that
+        positions_for filters out.  Rebuild is cheap, so we just rebuild
+        the CSR without the removed entries.
+        """
+        stored = ((word_end_positions - self.adj_start) // self.step).astype(self.csr_pos.dtype)
+        # build removal mask per (word, stored) pair
+        kill = {}
+        for w, p in zip(words.tolist(), stored.tolist()):
+            kill.setdefault(w, set()).add(p)
+        keep = np.ones(len(self.csr_pos), dtype=bool)
+        for w, kset in kill.items():
+            lo, hi = self.csr_start[w], self.csr_start[w + 1]
+            seg = self.csr_pos[lo:hi]
+            mask = np.isin(seg, np.fromiter(kset, dtype=seg.dtype))
+            keep[lo:hi] = ~mask
+        new_pos = self.csr_pos[keep]
+        counts = np.zeros(self.num_words, dtype=np.int64)
+        # recompute counts by word
+        word_of_entry = np.repeat(
+            np.arange(self.num_words), np.diff(self.csr_start))
+        new_words = word_of_entry[keep]
+        np.add.at(counts, new_words, 1)
+        self.csr_start = np.concatenate([[0], np.cumsum(counts)])
+        self.csr_pos = new_pos
+
+
+def _window_words(codes: np.ndarray, length: int, bits_per: int) -> tuple[np.ndarray, np.ndarray]:
+    """All sliding windows as packed integers + validity mask.
+
+    codes: int8 per-base 2-bit codes (-1 = invalid).
+    Returns (words uint64 indexed by end position offset, valid bool);
+    words[i] covers codes[i-length+1 .. i]... indexed so that entry k
+    corresponds to the window ENDING at base index (length-1+k).
+    """
+    n = len(codes)
+    if n < length:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool)
+    num = n - length + 1
+    w = np.zeros(num, dtype=np.uint64)
+    valid = np.ones(num, dtype=bool)
+    c64 = codes.astype(np.int64)
+    for i in range(length):
+        seg = c64[i : i + num]
+        valid &= seg >= 0
+        if bits_per == 2:
+            w = (w << np.uint64(2)) | (np.maximum(seg, 0).astype(np.uint64))
+        else:
+            w = (w << np.uint64(1)) | (np.maximum(seg, 0).astype(np.uint64) & np.uint64(1))
+    return w, valid
+
+
+def build_seed_position_table(
+    seq_v: np.ndarray,
+    start: int,
+    end: int,
+    char_to_bits: np.ndarray,
+    seed: Seed,
+    step: int = 1,
+) -> PositionTable:
+    """Vectorized equivalent of reference build_seed_position_table.
+
+    seq_v: uint8 ASCII target.  Words whose window includes any invalid
+    character are skipped; a word ending at END position p (origin-0,
+    exclusive) is stored iff p % step == 0.
+    """
+    if step < 1:
+        raise ValueError("step must be >= 1")
+    if end == 0:
+        end = len(seq_v)
+    if end <= start:
+        raise ValueError("interval is void")
+    adj_start = start - (start % step)
+
+    codes = char_to_bits[seq_v[start:end]]
+    L = seed.length
+    words, valid = _window_words(codes, L, seed.bits_per_base)
+    # end position (origin-0 exclusive) of window k is start + L + k
+    end_pos = start + L + np.arange(len(words), dtype=np.int64)
+    on_step = (end_pos % step) == 0
+    sel = valid & on_step
+    words = words[sel]
+    end_pos = end_pos[sel]
+
+    packed = seed.pack(words)
+    stored = ((end_pos - adj_start) // step).astype(np.uint32)
+
+    num_words = 1 << seed.weight
+    order = np.argsort(packed, kind="stable")  # stable keeps ascending pos
+    sorted_words = packed[order]
+    sorted_pos = stored[order]
+    counts = np.bincount(sorted_words, minlength=num_words)
+    csr_start = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+    as_bits = None
+    if seed.type == "R":
+        as_bits = _pack_2bit(codes, start, end, adj_start)
+
+    return PositionTable(
+        seed=seed,
+        step=step,
+        start=start,
+        end=end,
+        adj_start=adj_start,
+        csr_start=csr_start,
+        csr_pos=sorted_pos,
+        as_bits=as_bits,
+    )
+
+
+def _pack_2bit(codes: np.ndarray, start: int, end: int, adj_start: int) -> np.ndarray:
+    """2-bit packed copy of codes (invalid -> 0), indexed from adj_start."""
+    n = end - adj_start
+    full = np.zeros(n, dtype=np.uint8)
+    off = start - adj_start
+    full[off:] = np.maximum(codes, 0).astype(np.uint8)
+    return full  # one code per byte; 'packed' logically (simple + fast)
+
+
+def limit_position_table(pt: PositionTable, max_count: int, keep_fraction: float = 0.0):
+    """Drop words occurring more than max_count times (reference
+    limit_position_table / --maxwordcount, pos_table.c:1763-2052).
+
+    With keep_fraction set, max_count is chosen adaptively so that at
+    least `keep_fraction` of word instances are kept.
+    """
+    counts = pt.counts()
+    if keep_fraction > 0:
+        total = counts.sum()
+        if total == 0:
+            return 0
+        # choose the smallest count c such that sum(counts[counts<=c]) /
+        # total >= keep_fraction
+        order = np.sort(counts[counts > 0])
+        csum = np.cumsum(order)
+        idx = np.searchsorted(csum, keep_fraction * total)
+        idx = min(idx, len(order) - 1)
+        max_count = int(order[idx])
+    if max_count <= 0:
+        return 0
+    over = np.nonzero(counts > max_count)[0]
+    if len(over) == 0:
+        return 0
+    keep = np.ones(len(pt.csr_pos), dtype=bool)
+    for w in over:
+        keep[pt.csr_start[w] : pt.csr_start[w + 1]] = False
+    word_of_entry = np.repeat(np.arange(pt.num_words), counts)
+    new_words = word_of_entry[keep]
+    pt.csr_pos = pt.csr_pos[keep]
+    new_counts = np.bincount(new_words, minlength=pt.num_words)
+    pt.csr_start = np.concatenate([[0], np.cumsum(new_counts)]).astype(np.int64)
+    return len(over)

@@ -1,0 +1,615 @@
+"""Sequence files and the in-memory sequence object.
+
+Host-side reader layer covering the reference's sequences.c surface:
+fasta (now), fastq/nib/2bit/hsx (added progressively), bracket actions
+(subranges, masks, multi/partitioned, subset, unmask, revcomp), and
+the name-shortening rules used by output formats
+(reference sequences.c:5854-6040 for shorten_header semantics).
+
+Sequences are numpy uint8 arrays of raw ASCII; partition separators
+are NUL bytes, which score VERY_BAD in every score set and therefore
+fence all extension stages for free.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..core.encoding import NUC_TO_COMPLEMENT
+
+# revCompFlags values (reference sequences.h)
+RCF_FORWARD = 0
+RCF_COMP = 1
+RCF_REV = 2
+RCF_REVCOMP = 3
+
+NAME_PARSE_CORE = 0
+NAME_PARSE_DARKSPACE = 1
+NAME_PARSE_ALNUM = 2
+NAME_PARSE_FILL_WHITE = 8
+
+
+@dataclass
+class Partition:
+    """One contig inside a partitioned ([multi]) sequence."""
+
+    sep_before: int  # index of the NUL byte preceding this contig
+    sep_after: int  # index of the NUL byte following this contig
+    header: str
+    true_len: int
+    start_loc: int = 1
+    contig: int = 1
+
+
+@dataclass
+class Sequence:
+    v: np.ndarray  # uint8 ASCII; NUL separators if partitioned
+    filename: str
+    header: str  # raw header line (includes '>' for fasta)
+    short_header: str
+    start_loc: int = 1  # origin-1 index of v[0] within the file sequence
+    true_len: int = 0  # length of the full sequence in the file
+    rev_comp_flags: int = RCF_FORWARD
+    contig: int = 1  # 1-based record number within the file
+    file_type: str = "fasta"
+    use_full_names: bool = False
+    partitions: list = field(default_factory=list)  # list[Partition]
+    vq: Optional[np.ndarray] = None  # quality values (fastq)
+
+    @property
+    def length(self) -> int:
+        return len(self.v)
+
+    @property
+    def is_partitioned(self) -> bool:
+        return bool(self.partitions)
+
+    def rev_comp(self):
+        """Reverse-complement in place (reference rev_comp_sequence)."""
+        self.v = NUC_TO_COMPLEMENT[self.v[::-1]].copy()
+        if self.vq is not None:
+            self.vq = self.vq[::-1].copy()
+        self.rev_comp_flags ^= RCF_REVCOMP
+
+    def name_for_output(self) -> str:
+        return self.header if self.use_full_names else self.short_header
+
+
+def shorten_header(src: str, name_parse_type: int = NAME_PARSE_CORE,
+                   skip_path: bool = False) -> str:
+    """Reference shorten_header (sequences.c:5913-6035)."""
+    h = src
+    if h.startswith(">"):
+        h = h[1:]
+    h = h.lstrip()
+    pfx = "reverse complement of "
+    if h.startswith(pfx):
+        h = h[len(pfx):].lstrip()
+    if h.startswith("positions "):
+        rest = h[len("positions "):].lstrip()
+        m = re.match(r"\S+\s+", rest)
+        if m and rest[m.end():].startswith("of "):
+            h = rest[m.end() + 3:].lstrip()
+    if skip_path:
+        h = h.rsplit("/", 1)[-1]
+    h = h.lstrip()
+    base = name_parse_type & ~NAME_PARSE_FILL_WHITE
+    if base == NAME_PARSE_ALNUM:
+        m = re.match(r"[A-Za-z0-9_]*", h)
+        out = m.group(0)
+        return out
+    if base == NAME_PARSE_DARKSPACE:
+        m = re.match(r"[^ \t]*", h)
+        out = m.group(0)
+    else:  # core
+        m = re.match(r"[^ \t|:]*", h)
+        out = m.group(0)
+    for sfx in (".nib", ".2bit", ".hsx", ".fasta", ".fa"):
+        if len(out) > len(sfx) and out.endswith(sfx):
+            out = out[: -len(sfx)]
+            break
+    if name_parse_type & NAME_PARSE_FILL_WHITE:
+        out = re.sub(r"\s", "_", out)
+    return out
+
+
+_SUBRANGE_RE = re.compile(
+    r"^\s*(\d+)\s*(?:(\.\.|,|#)\s*(\d+))?\s*$"
+)
+
+
+def _parse_subrange(text: str):
+    """Parse '<start>,<end>' / '<start>..<end>' / '<start>#<len>' forms.
+
+    Returns (start, end) origin-1 inclusive, or None.
+    """
+    m = _SUBRANGE_RE.match(text)
+    if not m:
+        return None
+    start = int(m.group(1))
+    if m.group(3) is None:
+        return (start, 0)
+    end = int(m.group(3))
+    if m.group(2) == "#":
+        end = start + end - 1
+    return (start, end)
+
+
+@dataclass
+class SequenceSpec:
+    """Parsed form of a sequence-file argument with bracket actions."""
+
+    filename: str
+    nickname: Optional[str] = None
+    contig_of_interest: Optional[str] = None
+    names_filename: Optional[str] = None  # subset=
+    start: int = 0  # origin-1; 0 => whole
+    end: int = 0
+    end_is_soft: bool = False
+    revcomp: bool = False
+    backward: bool = False
+    unmask: bool = False
+    do_partition: bool = False  # [multi]
+    separator: Optional[str] = None
+    nmask_filename: Optional[str] = None
+    xmask_filename: Optional[str] = None
+    softmask_filename: Optional[str] = None
+    name_parse_type: int = NAME_PARSE_CORE
+    name_trigger: Optional[str] = None
+    use_full_names: bool = False
+    subsample_k: int = 0
+    subsample_n: int = 0
+    file_type: Optional[str] = None
+
+
+def parse_sequence_spec(name: str) -> SequenceSpec:
+    """Parse `nickname::file/contig[actions]` (reference sequences.c:8027+)."""
+    spec = SequenceSpec(filename=name)
+    rest = name
+
+    if "::" in rest:
+        nick, rest = rest.split("::", 1)
+        spec.nickname = nick
+
+    # trailing '-' means reverse complement (file- form)
+    actions_txt = None
+    if rest.endswith("]-"):
+        spec.revcomp = True
+        rest = rest[:-1]
+    if rest.endswith("]") and "[" in rest:
+        i = rest.index("[")
+        actions_txt = rest[i + 1 : -1]
+        rest = rest[:i]
+    elif rest.endswith("-") and not os.path.exists(rest):
+        spec.revcomp = True
+        rest = rest[:-1]
+
+    # file/contig for 2bit/hsx
+    if "/" in rest and not os.path.exists(rest):
+        head, tail = rest.rsplit("/", 1)
+        if os.path.exists(head):
+            spec.filename = head
+            spec.contig_of_interest = tail
+            rest = head
+        else:
+            spec.filename = rest
+    else:
+        spec.filename = rest
+
+    if actions_txt is not None:
+        for action in actions_txt.split(","):
+            action = action.strip()
+            if not action:
+                continue
+            low = action.lower()
+            sub = _parse_subrange(action)
+            if sub is not None:
+                spec.start, spec.end = sub
+                continue
+            if low == "multiple" or low == "multi":
+                spec.do_partition = True
+            elif low == "unmask":
+                spec.unmask = True
+            elif low in ("revcomp", "rc"):
+                spec.revcomp = True
+            elif low == "backward":
+                spec.backward = True
+            elif low.startswith("subset="):
+                spec.names_filename = action[7:]
+            elif low.startswith("@"):
+                spec.names_filename = action[1:]
+                spec.do_partition = True
+            elif low.startswith("nmask="):
+                spec.nmask_filename = action[6:]
+            elif low.startswith("xmask="):
+                spec.xmask_filename = action[6:]
+            elif low.startswith("softmask="):
+                spec.softmask_filename = action[9:]
+            elif low.startswith("separator="):
+                spec.separator = action[10:]
+                spec.do_partition = True
+            elif low.startswith("nickname=") or low.startswith("name="):
+                spec.nickname = action.split("=", 1)[1]
+            elif low.startswith("nameparse="):
+                val = action.split("=", 1)[1]
+                if val == "darkspace":
+                    spec.name_parse_type = NAME_PARSE_DARKSPACE
+                elif val == "alphanum":
+                    spec.name_parse_type = NAME_PARSE_ALNUM
+                elif val == "full":
+                    spec.use_full_names = True
+                elif val.startswith("tag:"):
+                    spec.name_trigger = val[4:]
+            elif low.startswith("subsample="):
+                k, n = action.split("=", 1)[1].split("/")
+                spec.subsample_k, spec.subsample_n = int(k), int(n)
+            elif low in ("fasta", "fastq", "nib", "2bit", "hsx", "csfasta", "qdna"):
+                spec.file_type = low
+            else:
+                # range like "51..200" handled above; unknown action
+                raise ValueError(f"unknown sequence action: {action}")
+    return spec
+
+
+def sniff_file_type(path: str) -> str:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic[:4] in (b"\x1a\x41\x27\x43", b"\x43\x27\x41\x1a"):
+        return "2bit"
+    if magic[:4] in (b"\x6e\x69\x62\x1a", b"\x1a\x62\x69\x6e",
+                     b"\x3a\x29\xd3\xbe"):
+        return "nib"
+    if magic[:4] in (b"\xd1\x5f\x52\xca", b"\xca\x52\x5f\xd1"):
+        return "hsx"
+    with open(path, "rb") as f:
+        first = f.read(1)
+    if first == b"@":
+        return "fastq"
+    return "fasta"
+
+
+class SequenceFile:
+    """Iterates records of a sequence file (reference open_sequence_file)."""
+
+    def __init__(self, name: str, default_type: str = "fasta"):
+        self.spec = parse_sequence_spec(name)
+        self.filename = self.spec.filename
+        self.file_type = self.spec.file_type or sniff_file_type(self.filename)
+        self.contig_index = 0
+        self._records = None  # lazily parsed list
+        self._cursor = 0
+        self._subset_names = None
+        if self.spec.names_filename and not self.spec.do_partition:
+            with open(self.spec.names_filename) as f:
+                self._subset_names = [ln.strip() for ln in f if ln.strip()]
+
+    # --- record parsing -------------------------------------------------
+
+    def _load_records(self):
+        if self._records is not None:
+            return
+        if self.file_type == "fasta":
+            self._records = _read_fasta(self.filename)
+        elif self.file_type == "fastq":
+            self._records = _read_fastq(self.filename)
+        elif self.file_type == "nib":
+            self._records = [_read_nib(self.filename)]
+        elif self.file_type == "2bit":
+            self._records = _read_2bit(self.filename)
+        else:
+            raise NotImplementedError(f"file type {self.file_type}")
+        if self.spec.contig_of_interest:
+            want = self.spec.contig_of_interest
+            recs = [r for r in self._records if r[2] == want]
+            if not recs:
+                raise ValueError(
+                    f"sequence {want} not found in {self.filename}")
+            self._records = recs
+        elif self._subset_names is not None:
+            by_name = {r[2]: r for r in self._records}
+            missing = [n for n in self._subset_names if n not in by_name]
+            if missing:
+                raise ValueError(
+                    f"sequences not found in {self.filename}: {missing}")
+            self._records = [by_name[n] for n in self._subset_names]
+
+    def rewind(self):
+        self._cursor = 0
+        self.contig_index = 0
+
+    def load(self) -> Optional[Sequence]:
+        """Load next record (reference load_sequence); None at EOF."""
+        self._load_records()
+        if self.spec.do_partition:
+            return self._load_partitioned()
+        while self._cursor < len(self._records):
+            data, header, short, contig = self._records[self._cursor]
+            self._cursor += 1
+            seq = self._materialize(data, header, short, contig)
+            return seq
+        return None
+
+    def _materialize(self, data, header, short, contig) -> Sequence:
+        true_len = len(data)
+        start_loc = 1
+        if self.spec.start or self.spec.end:
+            s = self.spec.start or 1
+            e = self.spec.end or true_len
+            if e > true_len:
+                if self.spec.end_is_soft or self.spec.end == 0:
+                    e = true_len
+                else:
+                    raise ValueError(
+                        f"subrange end {e} exceeds sequence length {true_len}")
+            if s < 1 or s > e:
+                raise ValueError(f"bad subrange {s}..{e}")
+            data = data[s - 1 : e]
+            start_loc = s
+        v = np.frombuffer(data, dtype=np.uint8).copy()
+        if self.spec.unmask:
+            lower = (v >= ord("a")) & (v <= ord("z"))
+            v[lower] -= 32
+        if self.spec.nickname:
+            header = self.spec.nickname
+            short = self.spec.nickname
+        seq = Sequence(
+            v=v,
+            filename=self.filename,
+            header=header,
+            short_header=short,
+            start_loc=start_loc,
+            true_len=true_len,
+            contig=contig,
+            file_type=self.file_type,
+            use_full_names=self.spec.use_full_names,
+        )
+        for maskfile, ch in ((self.spec.nmask_filename, ord("N")),
+                             (self.spec.xmask_filename, ord("X"))):
+            if maskfile:
+                _apply_mask_file(seq, maskfile, ch)
+        if self.spec.softmask_filename:
+            _apply_mask_file(seq, self.spec.softmask_filename, 0)
+        if self.spec.revcomp:
+            seq.rev_comp()
+            seq.rev_comp_flags = RCF_REVCOMP
+        if self.spec.backward:
+            seq.v = seq.v[::-1].copy()
+            seq.rev_comp_flags = RCF_REV
+        return seq
+
+    def _load_partitioned(self) -> Optional[Sequence]:
+        """Concatenate all records with NUL separators ([multi])."""
+        if self._cursor > 0:
+            return None
+        self._cursor = len(self._records)
+        names = None
+        if self.spec.names_filename:
+            with open(self.spec.names_filename) as f:
+                names = [ln.strip() for ln in f if ln.strip()]
+        recs = self._records
+        if names is not None:
+            by_name = {r[2]: r for r in recs}
+            recs = [by_name[n] for n in names if n in by_name]
+        chunks = [b"\0"]
+        parts = []
+        pos = 1
+        for (data, header, short, contig) in recs:
+            true_len = len(data)
+            start_loc = 1
+            if self.spec.start or self.spec.end:
+                s = self.spec.start or 1
+                e = self.spec.end or true_len
+                e = min(e, true_len)
+                if s > true_len:
+                    continue
+                data = data[s - 1 : e]
+                start_loc = s
+            parts.append(Partition(
+                sep_before=pos - 1,
+                sep_after=pos + len(data),
+                header=header,
+                true_len=true_len,
+                start_loc=start_loc,
+                contig=contig,
+            ))
+            chunks.append(data)
+            chunks.append(b"\0")
+            pos += len(data) + 1
+        buf = b"".join(chunks)
+        v = np.frombuffer(buf, dtype=np.uint8).copy()
+        seq = Sequence(
+            v=v,
+            filename=self.filename,
+            header="",
+            short_header="",
+            true_len=len(v),
+            file_type=self.file_type,
+            partitions=parts,
+        )
+        return seq
+
+
+def open_sequence_file(name: str) -> SequenceFile:
+    return SequenceFile(name)
+
+
+# --- format readers -----------------------------------------------------
+
+
+def _read_fasta(path: str):
+    """Return list of (data_bytes, header, short_header, contig)."""
+    records = []
+    header = None
+    chunks: list[bytes] = []
+    contig = 0
+    with open(path, "rb") as f:
+        data = f.read()
+    if data.startswith(b">"):
+        pass
+    lines = data.split(b"\n")
+    for raw in lines:
+        line = raw.rstrip(b"\r")
+        if line.startswith(b">"):
+            if header is not None:
+                contig += 1
+                records.append(_fasta_record(chunks, header, contig))
+            header = line.decode("latin-1")
+            chunks = []
+        elif line:
+            chunks.append(line.replace(b" ", b"").replace(b"\t", b""))
+    if header is not None:
+        contig += 1
+        records.append(_fasta_record(chunks, header, contig))
+    elif chunks:
+        contig += 1
+        records.append(_fasta_record(chunks, "", contig))
+    return records
+
+
+def _fasta_record(chunks, header, contig):
+    data = b"".join(chunks)
+    short = shorten_header(header) if header else ""
+    return (data, header, short, contig)
+
+
+def _read_fastq(path: str):
+    records = []
+    with open(path, "rb") as f:
+        lines = f.read().split(b"\n")
+    i = 0
+    contig = 0
+    while i + 3 < len(lines) or (i < len(lines) and lines[i].strip()):
+        if not lines[i].strip():
+            i += 1
+            continue
+        if not lines[i].startswith(b"@"):
+            raise ValueError(f"bad fastq record at line {i+1} of {path}")
+        header = lines[i].decode("latin-1")
+        data = lines[i + 1].strip()
+        # line i+2 is '+'; line i+3 is qualities
+        contig += 1
+        short = shorten_header(">" + header[1:])
+        records.append((bytes(data), header, short, contig))
+        i += 4
+    return records
+
+
+def _read_nib(path: str):
+    """Read .nib (4-bit) format: magic, length, 2 bases/byte."""
+    import struct
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    magic = struct.unpack("<I", raw[0:4])[0]
+    if magic == 0x6BE93D3A:
+        endian = "<"
+    elif struct.unpack(">I", raw[0:4])[0] == 0x6BE93D3A:
+        endian = ">"
+    else:
+        # UCSC nib magic 0x2A1A (other variants); try both byte orders
+        endian = "<"
+    length = struct.unpack(endian + "I", raw[4:8])[0]
+    codes = np.frombuffer(raw[8 : 8 + (length + 1) // 2], dtype=np.uint8)
+    hi = codes >> 4
+    lo = codes & 0xF
+    interleaved = np.empty(2 * len(codes), dtype=np.uint8)
+    interleaved[0::2] = hi
+    interleaved[1::2] = lo
+    interleaved = interleaved[:length]
+    # nib code: 0=T 1=C 2=A 3=G 4=N; bit 3 set => masked (lower case)
+    table = np.frombuffer(b"TCAGNNNNtcagnnnn", dtype=np.uint8)
+    data = table[interleaved & 0xF].tobytes()
+    name = os.path.basename(path)
+    header = name
+    short = shorten_header(name, skip_path=True)
+    return (data, header, short, 1)
+
+
+def _read_2bit(path: str):
+    """Read UCSC .2bit files (reference sequences.c twobit support)."""
+    import struct
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    magic_le = struct.unpack("<I", raw[0:4])[0]
+    if magic_le == 0x1A412743:
+        endian = "<"
+    elif struct.unpack(">I", raw[0:4])[0] == 0x1A412743:
+        endian = ">"
+    else:
+        raise ValueError(f"{path} is not a 2bit file")
+    seq_count = struct.unpack(endian + "I", raw[8:12])[0]
+    off = 16
+    entries = []
+    for _ in range(seq_count):
+        name_size = raw[off]
+        name = raw[off + 1 : off + 1 + name_size].decode("latin-1")
+        off += 1 + name_size
+        offset = struct.unpack(endian + "I", raw[off : off + 4])[0]
+        off += 4
+        entries.append((name, offset))
+    bits_to_char = np.frombuffer(b"TCAG", dtype=np.uint8)
+    records = []
+    for contig, (name, offset) in enumerate(entries, start=1):
+        dna_size = struct.unpack(endian + "I", raw[offset : offset + 4])[0]
+        p = offset + 4
+        n_count = struct.unpack(endian + "I", raw[p : p + 4])[0]
+        p += 4
+        n_starts = np.frombuffer(raw[p : p + 4 * n_count], dtype=endian + "u4")
+        p += 4 * n_count
+        n_sizes = np.frombuffer(raw[p : p + 4 * n_count], dtype=endian + "u4")
+        p += 4 * n_count
+        m_count = struct.unpack(endian + "I", raw[p : p + 4])[0]
+        p += 4
+        m_starts = np.frombuffer(raw[p : p + 4 * m_count], dtype=endian + "u4")
+        p += 4 * m_count
+        m_sizes = np.frombuffer(raw[p : p + 4 * m_count], dtype=endian + "u4")
+        p += 4 * m_count
+        p += 4  # reserved
+        packed = np.frombuffer(
+            raw[p : p + (dna_size + 3) // 4], dtype=np.uint8)
+        codes = np.empty(len(packed) * 4, dtype=np.uint8)
+        codes[0::4] = (packed >> 6) & 3
+        codes[1::4] = (packed >> 4) & 3
+        codes[2::4] = (packed >> 2) & 3
+        codes[3::4] = packed & 3
+        v = bits_to_char[codes[:dna_size]].copy()
+        for s, ln in zip(n_starts, n_sizes):
+            v[s : s + ln] = ord("N")
+        for s, ln in zip(m_starts, m_sizes):
+            seg = v[s : s + ln]
+            upper = (seg >= ord("A")) & (seg <= ord("Z"))
+            seg[upper] += 32
+        header = name
+        short = shorten_header(name)
+        records.append((v.tobytes(), header, short, contig))
+    return records
+
+
+def _apply_mask_file(seq: Sequence, path: str, mask_char: int):
+    """Apply interval mask file: lines '<start> <end>' origin-1 closed.
+
+    mask_char == 0 means soft-mask (lower-case) instead of replacing.
+    """
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0].strip()
+            if not line:
+                continue
+            parts = line.replace(",", " ").split()
+            s, e = int(parts[0]), int(parts[1])
+            lo = max(0, s - 1 - (seq.start_loc - 1))
+            hi = min(len(seq.v), e - (seq.start_loc - 1))
+            if lo >= hi:
+                continue
+            if mask_char == 0:
+                seg = seq.v[lo:hi]
+                upper = (seg >= ord("A")) & (seg <= ord("Z"))
+                seg[upper] += 32
+            else:
+                seq.v[lo:hi] = mask_char

@@ -1,0 +1,206 @@
+"""Output dispatcher: lazy per-strand headers + format fan-out.
+
+Mirrors the reference output.c state machine: the s/h (or equivalent)
+per-strand header is only emitted when the first match or alignment of
+that strand is printed (output.c:550-770, strandHeaderPrinted).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, TextIO
+
+from . import lav as lav_mod
+
+
+class OutputDispatcher:
+    def __init__(self, config, out: TextIO, program_name: str = "lastz_tpu.v0.1.0"):
+        self.cfg = config
+        self.out = out
+        self.program_name = program_name
+        self.strand_header_printed = False
+        self.printed_for_query = 0
+        self.seq1 = None
+        self.seq2 = None
+        self._writer = None
+        fmt = config.output_format
+        if fmt in ("lav", "lav+text", "lavscore"):
+            self._fmt = "lav"
+        else:
+            self._fmt = fmt
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def set_sequences(self, seq1, seq2):
+        self.seq1 = seq1
+        self.seq2 = seq2
+
+    def init_for_query(self):
+        self.printed_for_query = 0
+
+    def init_for_strand(self):
+        self.strand_header_printed = False
+
+    def job_header(self):
+        cfg = self.cfg
+        if self._fmt == "lav":
+            self.out.write(lav_mod.lav_job_header(
+                self.program_name,
+                cfg.seq1_filename, cfg.seq2_filename, cfg.args,
+                cfg.scoring, cfg.hsp_threshold, cfg.gapped_threshold,
+                cfg.dynamic_masking))
+        elif self._fmt == "gfa":
+            from . import gfa as gfa_mod
+            self.out.write(gfa_mod.gfa_job_header(
+                self.program_name, cfg.seq1_filename, cfg.seq2_filename))
+        elif self._fmt in ("axt", "axt+"):
+            from . import axt as axt_mod
+            self.out.write(axt_mod.axt_job_header(
+                self.program_name, cfg.args, cfg.scoring,
+                cfg.hsp_threshold, cfg.gapped_threshold,
+                cfg.effective_x_drop(), cfg.effective_y_drop()))
+        elif self._fmt in ("maf", "maf+"):
+            from . import maf as maf_mod
+            self.out.write(maf_mod.maf_job_header(
+                self.program_name, cfg.args, cfg.scoring,
+                cfg.hsp_threshold, cfg.gapped_threshold,
+                cfg.effective_x_drop(), cfg.effective_y_drop(),
+                with_comments=True))
+        elif self._fmt in ("maf-",):
+            pass
+        elif self._fmt in ("sam", "softsam", "hardsam"):
+            from . import sam as sam_mod
+            self.out.write(sam_mod.sam_job_header(self.cfg))
+        elif self._fmt in ("sam-", "softsam-", "hardsam-"):
+            pass
+        elif self._fmt == "cigar":
+            pass
+        elif self._fmt in ("general", "general-"):
+            from . import genpaf as gp_mod
+            if self._fmt == "general":
+                self.out.write(gp_mod.genpaf_job_header(cfg.output_info))
+        elif self._fmt in ("segments", "none", "paf", "paf:wfmash",
+                           "blastn", "blastn-", "differences", "text",
+                           "ztext", "rdotplot"):
+            pass
+        else:
+            raise ValueError(f"unsupported output format {self._fmt}")
+
+    def job_footer(self):
+        if self._fmt == "lav":
+            self.out.write(lav_mod.lav_job_footer())
+        elif self._fmt in ("maf", "maf+"):
+            self.out.write("##eof maf\n")
+        if self.cfg.end_comment:
+            self.out.write("# lastz end-of-file\n")
+
+    def _strand_header(self):
+        if self._fmt == "lav":
+            self.out.write(lav_mod.lav_header(self.seq1, self.seq2))
+        elif self._fmt == "gfa":
+            from . import gfa as gfa_mod
+            self.out.write(gfa_mod.gfa_header(self.seq1, self.seq2))
+        # most other formats have no per-strand header
+
+    def _ensure_strand_header(self):
+        if not self.strand_header_printed:
+            self._strand_header()
+            self.strand_header_printed = True
+
+    # -- records -----------------------------------------------------------
+
+    def print_match(self, pos1: int, pos2: int, length: int, s: int,
+                    hsp_id: int = 0):
+        """Print one ungapped HSP; pos1/pos2 are START positions (origin-0)."""
+        cfg = self.cfg
+        if cfg.search_limit > 0 and self.printed_for_query >= cfg.search_limit:
+            return
+        self.printed_for_query += 1
+        self._ensure_strand_header()
+        if self._fmt == "lav":
+            self.out.write(lav_mod.lav_match(
+                self.seq1.v, pos1, self.seq2.v, pos2, length, s))
+        elif self._fmt == "gfa":
+            from . import gfa as gfa_mod
+            self.out.write(gfa_mod.gfa_match(
+                self.seq1, pos1, self.seq2, pos2, length, s))
+        elif self._fmt == "segments":
+            from . import segments_out
+            self.out.write(segments_out.segments_match(
+                self.seq1, pos1, self.seq2, pos2, length, s))
+        elif self._fmt in ("general", "general-"):
+            from . import genpaf as gp_mod
+            self.out.write(gp_mod.genpaf_match(
+                self.cfg, self.seq1, pos1, self.seq2, pos2, length, s))
+        elif self._fmt in ("maf", "maf+", "maf-"):
+            from . import maf as maf_mod
+            self.out.write(maf_mod.maf_match(
+                self.seq1, pos1, self.seq2, pos2, length, s))
+        elif self._fmt in ("axt", "axt+"):
+            from . import axt as axt_mod
+            self.out.write(axt_mod.axt_match(
+                self.seq1, pos1, self.seq2, pos2, length, s,
+                self._next_axt_id()))
+        elif self._fmt == "none":
+            pass
+        else:
+            raise ValueError(
+                f"format {self._fmt} cannot print ungapped matches yet")
+
+    _axt_counter: int = 0
+
+    def _next_axt_id(self) -> int:
+        n = self._axt_counter
+        self._axt_counter += 1
+        return n
+
+    def print_align_list(self, alignments):
+        """Print gapped alignments (list of Alignment)."""
+        if not alignments:
+            return
+        cfg = self.cfg
+        for a in alignments:
+            if cfg.search_limit > 0 and self.printed_for_query >= cfg.search_limit:
+                return
+            self.printed_for_query += 1
+            self._ensure_strand_header()
+            self._print_align(a)
+
+    def _print_align(self, a):
+        if self._fmt == "lav":
+            self.out.write(lav_mod.lav_align(
+                self.seq1.v, a.beg1 - 1, a.end1,
+                self.seq2.v, a.beg2 - 1, a.end2,
+                a.script, a.score))
+        elif self._fmt in ("axt", "axt+"):
+            from . import axt as axt_mod
+            self.out.write(axt_mod.axt_align(
+                self.seq1, self.seq2, a, self._next_axt_id()))
+        elif self._fmt in ("maf", "maf+", "maf-"):
+            from . import maf as maf_mod
+            self.out.write(maf_mod.maf_align(self.seq1, self.seq2, a))
+        elif self._fmt == "gfa":
+            from . import gfa as gfa_mod
+            self.out.write(gfa_mod.gfa_align(self.seq1, self.seq2, a))
+        elif self._fmt in ("general", "general-"):
+            from . import genpaf as gp_mod
+            self.out.write(gp_mod.genpaf_align(self.cfg, self.seq1, self.seq2, a))
+        elif self._fmt in ("sam", "softsam", "hardsam", "sam-", "softsam-", "hardsam-"):
+            from . import sam as sam_mod
+            self.out.write(sam_mod.sam_align(
+                self.cfg, self.seq1, self.seq2, a,
+                hard="hard" in self._fmt))
+        elif self._fmt == "cigar":
+            from . import cigar as cigar_mod
+            self.out.write(cigar_mod.cigar_align(self.seq1, self.seq2, a))
+        elif self._fmt == "none":
+            pass
+        else:
+            raise ValueError(f"format {self._fmt} cannot print alignments yet")
+
+    def print_x_stanza(self, num_masked: int):
+        if self._fmt == "lav":
+            self.out.write(lav_mod.lav_x_stanza(num_masked))
+
+    def print_m_stanza(self, census):
+        if self._fmt == "lav":
+            self.out.write(lav_mod.lav_m_stanza(census))

@@ -1,0 +1,417 @@
+"""Run orchestration: the reference driver's main loop re-expressed.
+
+Mirrors lastz.c main/start_one_strand/finish_one_strand control flow
+(lastz.c:653-1720, 3006-3560): target loaded once, position table
+built once, queries streamed; each query strand runs seed search,
+then (depending on mode) immediate reporting, segment collection +
+chaining + gapped extension, filtering, interpolation and output.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional
+
+import numpy as np
+
+from .config import (
+    Config, ScoreThreshold,
+    GFEX_NO_EXTEND, GFEX_XDROP, GFEX_EXACT, HIT_RECOVER,
+)
+from .core.encoding import NUC_TO_BITS, UPPER_NUC_TO_BITS
+from .core.scoring import new_dna_score_set, masked_score_set
+from .core.seeds import parse_seed, SEED_12OF19
+from .index.postable import build_seed_position_table
+from .io.sequence import SequenceFile, Sequence
+from .out.dispatcher import OutputDispatcher
+from .search.engine import SeedSearchEngine, HitProcessorParams
+from .align.segments import SegmentTable, Segment
+
+PROGRAM_NAME = "lastz_tpu.v0.1.0"
+
+
+class Pipeline:
+    def __init__(self, cfg: Config, out=None):
+        self.cfg = cfg
+        self.out = out or sys.stdout
+        self._finalize_config()
+        self.dispatcher = OutputDispatcher(cfg, self.out, PROGRAM_NAME)
+        self.anchors: Optional[SegmentTable] = None
+        self.secondary_anchors: Optional[SegmentTable] = None
+
+    # -- configuration finalization (lastz.c:8900-9400) --------------------
+
+    def _finalize_config(self):
+        cfg = self.cfg
+        if cfg.scoring is None:
+            cfg.scoring = new_dna_score_set()
+        if cfg.masked_scoring is None:
+            cfg.masked_scoring = masked_score_set(cfg.scoring)
+        if cfg.seed is None:
+            seed_string = cfg.seed_string or SEED_12OF19
+            cfg.seed = parse_seed(
+                seed_string, cfg.max_index_bits, with_trans=cfg.with_trans)
+        else:
+            cfg.seed.with_trans = cfg.with_trans
+
+        if cfg.gf_extend == GFEX_NO_EXTEND:
+            cfg.x_drop = 0
+            cfg.hsp_threshold = ScoreThreshold("S", 0)
+            cfg.entropic_hsp = False
+        if cfg.x_drop == 0 and cfg.gf_extend == GFEX_XDROP:
+            cfg.x_drop = cfg.effective_x_drop()
+        if cfg.y_drop == 0:
+            cfg.y_drop = cfg.effective_y_drop()
+        if cfg.gapped_threshold.t == "S" and cfg.gapped_threshold.s == 0:
+            if cfg.gf_extend == GFEX_XDROP:
+                cfg.gapped_threshold = cfg.hsp_threshold.copy()
+            else:
+                cfg.gapped_threshold = ScoreThreshold("S", 3000)
+
+    # -- main entry ---------------------------------------------------------
+
+    def run(self):
+        cfg = self.cfg
+        disp = self.dispatcher
+
+        target_file = SequenceFile(cfg.seq1_filename)
+        target = target_file.load()
+        if target is None:
+            raise ValueError(f"no sequence in {cfg.seq1_filename}")
+
+        # resolve adaptive ('P') thresholds now that target length is known
+        self._resolve_score_thresholds(target)
+
+        pt = build_seed_position_table(
+            target.v, 0, len(target.v), UPPER_NUC_TO_BITS, cfg.seed, cfg.step)
+        if cfg.word_count_limit > 0 or cfg.word_count_keep > 0:
+            from .index.postable import limit_position_table
+            limit_position_table(pt, cfg.word_count_limit, cfg.word_count_keep)
+        self.target = target
+        self.pt = pt
+
+        query_file = (SequenceFile(cfg.seq2_filename)
+                      if cfg.seq2_filename else None)
+        if query_file is None and cfg.self_compare:
+            query_file = SequenceFile(cfg.seq1_filename)
+
+        disp.job_header()
+
+        hsps_are_adaptive = cfg.hsp_threshold.t != "S"
+        collect_from_both = hsps_are_adaptive or cfg.search_limit > 0 \
+            or cfg.num_best_hsps > 0
+        collect_separately = False
+        if collect_from_both:
+            collect_separately = not (hsps_are_adaptive or cfg.num_best_hsps > 0)
+
+        while True:
+            query = query_file.load()
+            if query is None:
+                break
+            if len(query.v) == 0:
+                continue
+            disp.set_sequences(target, query)
+            disp.init_for_query()
+            if cfg.which_strand < 0:
+                query.rev_comp()
+
+            self._run_query(target, pt, query,
+                            collect_from_both, collect_separately)
+
+        # end-of-job m-stanza (reference lastz.c:1761 prints it always
+        # for lav, with the census intervals when masking was active)
+        disp.print_m_stanza(getattr(self, "targ_census", None))
+        disp.job_footer()
+
+    def _resolve_score_thresholds(self, target: Sequence):
+        for th in (self.cfg.hsp_threshold, self.cfg.gapped_threshold):
+            if th.t == "P":
+                th.t = "C"
+                th.c = int(th.p * len(target.v))
+
+    # -- per-query processing ------------------------------------------------
+
+    def _run_query(self, target, pt, query, collect_from_both,
+                   collect_separately):
+        cfg = self.cfg
+        disp = self.dispatcher
+
+        ok = self._start_one_strand(target, pt, query, empty_anchors=True)
+        if not ok:
+            return
+
+        if not collect_from_both:
+            self._finish_one_strand(target, pt, query)
+
+        if cfg.which_strand > 0:
+            query.rev_comp()
+            disp.set_sequences(target, query)
+            prev_anchor_count = 0
+            if collect_separately and self.anchors is not None:
+                prev_anchor_count = len(self.anchors)
+                self._swap_anchor_sets()
+                self.anchors = SegmentTable()
+            ok = self._start_one_strand(
+                target, pt, query,
+                empty_anchors=not collect_from_both,
+                prev_anchor_count=prev_anchor_count)
+            if not ok:
+                return
+            if cfg.num_best_hsps > 0:
+                self._choose_best_anchors(cfg.num_best_hsps)
+            if collect_from_both and not collect_separately:
+                self._split_anchors(query.rev_comp_flags)
+            self._finish_one_strand(target, pt, query)
+            if collect_from_both:
+                self._swap_anchor_sets()
+                query.rev_comp()
+                disp.set_sequences(target, query)
+
+        if collect_from_both:
+            disp.init_for_strand()
+            self._finish_one_strand(target, pt, query)
+
+    # -- strand processing ----------------------------------------------------
+
+    def _reporter_mode(self) -> str:
+        """Choose immediate reporting vs collection (set_up_hit_processor)."""
+        cfg = self.cfg
+        merge_anchors = cfg.basic_hit_type == HIT_RECOVER or cfg.twin_min_span > 0
+        if (cfg.hsp_threshold.t == "S" and cfg.search_limit == 0
+                and cfg.num_best_hsps == 0 and not cfg.chain
+                and not cfg.gapped_extend and not merge_anchors
+                and cfg.dynamic_masking == 0 and not cfg.report_census
+                and not self._filtering_active()):
+            return "report"
+        return "collect"
+
+    def _filtering_active(self) -> bool:
+        cfg = self.cfg
+        return (cfg.min_identity > 0 or cfg.max_identity < 1
+                or cfg.min_coverage > 0 or cfg.max_coverage < 1
+                or cfg.min_continuity > 0 or cfg.max_continuity < 1
+                or cfg.min_match_count > 0 or cfg.max_mismatch_count >= 0
+                or cfg.max_separate_gaps_count >= 0
+                or cfg.max_gap_columns_count >= 0)
+
+    def _hit_params(self) -> HitProcessorParams:
+        cfg = self.cfg
+        th = cfg.hsp_threshold
+        zero = 0
+        if th.t == "S" and th.s > 0:
+            zero = th.s
+        return HitProcessorParams(
+            gf_extend=cfg.gf_extend,
+            scoring=cfg.masked_scoring,
+            x_drop=cfg.x_drop,
+            hsp_threshold=th,
+            hsp_zero_threshold=zero,
+            entropic_hsp=cfg.entropic_hsp,
+            report_entropy=cfg.report_entropy,
+            min_matches=cfg.min_matches,
+            max_transversions=cfg.max_transversions,
+            filter_pattern=(cfg.seed.pattern if cfg.filter_cares_only else None),
+        )
+
+    def _start_one_strand(self, target, pt, query, empty_anchors=True,
+                          prev_anchor_count=0) -> bool:
+        cfg = self.cfg
+        disp = self.dispatcher
+        disp.init_for_strand()
+
+        if cfg.segments_filename is not None:
+            from .align.segments import read_segment_table
+            if empty_anchors or self.anchors is None:
+                self.anchors = SegmentTable(
+                    coverage_limit=cfg.hsp_threshold.c
+                    if cfg.hsp_threshold.t == "C" else 0)
+            read_segment_table(
+                cfg.segments_filename, self.anchors, target, query)
+            return True
+
+        if empty_anchors or self.anchors is None:
+            self.anchors = SegmentTable(
+                coverage_limit=cfg.hsp_threshold.c
+                if cfg.hsp_threshold.t == "C" else 0)
+
+        mode = self._reporter_mode()
+        if mode == "report":
+            def reporter(pos1, pos2, length, s):
+                disp.print_match(pos1 - length, pos2 - length, length, s)
+                if cfg.mirror_hsp:
+                    self._report_mirror(pos1, pos2, length, s)
+                return length
+        else:
+            anchors = self.anchors
+            rcf = query.rev_comp_flags
+
+            def reporter(pos1, pos2, length, s):
+                anchors.add(pos1 - length, pos2 - length, length, s, rcf)
+                if cfg.mirror_hsp:
+                    self._collect_mirror(pos1, pos2, length, s, rcf)
+                return length
+
+        search_limit = cfg.search_limit
+        if search_limit > 0 and prev_anchor_count > 0:
+            if prev_anchor_count < search_limit:
+                search_limit -= prev_anchor_count
+            else:
+                search_limit = 1
+
+        hit_mode = {0: "simple", 1: "recover"}[cfg.basic_hit_type]
+        if cfg.twin_min_span > 0:
+            hit_mode = "twin"
+        if cfg.gf_extend == GFEX_NO_EXTEND and not cfg.gapped_extend:
+            hit_mode = "plain"
+
+        same_strand = (cfg.self_compare
+                       and target.rev_comp_flags == query.rev_comp_flags)
+        engine = SeedSearchEngine(
+            target.v, pt, query.v, cfg.seed, UPPER_NUC_TO_BITS,
+            self._hit_params(), reporter,
+            self_compare=cfg.self_compare,
+            same_strand=same_strand,
+            search_limit=search_limit,
+            hit_mode=hit_mode,
+            twin_min_span=cfg.twin_min_span,
+            twin_max_span=cfg.twin_max_span,
+            anchors=self.anchors,
+        )
+        engine.search(0, len(query.v))
+
+        if (cfg.search_limit > 0 and not cfg.search_limit_keep
+                and self.anchors is not None
+                and len(self.anchors) + prev_anchor_count > cfg.search_limit):
+            return False
+        return True
+
+    def _finish_one_strand(self, target, pt, query):
+        cfg = self.cfg
+        disp = self.dispatcher
+        anchors = self.anchors
+        mode = self._reporter_mode()
+        if mode == "report":
+            return  # already printed during search
+
+        hsps_are_adaptive = cfg.hsp_threshold.t != "S"
+        low_anchor_score = 0
+        if anchors is not None and hsps_are_adaptive:
+            low_anchor_score = anchors.low_score
+            if (self.secondary_anchors is not None
+                    and len(self.secondary_anchors) > 0
+                    and self.secondary_anchors.low_score < low_anchor_score):
+                low_anchor_score = self.secondary_anchors.low_score
+
+        merge_anchors = (cfg.basic_hit_type == HIT_RECOVER
+                         or cfg.twin_min_span > 0
+                         or cfg.segments_filename is not None)
+        if anchors is not None and merge_anchors:
+            anchors.merge_overlapping()
+
+        if anchors is not None and not cfg.gapped_extend:
+            self._filter_segments(target, query, anchors)
+
+        if (anchors is not None and not anchors.have_scores
+                and (cfg.chain or cfg.gapped_extend)):
+            anchors.score_all(target.v, query.v, cfg.masked_scoring)
+
+        if anchors is not None and cfg.chain:
+            from .align.chain import reduce_to_chain
+            reduce_to_chain(anchors, cfg.chain_diag, cfg.chain_anti,
+                            cfg.scoring)
+            anchors.sort_by_pos1()
+
+        if anchors is not None and not cfg.gapped_extend:
+            for seg in anchors.segments:
+                disp.print_match(seg.pos1, seg.pos2, seg.length, seg.score,
+                                 seg.hsp_id)
+
+        if cfg.gapped_extend:
+            from .align.ydrop import gapped_extend, reduce_to_points
+            reduce_to_points(target.v, query.v, cfg.scoring, anchors)
+            gapped_threshold = cfg.gapped_threshold
+            if gapped_threshold.t != "S" and hsps_are_adaptive:
+                gapped_threshold = ScoreThreshold("S", low_anchor_score)
+            align_list = gapped_extend(
+                target, query, cfg.scoring, anchors,
+                inhibit_trivial=cfg.inhibit_trivial,
+                y_drop=cfg.y_drop,
+                trim_to_peak=not cfg.y_drop_untrimmed,
+                score_thresh=gapped_threshold,
+                traceback_mem=cfg.traceback_mem,
+            )
+            align_list = self._filter_aligns(target, query, align_list)
+            if align_list and cfg.inner_threshold > 0:
+                from .align.tweener import tweener_interpolate
+                align_list = tweener_interpolate(
+                    self, target, query, align_list)
+            if align_list:
+                if cfg.mirror_gapped:
+                    align_list = self._mirror_alignments(align_list)
+                disp.print_align_list(align_list)
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _filter_segments(self, target, query, anchors):
+        cfg = self.cfg
+        if cfg.min_identity > 0 or cfg.max_identity < 1:
+            from .filters.identity import filter_segments_by_identity
+            filter_segments_by_identity(
+                target.v, query.v, anchors, cfg.min_identity, cfg.max_identity)
+        # coverage / match-count filters arrive with their options
+
+    def _filter_aligns(self, target, query, align_list):
+        cfg = self.cfg
+        if not align_list:
+            return align_list
+        if cfg.min_identity > 0 or cfg.max_identity < 1:
+            from .filters.identity import filter_aligns_by_identity
+            align_list = filter_aligns_by_identity(
+                target.v, query.v, align_list,
+                cfg.min_identity, cfg.max_identity)
+        if cfg.min_coverage > 0 or cfg.max_coverage < 1:
+            from .filters.coverage import filter_aligns_by_coverage
+            align_list = filter_aligns_by_coverage(
+                target, query, align_list, cfg.min_coverage, cfg.max_coverage)
+        if cfg.min_continuity > 0 or cfg.max_continuity < 1:
+            from .filters.continuity import filter_aligns_by_continuity
+            align_list = filter_aligns_by_continuity(
+                align_list, cfg.min_continuity, cfg.max_continuity)
+        return align_list
+
+    def _report_mirror(self, pos1, pos2, length, s):
+        target, query = self.target, None
+        raise NotImplementedError
+
+    def _collect_mirror(self, pos1, pos2, length, s, rcf):
+        raise NotImplementedError
+
+    def _mirror_alignments(self, align_list):
+        raise NotImplementedError
+
+    def _swap_anchor_sets(self):
+        self.anchors, self.secondary_anchors = (
+            self.secondary_anchors, self.anchors)
+
+    def _split_anchors(self, rcf: int):
+        """Move segments NOT matching rcf to the secondary table."""
+        if self.secondary_anchors is None:
+            self.secondary_anchors = SegmentTable()
+        keep, move = [], []
+        for seg in self.anchors.segments:
+            (keep if seg.seg_id == rcf else move).append(seg)
+        self.anchors.segments = keep
+        self.secondary_anchors.segments = move
+
+    def _choose_best_anchors(self, n: int):
+        a = self.anchors
+        if a is None or len(a) <= n:
+            return
+        a.segments.sort(key=lambda s: -s.score)
+        cutoff = a.segments[n - 1].score
+        end = len(a.segments)
+        for i in range(n, len(a.segments)):
+            if a.segments[i].score < cutoff:
+                end = i
+                break
+        a.segments = a.segments[:end]

@@ -1,0 +1,503 @@
+"""Seed-hit search with diagonal filtering and gap-free extension.
+
+This is the EXACT host engine: it reproduces, hit for hit, the
+reference's seed search semantics (seed_search.c:322-3560), which are
+observable in golden outputs:
+
+  * query scanned left to right; at each end position the exact packed
+    word is probed first, then transition-flipped variants in packed-
+    bit order (seed_search.c:464-579);
+  * per probe, target positions are enumerated in DESCENDING order
+    (the last/prev chain of the position table);
+  * the 64K diagonal hash "suffers" collisions on purpose: a hit whose
+    hashed diagonal has already been extended past the hit's start is
+    dropped even when the collision is with a different true diagonal
+    (process_for_simple_hit, seed_search.c:1056-1198);
+  * x-drop gap-free extension starts at the RIGHT end of the seed hit,
+    scans left (blocked at the previous extent on the hashed diagonal)
+    then right; the recorded diagonal extent is where the right scan
+    stopped, not the trimmed HSP end (xdrop_extend_seed_hit,
+    seed_search.c:2528-2960);
+  * marginal scores are entropy-adjusted (dna_utilities.c:2882).
+
+A batched TPU path (ops/) accelerates the same math; this engine is
+the source of truth and the oracle for its tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..core.scoring import ScoreSet, entropy
+from ..core.seeds import Seed
+from ..index.postable import PositionTable, _window_words
+from ..config import (
+    GFEX_NO_EXTEND,
+    GFEX_XDROP,
+    GFEX_EXACT,
+    GFEX_MISMATCH_BASE,
+    ScoreThreshold,
+)
+
+DIAG_HASH_SIZE = 65536
+HASH_INACTIVE = -1
+
+NO_SCORE = None  # sentinel for "discard this hit"
+
+
+@dataclass
+class HitProcessorParams:
+    gf_extend: int = GFEX_XDROP
+    scoring: Optional[ScoreSet] = None  # masked scoring for HSP stage
+    x_drop: int = 0
+    hsp_threshold: ScoreThreshold = field(default_factory=lambda: ScoreThreshold("S", 3000))
+    hsp_zero_threshold: int = 0
+    entropic_hsp: bool = True
+    report_entropy: bool = False
+    min_matches: int = -1
+    max_transversions: int = -1
+    filter_pattern: Optional[str] = None  # seed pattern for cares-only filter
+    # positional filter (chores)
+    pos_filter: bool = False
+    target_interval: tuple = (0, 0)
+    query_interval: tuple = (0, 0)
+    # mismatch extension params
+    num_mismatches: int = 0
+
+
+class SeedSearchEngine:
+    """One (target, query-strand) search pass.
+
+    reporter(pos1, pos2, length, score) is called for each surviving
+    hit/HSP, where pos1/pos2 are END positions (origin-0 exclusive).
+    It must return a nonzero value if the hit was 'counted' (for
+    search-limit accounting).
+    """
+
+    def __init__(
+        self,
+        seq1_v: np.ndarray,
+        pt: PositionTable,
+        seq2_v: np.ndarray,
+        seed: Seed,
+        upper_char_to_bits: np.ndarray,
+        params: HitProcessorParams,
+        reporter: Callable[[int, int, int, int], int],
+        self_compare: bool = False,
+        same_strand: bool = False,
+        search_limit: int = 0,
+        hit_mode: str = "simple",  # 'plain' | 'simple' | 'recover' | 'twin'
+        twin_min_span: int = 0,
+        twin_max_span: int = 0,
+        anchors=None,  # segment table, for adaptive-threshold entropy rule
+    ):
+        self.seq1 = seq1_v
+        self.pt = pt
+        self.seq2 = seq2_v
+        self.seed = seed
+        self.char_to_bits = upper_char_to_bits
+        self.hp = params
+        self.reporter = reporter
+        self.self_compare = self_compare
+        self.same_strand = same_strand
+        self.search_limit = search_limit
+        self.search_to_go = search_limit
+        self.hit_mode = hit_mode
+        self.twin_min_span = twin_min_span
+        self.twin_max_span = twin_max_span
+        self.anchors = anchors
+
+        self.diag_end = np.full(DIAG_HASH_SIZE, HASH_INACTIVE, dtype=np.int64)
+        self.diag_start = np.zeros(DIAG_HASH_SIZE, dtype=np.int64)
+        self.diag_actual = np.zeros(DIAG_HASH_SIZE, dtype=np.int64)
+        self._unblocked_left = False
+        self.limit_exceeded = False
+
+        # hot lookups
+        self._sub = params.scoring.sub if params.scoring is not None else None
+
+    # -- main loop --------------------------------------------------------
+
+    def search(self, start: int = 0, end: int = 0) -> int:
+        if end == 0:
+            end = len(self.seq2)
+        seed = self.seed
+        L = seed.length
+        if end - start < L:
+            return 0
+        codes = self.char_to_bits[self.seq2[start:end]]
+        words, valid = _window_words(codes, L, seed.bits_per_base)
+        packed_all = seed.pack(words)
+        # positions where a word ends (origin-0 exclusive end position)
+        bases_hit = 0
+        flips = seed.trans_flips if seed.with_trans else ()
+        with_trans = seed.with_trans
+        resolve = seed.type == "R"
+        valid_idx = np.nonzero(valid)[0]
+        for k in valid_idx:
+            pos2 = start + L + int(k)
+            packed = int(packed_all[k])
+            if resolve:
+                bases_hit += self._probe_resolve(
+                    packed, pos2, int(words[k]), with_trans)
+            else:
+                bases_hit += self._probe(packed, pos2)
+                if with_trans == 1:
+                    for f in flips:
+                        bases_hit += self._probe(packed ^ f, pos2)
+                elif with_trans >= 2:
+                    nf = len(flips)
+                    for i in range(nf):
+                        p1 = packed ^ flips[i]
+                        bases_hit += self._probe(p1, pos2)
+                        for j in range(i + 1, nf):
+                            bases_hit += self._probe(p1 ^ flips[j], pos2)
+            if self.search_limit > 0 and self.search_to_go < 0:
+                self.limit_exceeded = True
+                return bases_hit
+        return bases_hit
+
+    def _probe(self, packed: int, pos2: int) -> int:
+        pt = self.pt
+        lo = pt.csr_start[packed]
+        hi = pt.csr_start[packed + 1]
+        if lo == hi:
+            return 0
+        bases_hit = 0
+        adj = pt.adj_start
+        step = pt.step
+        csr = pt.csr_pos
+        for i in range(hi - 1, lo - 1, -1):
+            pos1 = adj + step * int(csr[i])
+            if self.self_compare and self._below_diagonal(pos1, pos2):
+                continue
+            bases_hit += self._process(pos1, pos2, self.seed.length)
+        return bases_hit
+
+    def _probe_resolve(self, packed: int, pos2: int, unpacked2: int,
+                       trans_allowed: int) -> int:
+        """Overweight seeds: verify demoted bits against the target copy."""
+        pt = self.pt
+        lo = pt.csr_start[packed]
+        hi = pt.csr_start[packed + 1]
+        if lo == hi:
+            return 0
+        bases_hit = 0
+        adj = pt.adj_start
+        step = pt.step
+        csr = pt.csr_pos
+        seed = self.seed
+        L = seed.length
+        for i in range(hi - 1, lo - 1, -1):
+            pos1 = adj + step * int(csr[i])
+            if self.self_compare and self._below_diagonal(pos1, pos2):
+                continue
+            # rebuild target window's unpacked word from the 2-bit copy
+            w1 = 0
+            seg = pt.as_bits[pos1 - L - pt.adj_start : pos1 - pt.adj_start]
+            for c in seg:
+                w1 = (w1 << 2) | int(c)
+            mismatches = 0
+            for src in seed.resolve_bits:
+                if ((w1 >> src) & 1) != ((unpacked2 >> src) & 1):
+                    mismatches += 1
+            if mismatches > trans_allowed:
+                continue
+            bases_hit += self._process(pos1, pos2, L)
+        return bases_hit
+
+    def _below_diagonal(self, pos1: int, pos2: int) -> bool:
+        """reference seed_hit_below_diagonal: for self-comparisons,
+        suppress hits on or below the main diagonal (mirrors are added
+        back by mirroring the surviving alignments)."""
+        if self.same_strand:
+            return pos1 >= pos2
+        p1 = pos1 - self.seed.length
+        p2 = pos2 - self.seed.length
+        # (partitioned variant handled by the pipeline's partition maps)
+        p2 = (len(self.seq2) - 1) - p2
+        return p1 >= p2
+
+    # -- hit processors ----------------------------------------------------
+
+    def _process(self, pos1: int, pos2: int, length: int) -> int:
+        if self.hit_mode == "plain":
+            return self._process_plain(pos1, pos2, length)
+        if self.hit_mode == "recover":
+            return self._process_recover(pos1, pos2, length)
+        if self.hit_mode == "twin":
+            return self._process_twin(pos1, pos2, length)
+        return self._process_simple(pos1, pos2, length)
+
+    def _report(self, pos1, pos2, length, s) -> int:
+        got = self.reporter(pos1, pos2, length, s)
+        if got > 0:
+            self.search_to_go -= 1
+        return got
+
+    def _process_plain(self, pos1, pos2, length) -> int:
+        hp = self.hp
+        if hp.pos_filter and self._filter_by_pos(pos1, pos2, length):
+            return 0
+        if hp.min_matches >= 0 and self._filter_by_subs(pos1, pos2, length):
+            return 0
+        return self._report(pos1, pos2, length, 0)
+
+    def _process_simple(self, pos1, pos2, length) -> int:
+        hp = self.hp
+        if hp.pos_filter and self._filter_by_pos(pos1, pos2, length):
+            return 0
+        self._unblocked_left = False
+        h = (pos1 - pos2) & (DIAG_HASH_SIZE - 1)
+        de = self.diag_end
+        if de[h] == HASH_INACTIVE:
+            de[h] = 0
+        if de[h] > pos2 - length:
+            return 0
+        if hp.min_matches >= 0 and self._filter_by_subs(pos1, pos2, length):
+            return 0
+        return self._extend_and_report(pos1, pos2, length, h)
+
+    def _process_recover(self, pos1, pos2, length) -> int:
+        """process_for_recoverable_hit (seed_search.c:1221-1420)."""
+        hp = self.hp
+        if hp.pos_filter and self._filter_by_pos(pos1, pos2, length):
+            return 0
+        start2 = pos2 - length
+        diag = pos1 - pos2
+        h = diag & (DIAG_HASH_SIZE - 1)
+        de = self.diag_end
+        self._unblocked_left = False
+        if de[h] == HASH_INACTIVE:
+            de[h] = 0
+            self.diag_actual[h] = diag
+        elif de[h] > start2:
+            if self.diag_actual[h] == diag:
+                return 0  # same true diagonal: genuine overlap, drop
+            # hash collision with a different diagonal: accept, and allow
+            # the left extension to run unblocked
+            self._unblocked_left = True
+        if hp.min_matches >= 0 and self._filter_by_subs(pos1, pos2, length):
+            return 0
+        return self._extend_and_report(pos1, pos2, length, h)
+
+    def _process_twin(self, pos1, pos2, length) -> int:
+        raise NotImplementedError("twin-hit processing arrives with --twins")
+
+    def _extend_and_report(self, pos1, pos2, length, h) -> int:
+        hp = self.hp
+        if hp.gf_extend == GFEX_XDROP:
+            r = self._xdrop_extend(pos1, pos2, length)
+            if r is None:
+                return 0
+            pos1, pos2, length, s = r
+        elif hp.gf_extend == GFEX_EXACT:
+            r = self._match_extend(pos1, pos2, length)
+            if r is None:
+                return 0
+            pos1, pos2, length, s = r
+        elif hp.gf_extend >= GFEX_MISMATCH_BASE:
+            r = self._mismatch_extend(pos1, pos2, length)
+            if r is None:
+                return 0
+            pos1, pos2, length, s = r
+        else:  # no extension
+            self.diag_end[h] = pos2
+            s = 0
+        return self._report(pos1, pos2, length, s)
+
+    # -- gap-free extensions ------------------------------------------------
+
+    def _xdrop_extend(self, pos1: int, pos2: int, length: int):
+        """Exact reimplementation of xdrop_extend_seed_hit semantics."""
+        hp = self.hp
+        seq1, seq2 = self.seq1, self.seq2
+        sub = self._sub
+        x_drop = hp.x_drop
+        diag = pos1 - pos2
+        h = diag & (DIAG_HASH_SIZE - 1)
+
+        old_diag_end = 0 if self._unblocked_left else int(self.diag_end[h])
+
+        # --- left scan: from pos1 (just past hit end) down to stop
+        block2 = old_diag_end
+        stop1 = block2 + diag if block2 + diag > 0 else 0
+        n_left = pos1 - stop1
+        if n_left > 0:
+            sc = sub[seq1[stop1:pos1][::-1], seq2[stop1 - diag : pos2][::-1]]
+            c = np.cumsum(sc)
+            m = np.maximum.accumulate(c)
+            run_ok = np.concatenate(([True], c >= np.maximum(m, 0) - x_drop))
+            # number of consumed elements: first failure index
+            fail = np.nonzero(~run_ok[:-1])[0]
+            consumed = int(fail[0]) if len(fail) else n_left
+            cc = c[:consumed]
+            if len(cc):
+                best = int(cc.max())
+                if best > 0:
+                    kstar = int(np.argmax(cc))
+                    left_score = best
+                    left_start = pos1 - 1 - kstar
+                else:
+                    left_score = 0
+                    left_start = pos1
+            else:
+                left_score = 0
+                left_start = pos1
+        else:
+            left_score = 0
+            left_start = pos1
+
+        # hit body shorter than extension -> trim length
+        hit_left = pos1 - length
+        if left_start > hit_left:
+            length -= left_start - hit_left
+
+        # --- right scan: from pos1 to stop
+        block2r = len(seq2)
+        stop1r = len(seq1) if len(seq1) <= block2r + diag else block2r + diag
+        n_right = stop1r - pos1
+        if n_right > 0:
+            sc = sub[seq1[pos1:stop1r], seq2[pos2 : pos2 + n_right]]
+            c = np.cumsum(sc)
+            m = np.maximum.accumulate(c)
+            run_ok = np.concatenate(([True], c >= np.maximum(m, 0) - x_drop))
+            fail = np.nonzero(~run_ok[:-1])[0]
+            consumed = int(fail[0]) if len(fail) else n_right
+            cc = c[:consumed]
+            if len(cc):
+                best = int(cc.max())
+                if best > 0:
+                    kstar = int(np.argmax(cc))
+                    right_score = best
+                    right_stop = pos1 + kstar + 1
+                else:
+                    right_score = 0
+                    right_stop = pos1
+            else:
+                right_score = 0
+                right_stop = pos1
+            right_block = pos1 + consumed
+        else:
+            right_score = 0
+            right_stop = pos1
+            right_block = pos1
+
+        similarity = left_score + right_score
+
+        # record the extent reached on this hashed diagonal (always,
+        # even if the HSP is discarded below)
+        extent = right_block - diag
+        if extent > self.diag_end[h]:
+            self.diag_end[h] = extent
+            self.diag_actual[h] = diag
+
+        # new coordinates
+        new_pos1 = right_stop
+        new_pos2 = new_pos1 - diag
+        new_length = right_stop - left_start
+
+        # entropy adjustment (seed_search.c:2850-2905)
+        adjust = False
+        if hp.entropic_hsp:
+            if hp.hsp_threshold.t == "S":
+                adjust = (similarity >= hp.hsp_zero_threshold
+                          and similarity <= 3 * hp.hsp_threshold.s)
+            elif similarity > 0:
+                anch = self.anchors
+                adjust = (anch is not None and len(anch) > 0
+                          and similarity >= anch.low_score)
+        if adjust:
+            q = entropy(seq1[new_pos1 - new_length : new_pos1],
+                        seq2[new_pos2 - new_length : new_pos2])
+            similarity = int(similarity * q)
+
+        if hp.hsp_threshold.t == "S" and similarity < hp.hsp_threshold.s:
+            return None
+        return new_pos1, new_pos2, new_length, similarity
+
+    def _match_extend(self, pos1: int, pos2: int, length: int):
+        """Exact-match extension (match_extend_seed_hit,
+        seed_search.c:3018+): extend while bases match exactly (ACGT
+        only), threshold is a minimum length."""
+        hp = self.hp
+        seq1, seq2 = self.seq1, self.seq2
+        diag = pos1 - pos2
+        h = diag & (DIAG_HASH_SIZE - 1)
+        c2b = self.char_to_bits
+
+        old_diag_end = 0 if self._unblocked_left else int(self.diag_end[h])
+        stop1 = max(old_diag_end + diag, 0)
+        # left: from hit start leftward
+        s = pos1 - length
+        while s > stop1:
+            b1, b2 = c2b[seq1[s - 1]], c2b[seq2[s - 1 - diag]]
+            if b1 < 0 or b2 < 0 or b1 != b2:
+                break
+            s -= 1
+        left_start = s
+        stop1r = min(len(seq1), len(seq2) + diag)
+        e = pos1
+        while e < stop1r:
+            b1, b2 = c2b[seq1[e]], c2b[seq2[e - diag]]
+            if b1 < 0 or b2 < 0 or b1 != b2:
+                break
+            e += 1
+        if e - diag > self.diag_end[h]:
+            self.diag_end[h] = e - diag
+            self.diag_actual[h] = diag
+        new_len = e - left_start
+        # interior of the original hit may contain mismatches under a
+        # spaced seed; the reference requires a run of exact matches, so
+        # verify the hit body too
+        b1 = c2b[seq1[left_start:e]]
+        b2 = c2b[seq2[left_start - diag : e - diag]]
+        if np.any(b1 < 0) or np.any(b2 < 0) or np.any(b1 != b2):
+            # find the longest exact run covering the seed hit; the
+            # reference extends from the hit ends only, so a mismatch
+            # inside the hit means the hit never matched exactly: drop
+            return None
+        if hp.hsp_threshold.t == "S" and new_len < hp.hsp_threshold.s:
+            return None
+        return e, e - diag, new_len, new_len
+
+    def _mismatch_extend(self, pos1: int, pos2: int, length: int):
+        raise NotImplementedError("n-mismatch extension arrives with --mismatch")
+
+    # -- filters -------------------------------------------------------------
+
+    def _filter_by_pos(self, pos1, pos2, length) -> bool:
+        ts, te = self.hp.target_interval
+        qs, qe = self.hp.query_interval
+        if ts or te:
+            if pos1 - length < ts or pos1 > te:
+                return True
+        if qs or qe:
+            if pos2 - length < qs or pos2 > qe:
+                return True
+        return False
+
+    def _filter_by_subs(self, pos1, pos2, length) -> bool:
+        """filter_seed_hit_by_subs (seed_search.c:2346+): reject hits
+        with too few matches or too many transversions."""
+        hp = self.hp
+        c2b = self.char_to_bits
+        b1 = c2b[self.seq1[pos1 - length : pos1]]
+        b2 = c2b[self.seq2[pos2 - length : pos2]]
+        care = np.ones(length, dtype=bool)
+        if hp.filter_pattern is not None:
+            pat = hp.filter_pattern
+            care = np.frombuffer(pat.encode(), dtype=np.uint8) != ord("0")
+        ok = (b1 >= 0) & (b2 >= 0) & care
+        matches = int(np.count_nonzero(ok & (b1 == b2)))
+        if matches < hp.min_matches:
+            return True
+        if hp.max_transversions >= 0:
+            # transversion: low (pyrimidine) bits differ
+            tv = int(np.count_nonzero(ok & ((b1 & 1) != (b2 & 1))))
+            if tv > hp.max_transversions:
+                return True
+        return False
