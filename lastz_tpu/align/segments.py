@@ -102,10 +102,14 @@ class SegmentTable:
     # -- bulk ops -----------------------------------------------------------
 
     def sort_by_pos1(self):
-        self.segments.sort(key=lambda s: (s.pos1, s.pos2, s.length))
+        # reference qSegmentsByPos1 ordering
+        self.segments.sort(
+            key=lambda s: (s.pos1, s.length, s.pos2, s.seg_id, s.score))
 
     def sort_by_pos2(self):
-        self.segments.sort(key=lambda s: (s.pos2, s.pos1, s.length))
+        # reference qSegmentsByPos2 ordering
+        self.segments.sort(
+            key=lambda s: (s.pos2, s.length, s.pos1, s.seg_id, s.score))
 
     def sort_by_decreasing_score(self):
         self.segments.sort(key=lambda s: (-s.score, s.pos1, s.pos2, s.length))
@@ -114,21 +118,25 @@ class SegmentTable:
         self.segments.sort(key=lambda s: (s.diag, s.pos2))
 
     def merge_overlapping(self):
-        """reference merge_segments: merge overlapping same-diagonal
-        segments (duplicates arise from recoverable-hit processing)."""
-        if not self.segments:
+        """reference merge_segments (segment.c:1527): sort by diagonal
+        then pos2; merge strictly-overlapping same-diagonal segments
+        (adjoining segments are NOT merged); merged score is the max."""
+        if len(self.segments) < 2:
             return
-        segs = sorted(self.segments, key=lambda s: (s.seg_id, s.diag, s.pos2))
-        merged = [segs[0]]
+        segs = sorted(self.segments, key=lambda s: (s.diag, s.pos2))
+        merged = []
+        cur = Segment(segs[0].pos1, segs[0].pos2, segs[0].length,
+                      segs[0].score, segs[0].seg_id, segs[0].hsp_id)
         for seg in segs[1:]:
-            prev = merged[-1]
-            if (seg.seg_id == prev.seg_id and seg.diag == prev.diag
-                    and seg.pos2 <= prev.pos2 + prev.length):
-                new_end = max(prev.pos2 + prev.length, seg.pos2 + seg.length)
-                prev.length = new_end - prev.pos2
-                prev.score = max(prev.score, seg.score)
+            if seg.diag == cur.diag and seg.pos2 < cur.pos2 + cur.length:
+                new_end = max(cur.pos2 + cur.length, seg.pos2 + seg.length)
+                cur.length = new_end - cur.pos2
+                cur.score = max(cur.score, seg.score)
             else:
-                merged.append(seg)
+                merged.append(cur)
+                cur = Segment(seg.pos1, seg.pos2, seg.length,
+                              seg.score, seg.seg_id, seg.hsp_id)
+        merged.append(cur)
         self.segments = merged
         self.coverage = sum(s.length for s in merged)
 

@@ -1,0 +1,1123 @@
+"""Y-drop gapped extension — exact host engine.
+
+Faithful re-implementation of the reference's gapped stage
+(gapped_extend.c): anchors are reduced to peak points, processed in
+decreasing HSP-score order, and each surviving anchor is extended in
+both directions by a banded 3-state affine-gap DP ("y-drop"), bounded
+left/right by previously accepted alignments and masked against their
+"active segments" so no two alignments intersect.
+
+All the semantics that are observable in golden outputs are preserved:
+  * tie-breaking (D preferred over I when improving C; best-score ties
+    move the alignment end; gap-extend bits preferred in traceback),
+  * the exact prune/bound bookkeeping (notes 5-14 of
+    gapped_extend.c:2770-2960), including the L/R bound swap for the
+    reversed pass,
+  * first-row seeding and the insertion "row prolongation",
+  * the traceback-memory budget (alignments are truncated with a
+    warning when the arena would overflow, lastz.c default 80 MB),
+  * trivial self-alignment injection and removal.
+
+This module is the correctness oracle; ops/ydrop_pallas.py implements
+the batched TPU version of the same recurrence.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..core.scoring import NEG_INFINITY_SCORE, WORST_POSSIBLE_SCORE
+from .edit_script import EditScript, Alignment
+from .segments import SegmentTable
+
+NEG_INF = NEG_INFINITY_SCORE
+BEST_POSSIBLE = 0x7FFFFFFF
+
+ANCHOR_PEAK_LEN = 31
+
+DIAG_SEG = 0
+HORZ_SEG = 1
+VERT_SEG = 2
+
+C_FROM_C = 0
+C_FROM_I = 1
+C_FROM_D = 2
+I_EXTEND = 4
+D_EXTEND = 8
+CID_BITS = 3
+
+
+@dataclass
+class AliSeg:
+    type: int
+    b1: int
+    b2: int
+    e1: int
+    e2: int
+    next_seg: Optional["AliSeg"] = field(default=None, repr=False)
+    prev_seg: Optional["AliSeg"] = field(default=None, repr=False)
+
+
+@dataclass
+class GAlign:
+    pos1: int = 0
+    pos2: int = 0
+    end1: int = 0
+    end2: int = 0
+    hsp_id: int = 0
+    first_seg: Optional[AliSeg] = None
+    last_seg: Optional[AliSeg] = None
+    align: Optional[Alignment] = None
+    left_align1: Optional["GAlign"] = None
+    right_align1: Optional["GAlign"] = None
+    left_align2: Optional["GAlign"] = None
+    right_align2: Optional["GAlign"] = None
+    left_seg1: Optional[AliSeg] = None
+    right_seg1: Optional[AliSeg] = None
+    left_seg2: Optional[AliSeg] = None
+    right_seg2: Optional[AliSeg] = None
+    next: Optional["GAlign"] = None
+    prev: Optional["GAlign"] = None
+
+    def save_seg(self, b1, b2, e1, e2):
+        """reference save_seg: append a diagonal segment, inserting the
+        connecting vertical/horizontal piece."""
+        bp = AliSeg(DIAG_SEG, b1, b2, e1, e2)
+        if self.first_seg is None:
+            self.first_seg = bp
+            bp.prev_seg = bp.next_seg = bp
+            return
+        tail = self.first_seg.prev_seg
+        bq = AliSeg(
+            HORZ_SEG if b1 == tail.e1 + 1 else VERT_SEG,
+            tail.e1 + 1, tail.e2 + 1, b1 - 1, b2 - 1)
+        self._insert_to_tail(bq)
+        self._insert_to_tail(bp)
+
+    def _insert_to_tail(self, bp: AliSeg):
+        bp.prev_seg = self.first_seg.prev_seg
+        bp.next_seg = self.first_seg
+        self.first_seg.prev_seg.next_seg = bp
+        self.first_seg.prev_seg = bp
+
+
+@dataclass
+class ActiveSeg:
+    seg: AliSeg
+    x: int = 0
+    last_row: int = 0
+    type: int = DIAG_SEG
+    filter: int = 0
+
+
+class TracebackLimit(Exception):
+    pass
+
+
+def segment_peak(s1: np.ndarray, s2: np.ndarray, sub: np.ndarray) -> int:
+    """reference segment_peak: midpoint of the best-scoring
+    ANCHOR_PEAK_LEN-length window (first window wins ties only when
+    better, i.e. strict improvement moves the peak)."""
+    seg_length = len(s1)
+    if seg_length <= ANCHOR_PEAK_LEN:
+        return seg_length // 2
+    scores = sub[s1, s2]
+    window = np.convolve(scores, np.ones(ANCHOR_PEAK_LEN, dtype=np.int64),
+                         "valid") if False else None
+    # exact running-sum loop semantics (strict improvement)
+    csum = np.cumsum(scores)
+    win = csum[ANCHOR_PEAK_LEN - 1 :].copy()
+    win[1:] -= csum[: seg_length - ANCHOR_PEAK_LEN]
+    best_ix = int(np.argmax(win))  # first occurrence of max == strict rule
+    if best_ix == 0:
+        return ANCHOR_PEAK_LEN // 2
+    return best_ix + ANCHOR_PEAK_LEN - 1 - (ANCHOR_PEAK_LEN // 2)
+
+
+def reduce_to_points(v1: np.ndarray, v2: np.ndarray, scoring, anchors):
+    """reference reduce_to_points (gapped_extend.c:463)."""
+    if anchors is None:
+        return
+    sub = scoring.sub
+    for seg in anchors.segments:
+        peak = segment_peak(
+            v1[seg.pos1 : seg.pos1 + seg.length],
+            v2[seg.pos2 : seg.pos2 + seg.length], sub)
+        seg.pos1 += peak
+        seg.pos2 += peak
+        seg.length = 0
+
+
+def signed_diff(a, b):
+    return a - b
+
+
+class YDropAligner:
+    """One-strand gapped extension pass over a set of anchors."""
+
+    def __init__(self, v1, v2, scoring, y_drop, trim_to_peak,
+                 traceback_mem=80 * 1024 * 1024):
+        self.v1 = v1
+        self.v2 = v2
+        self.rev1 = v1[::-1].copy()
+        self.rev2 = v2[::-1].copy()
+        self.sub = scoring.sub
+        self.gap_e = int(scoring.gap_extend)
+        self.gap_oe = int(scoring.gap_open) + self.gap_e
+        self.y_drop = int(y_drop)
+        self.trim_to_peak = trim_to_peak
+        self.tb_len = traceback_mem  # 1 byte/cell, like the reference
+        self.truncation_reported = False
+
+        # bounds context, set per anchor
+        self.left_align: Optional[GAlign] = None
+        self.right_align: Optional[GAlign] = None
+        self.left_seg: Optional[AliSeg] = None
+        self.right_seg: Optional[AliSeg] = None
+        self.above_list: Optional[GAlign] = None
+        self.below_list: Optional[GAlign] = None
+        self.low1 = 0
+        self.high1 = len(v1)
+        self.low2 = 0
+        self.high2 = len(v2)
+
+    # -- one-sided DP -----------------------------------------------------
+
+    def one_sided(self, reversed_, anchor1, anchor2, M, N):
+        """reference ydrop_one_sided_align (gapped_extend.c:3388).
+
+        Returns (score, end1, end2, traceback_ops) where traceback_ops
+        is the list of ('S'|'I'|'D') single steps in traceback order.
+        """
+        if N <= 0 or M <= 0:
+            return 0, 0, 0, []
+
+        gap_e, gap_oe, y_drop = self.gap_e, self.gap_oe, self.y_drop
+        sub = self.sub
+
+        if reversed_:
+            # A[row] = seq1[anchor1+1-row], B[col] = seq2[anchor2+1-col]
+            a_at = lambda row: self.v1[anchor1 + 1 - row]
+            b_at = lambda col: self.v2[anchor2 + 1 - col]
+        else:
+            a_at = lambda row: self.v1[anchor1 + row]
+            b_at = lambda col: self.v2[anchor2 + col]
+
+        if gap_e != 0:
+            y_drop_tail = y_drop // gap_e + 6
+        else:
+            y_drop_tail = min(N + 1, 500 * 1000)
+
+        # native row kernel (exact; see native/ydrop_row.cpp)
+        native = None
+        if self.sub.dtype == np.int64:
+            from ..native import get_lib, RowResult
+            lib = get_lib()
+            if lib is not None:
+                native = (lib, RowResult())
+
+        # initial left/right constraints (relative column bounds)
+        L = 0
+        R = N + 1
+        left_seg = self.left_seg
+        right_seg = self.right_seg
+        if left_seg is not None:
+            L = signed_diff(left_seg.b2, anchor2)
+            if left_seg.type == DIAG_SEG:
+                L -= signed_diff(left_seg.b1, anchor1)
+        if right_seg is not None:
+            R = signed_diff(right_seg.b2, anchor2)
+            if right_seg.type == DIAG_SEG:
+                R -= signed_diff(right_seg.b1, anchor1)
+        if reversed_:
+            if left_seg is None and right_seg is not None:
+                L, R = -R + 1, N + 1
+            elif left_seg is not None and right_seg is None:
+                L, R = 0, -L - 1
+            elif left_seg is not None and right_seg is not None:
+                L, R = -R + 1, -L - 1
+
+        active: list[ActiveSeg] = []
+        right_align = self.right_align
+        left_align = self.left_align
+        align_list = self.below_list if reversed_ else self.above_list
+
+        # traceback rows: tb_row[r] + c indexes tb
+        tb_row = [0]
+        tb = np.zeros(min(self.tb_len, 1 << 22), dtype=np.uint8)
+        tb_cap = self.tb_len
+
+        def tb_ensure(n):
+            nonlocal tb
+            if n > len(tb):
+                new_len = min(tb_cap, max(2 * len(tb), n))
+                grown = np.zeros(new_len, dtype=np.uint8)
+                grown[: len(tb)] = tb
+                tb = grown
+
+        tbp = 0
+
+        # first row
+        tb_needed = y_drop_tail
+        if tb_needed > tb_cap:
+            raise TracebackLimit("not enough space in trace_back array")
+        tb_ensure(tb_needed + 16)
+
+        # DP cells: CC/DD arrays indexed from current row's LY
+        # (reference keeps one sweep row of dpCell)
+        size0 = tb_needed + 1000
+        CC = np.zeros(size0, dtype=np.int64)
+        DD = np.zeros(size0, dtype=np.int64)
+        MASK = np.full(size0, -1, dtype=np.int64)
+
+        def cells_ensure(n):
+            nonlocal CC, DD, MASK
+            if n > len(CC):
+                add = n + len(CC) // 16 + 1000 - len(CC)
+                CC = np.concatenate([CC, np.zeros(add, dtype=np.int64)])
+                DD = np.concatenate([DD, np.zeros(add, dtype=np.int64)])
+                MASK = np.concatenate([MASK, np.full(add, -1, dtype=np.int64)])
+
+        # -- compute first row
+        dq = 0
+        CC[0] = c_temp = 0
+        DD[0] = -gap_oe
+        c = -gap_oe
+        dq = 1
+        tb[tbp] = 0
+        tbp += 1
+        col = 1
+        while col <= N and c_temp >= -y_drop:
+            cells_ensure(dq + 1)
+            CC[dq] = c_temp = c
+            DD[dq] = c - gap_oe
+            dq += 1
+            c -= gap_e
+            tb_ensure(tbp + 1)
+            tb[tbp] = C_FROM_I
+            tbp += 1
+            col += 1
+
+        LY = 0
+        RY = col  # one beyond feasible
+
+        end1 = end2 = 0
+        best_score = 0
+        boundary_score = NEG_INF
+        end_is_boundary = False
+
+        row = 1
+        while row <= M:
+            prev_LY = LY
+            (L, R, LY, RY, left_seg, right_seg, left_align, right_align) = \
+                self._update_lr_bounds(
+                    reversed_, right_seg, left_seg, right_align, left_align,
+                    row, anchor1, anchor2, L, R, LY, RY)
+            cells_ensure((RY - prev_LY) + y_drop_tail + 2)
+            active, align_list = self._update_active_segs(
+                reversed_, active, align_list, MASK, prev_LY,
+                row, anchor1, anchor2, LY, RY)
+
+            if RY < LY:
+                RY = LY
+            tb_needed = RY - LY + y_drop_tail
+            if tb_needed < 0:
+                tb_needed = 0
+            if tbp + tb_needed >= tb_cap:
+                if not reversed_:
+                    sys.stderr.write(
+                        f"truncating alignment ending at ({end1 + anchor1 + 1}"
+                        f",{end2 + anchor2 + 1});")
+                else:
+                    sys.stderr.write(
+                        f"truncating alignment starting at ({anchor1 + 2 - end1}"
+                        f",{anchor2 + 2 - end2});")
+                sys.stderr.write(f"  anchor at ({anchor1},{anchor2})\n")
+                if not self.truncation_reported:
+                    self.truncation_reported = True
+                    sys.stderr.write(
+                        "truncation can be reduced by increasing traceback memory\n")
+                break
+            if row >= len(tb_row):
+                tb_row.extend([0] * (row + 1 - len(tb_row)))
+            tb_row[row] = tbp - LY
+            tb_ensure(tbp + tb_needed + 16)
+
+            cells_ensure(tb_needed + (LY - prev_LY) + 2)
+            # dq index 0 <-> col LY (current row); dp reads previous row:
+            # cell for col is at index col - prev_LY
+            shift = LY - prev_LY
+
+            a_char = a_at(row)
+            sub_row = sub[a_char]
+
+            if native is not None:
+                import ctypes
+                lib, res = native
+                if reversed_:
+                    b_origin, b_step = anchor2 + 1, -1
+                else:
+                    b_origin, b_step = anchor2, 1
+                p_i64 = ctypes.POINTER(ctypes.c_int64)
+                p_u8 = ctypes.POINTER(ctypes.c_uint8)
+                lib.ydrop_row(
+                    CC.ctypes.data_as(p_i64),
+                    DD.ctypes.data_as(p_i64),
+                    MASK.ctypes.data_as(p_i64),
+                    tb.ctypes.data_as(p_u8),
+                    sub_row.ctypes.data_as(p_i64),
+                    self.v2.ctypes.data_as(p_u8),
+                    b_origin, b_step,
+                    row, M, N, LY, RY, prev_LY,
+                    gap_e, gap_oe, y_drop, NEG_INF,
+                    best_score, end1, end2,
+                    1 if end_is_boundary else 0, boundary_score,
+                    1 if self.trim_to_peak else 0,
+                    1 if active else 0,
+                    tbp, ctypes.byref(res))
+                LY = res.LY
+                np_col = res.np_col
+                i_val = res.i_val
+                best_score = res.best_score
+                end1, end2 = res.end1, res.end2
+                end_is_boundary = bool(res.end_is_boundary)
+                boundary_score = res.boundary_score
+                dq = res.dq
+                tbp = res.tbp
+                col = min(RY, N + 1)
+                if LY >= RY:
+                    break
+                NN = (R - 1) if (right_seg is not None and R > 0) else N
+                if RY > np_col + 1:
+                    RY = np_col + 1
+                else:
+                    while i_val >= best_score - y_drop and RY <= NN:
+                        cells_ensure(dq + 1)
+                        CC[dq] = i_val
+                        DD[dq] = i_val - gap_oe
+                        dq += 1
+                        i_val -= gap_e
+                        tb_ensure(tbp + 1)
+                        tb[tbp] = C_FROM_I
+                        tbp += 1
+                        RY += 1
+                if RY <= NN:
+                    cells_ensure(dq + 1)
+                    DD[dq] = NEG_INF
+                    CC[dq] = NEG_INF
+                    RY += 1
+                row += 1
+                continue
+
+            col = LY
+            np_col = col
+            i_val = NEG_INF
+            c = NEG_INF
+            dp = shift  # read index for col (== col - prev_LY)
+            dq = 0  # write index for col (== col - LY)
+
+            # local bindings for speed
+            CC_l, DD_l, MASK_l = CC, DD, MASK
+
+            while col < RY and col <= N:
+                d = DD_l[dp]
+                masked = MASK_l[dp] == row and len(active) > 0
+
+                if masked:
+                    # prune (mask): refuse this cell
+                    if col + 1 <= N:
+                        c = CC_l[dp] + sub_row[b_at(col + 1)]
+                    else:
+                        c = NEG_INF
+                    if col == LY:
+                        LY += 1
+                    else:
+                        i_val = NEG_INF
+                        DD_l[dq] = NEG_INF
+                        CC_l[dq] = NEG_INF
+                        dq += 1
+                    dp += 1
+                    tb[tbp] = 0
+                    tbp += 1
+                    col += 1
+                    continue
+
+                if d > c or i_val > c:
+                    # we CAN improve C
+                    if d >= i_val:
+                        c = d
+                        link = C_FROM_D | I_EXTEND | D_EXTEND
+                    else:
+                        c = i_val
+                        link = C_FROM_I | I_EXTEND | D_EXTEND
+                    if c < best_score - y_drop:
+                        if col + 1 <= N:
+                            c = CC_l[dp] + sub_row[b_at(col + 1)]
+                        else:
+                            c = NEG_INF
+                        if col == LY:
+                            LY += 1
+                        else:
+                            i_val = NEG_INF
+                            DD_l[dq] = NEG_INF
+                            CC_l[dq] = NEG_INF
+                            dq += 1
+                        dp += 1
+                        tb[tbp] = 0
+                        tbp += 1
+                        col += 1
+                        continue
+                    i_val -= gap_e
+                    DD_l[dq] = d - gap_e
+                else:
+                    # we CANNOT improve C
+                    if c < best_score - y_drop:
+                        if col + 1 <= N:
+                            c = CC_l[dp] + sub_row[b_at(col + 1)]
+                        else:
+                            c = NEG_INF
+                        if col == LY:
+                            LY += 1
+                        else:
+                            i_val = NEG_INF
+                            DD_l[dq] = NEG_INF
+                            CC_l[dq] = NEG_INF
+                            dq += 1
+                        dp += 1
+                        tb[tbp] = 0
+                        tbp += 1
+                        col += 1
+                        continue
+                    if c >= best_score:
+                        best_score = c
+                        end1, end2 = row, col
+                        end_is_boundary = False
+                    if (not self.trim_to_peak and c >= boundary_score
+                            and (row == M or col == N)):
+                        boundary_score = c
+                        end1, end2 = row, col
+                        end_is_boundary = True
+                    c_open = c - gap_oe
+                    d -= gap_e
+                    if c_open > d:
+                        DD_l[dq] = c_open
+                        link = C_FROM_C
+                    else:
+                        DD_l[dq] = d
+                        link = C_FROM_C | D_EXTEND
+                    i_val -= gap_e
+                    if c_open > i_val:
+                        i_val = c_open
+                    else:
+                        link |= I_EXTEND
+
+                np_col = col
+                if col + 1 <= N:
+                    c_next = CC_l[dp] + sub_row[b_at(col + 1)]
+                else:
+                    c_next = NEG_INF
+                dp += 1
+                CC_l[dq] = c
+                dq += 1
+                c = c_next
+                tb[tbp] = link
+                tbp += 1
+                col += 1
+
+            if LY >= RY:
+                break
+
+            NN = (R - 1) if (right_seg is not None and R > 0) else N
+
+            if RY > np_col + 1:
+                RY = np_col + 1
+            else:
+                # row prolongation with insertions
+                while i_val >= best_score - y_drop and RY <= NN:
+                    cells_ensure(dq + 1)
+                    CC_l[dq] = i_val
+                    DD_l[dq] = i_val - gap_oe
+                    dq += 1
+                    i_val -= gap_e
+                    tb_ensure(tbp + 1)
+                    tb[tbp] = C_FROM_I
+                    tbp += 1
+                    RY += 1
+
+            if RY <= NN:
+                cells_ensure(dq + 1)
+                DD_l[dq] = NEG_INF
+                CC_l[dq] = NEG_INF
+                RY += 1
+
+            row += 1
+
+        # traceback
+        row, col = end1, end2
+        ops = []
+        prev_op = 0
+        while row >= 1 or col > 0:
+            link = tb[tb_row[row] + col]
+            op = link & CID_BITS
+            if prev_op == C_FROM_I and (link & I_EXTEND):
+                op = C_FROM_I
+            if prev_op == C_FROM_D and (link & D_EXTEND):
+                op = C_FROM_D
+            if op == C_FROM_I:
+                col -= 1
+                ops.append("I")
+            elif op == C_FROM_D:
+                row -= 1
+                ops.append("D")
+            else:
+                row -= 1
+                col -= 1
+                ops.append("S")
+            prev_op = op
+
+        if end_is_boundary:
+            return boundary_score, end1, end2, ops
+        return best_score, end1, end2, ops
+
+    # -- bounds maintenance --------------------------------------------------
+
+    def _update_lr_bounds(self, reversed_, right_seg, left_seg,
+                          right_align, left_align,
+                          row, anchor1, anchor2, L, R, LY, RY):
+        if not reversed_:
+            if left_seg is not None:
+                if left_seg.e1 >= row + anchor1:
+                    if left_seg.type == DIAG_SEG:
+                        L += 1
+                else:
+                    L, left_seg, left_align = self._next_sweep_seg(
+                        False, left_seg, left_align, row, anchor1, anchor2)
+                    L += 1
+            if left_seg is not None:
+                LY = max(LY, L)
+            if right_seg is not None:
+                if right_seg.e1 >= row + anchor1:
+                    if right_seg.type == DIAG_SEG:
+                        R += 1
+                else:
+                    R, right_seg, right_align = self._next_sweep_seg(
+                        True, right_seg, right_align, row, anchor1, anchor2)
+                    R -= 1
+            if right_seg is not None:
+                RY = _special_min(RY, R)
+        else:
+            if right_seg is not None:
+                if right_seg.b1 <= anchor1 - row:
+                    if right_seg.type == DIAG_SEG:
+                        L += 1
+                else:
+                    L, right_seg, right_align = self._prev_sweep_seg(
+                        True, right_seg, right_align, row, anchor1, anchor2)
+                    L += 1
+            if right_seg is not None:
+                LY = max(LY, L)
+            if left_seg is not None:
+                if left_seg.b1 <= anchor1 - row:
+                    if left_seg.type == DIAG_SEG:
+                        R += 1
+                else:
+                    R, left_seg, left_align = self._prev_sweep_seg(
+                        False, left_seg, left_align, row, anchor1, anchor2)
+                    R -= 1
+            if left_seg is not None:
+                RY = _special_min(RY, R)
+        return L, R, LY, RY, left_seg, right_seg, left_align, right_align
+
+    def _next_sweep_seg(self, look_right, bp, mp, row, anchor1, anchor2):
+        bp = bp.next_seg
+        if bp is not None:
+            if bp.type == HORZ_SEG:
+                bp = bp.next_seg
+                if bp is None:
+                    raise RuntimeError("last alignment segment was horizontal")
+            return signed_diff(bp.b2, anchor2), bp, mp
+        if look_right:
+            bp, mp = mp.right_seg2, mp.right_align2
+        else:
+            bp, mp = mp.left_seg2, mp.left_align2
+        if bp is None:
+            return 0, bp, mp
+        if bp.type == DIAG_SEG:
+            col = (row + signed_diff(bp.b2, anchor2)
+                   - signed_diff(bp.b1, anchor1))
+        else:
+            col = signed_diff(bp.b2, anchor2)
+        return col, bp, mp
+
+    def _prev_sweep_seg(self, look_right, bp, mp, row, anchor1, anchor2):
+        bp = bp.prev_seg
+        if bp is not None:
+            if bp.type == HORZ_SEG:
+                bp = bp.prev_seg
+                if bp is None:
+                    raise RuntimeError("first alignment segment was horizontal")
+            return signed_diff(anchor2, bp.e2), bp, mp
+        if look_right:
+            bp, mp = mp.right_seg1, mp.right_align1
+        else:
+            bp, mp = mp.left_seg1, mp.left_align1
+        if bp is None:
+            return 0, bp, mp
+        if bp.type == DIAG_SEG:
+            col = (row + signed_diff(anchor2, bp.e2)
+                   - signed_diff(anchor1, bp.e1))
+        else:
+            col = signed_diff(anchor2, bp.e2)
+        return col, bp, mp
+
+    def _update_active_segs(self, reversed_, active, align_list, MASK,
+                            prev_LY, row, anchor1, anchor2, LY, RY):
+        # MASK is indexed like the PREVIOUS row's cells: index col - prev_LY
+        for act in active:
+            if act.type == HORZ_SEG:
+                raise RuntimeError("impossible horizontal segment")
+            if act.last_row >= row:
+                if act.type == DIAG_SEG:
+                    act.x += 1
+                if LY <= act.x <= RY:
+                    MASK[act.x - prev_LY] = row
+            else:
+                nxt = act.seg.prev_seg if reversed_ else act.seg.next_seg
+                if nxt is not None:
+                    act.seg = nxt
+                    self._build_active_seg(reversed_, act, MASK, prev_LY,
+                                           row, anchor1, anchor2, LY, RY)
+                    if act.type == HORZ_SEG:
+                        act.seg = (act.seg.prev_seg if reversed_
+                                   else act.seg.next_seg)
+                        self._build_active_seg(reversed_, act, MASK, prev_LY,
+                                               row, anchor1, anchor2, LY, RY)
+                else:
+                    act.filter = 1
+        if not reversed_:
+            while (align_list is not None
+                   and align_list.pos1 - anchor1 == row):
+                act = ActiveSeg(seg=align_list.first_seg)
+                self._build_active_seg(reversed_, act, MASK, prev_LY,
+                                       row, anchor1, anchor2, LY, RY)
+                active = [act] + active
+                align_list = align_list.next
+        else:
+            while (align_list is not None
+                   and anchor1 - align_list.end1 == row):
+                act = ActiveSeg(seg=align_list.last_seg)
+                self._build_active_seg(reversed_, act, MASK, prev_LY,
+                                       row, anchor1, anchor2, LY, RY)
+                active = [act] + active
+                align_list = align_list.prev
+        active = [a for a in active if a.filter == 0]
+        return active, align_list
+
+    def _build_active_seg(self, reversed_, act, MASK, prev_LY,
+                          row, anchor1, anchor2, LY, RY):
+        act.type = act.seg.type
+        if not reversed_:
+            act.x = act.seg.b2 - anchor2
+            act.last_row = act.seg.e1 - anchor1
+        else:
+            act.x = anchor2 - act.seg.e2
+            act.last_row = anchor1 - act.seg.b1
+        if act.type != HORZ_SEG:
+            if LY <= act.x <= RY:
+                MASK[act.x - prev_LY] = row
+        else:
+            horz_end = (act.seg.e2 - anchor2 if not reversed_
+                        else anchor2 - act.seg.b2)
+            i_min = max(LY, act.x)
+            i_max = min(RY, horz_end)
+            for i in range(i_min, i_max + 1):
+                MASK[i - prev_LY] = row
+
+    # -- two-sided extension ---------------------------------------------------
+
+    def ydrop_align(self, anchor1, anchor2):
+        """reference ydrop_align (gapped_extend.c:2459).
+
+        Returns (score, start1, start2, stop1, stop2, script).
+        """
+        score_left, e1, e2, ops_left = self.one_sided(
+            True, anchor1, anchor2,
+            (anchor1 + 1) - self.low1, (anchor2 + 1) - self.low2)
+        start1 = anchor1 + 1 - e1
+        start2 = anchor2 + 1 - e2
+
+        score_right, e1, e2, ops_right = self.one_sided(
+            False, anchor1, anchor2,
+            self.high1 - (anchor1 + 1), self.high2 - (anchor2 + 1))
+        stop1 = anchor1 + e1
+        stop2 = anchor2 + e2
+
+        # left traceback order == forward order; right needs reversal
+        script = EditScript()
+        for op in ops_left:
+            script.add(op, 1)
+        for op in reversed(ops_right):
+            script.add(op, 1)
+
+        s = score_left + score_right
+
+        # lop indels from the ends (rare; rescore when it happens)
+        if script.ops:
+            if script.ops[0][0] != "S":
+                start1, start2, s = self._lop_initial(
+                    script, start1, start2)
+            if script.ops and script.ops[-1][0] != "S":
+                stop1, stop2, s = self._lop_final(script, start1, start2,
+                                                  stop1, stop2)
+        return s, start1, start2, stop1, stop2, script
+
+    def _lop_initial(self, script, start1, start2):
+        pos1, pos2 = start1, start2
+        ix = 0
+        while ix < len(script.ops) and script.ops[ix][0] != "S":
+            op, run = script.ops[ix]
+            if op == "I":
+                pos2 += run
+            else:
+                pos1 += run
+            ix += 1
+        if ix == len(script.ops):
+            return pos1, pos2, WORST_POSSIBLE_SCORE
+        script.ops[:ix] = []
+        s = self._score_alignment(pos1, pos2, script)
+        return pos1, pos2, s
+
+    def _lop_final(self, script, start1, start2, stop1, stop2):
+        pos1, pos2 = stop1, stop2
+        ix = len(script.ops)
+        while ix > 0 and script.ops[ix - 1][0] != "S":
+            op, run = script.ops[ix - 1]
+            if op == "I":
+                pos2 -= run
+            else:
+                pos1 -= run
+            ix -= 1
+        if ix == 0:
+            return pos1, pos2, WORST_POSSIBLE_SCORE
+        del script.ops[ix:]
+        s = self._score_alignment(start1, start2, script)
+        return pos1, pos2, s
+
+    def _score_alignment(self, pos1, pos2, script):
+        s = 0
+        i, j = pos1, pos2
+        for op, run in script.ops:
+            if op == "S":
+                s += int(self.sub[self.v1[i : i + run],
+                                  self.v2[j : j + run]].sum())
+                i += run
+                j += run
+            elif op == "I":
+                s -= self.gap_oe - self.gap_e + run * self.gap_e
+                j += run
+            else:
+                s -= self.gap_oe - self.gap_e + run * self.gap_e
+                i += run
+        return s
+
+
+def _special_min(RY, R):
+    if R <= 0:
+        return 0
+    return R if R < RY else RY
+
+
+# -- alignment list bookkeeping (obi/oed) ------------------------------------
+
+
+def msp_left_right(obi: Optional[GAlign], m: GAlign) -> bool:
+    """reference msp_left_right: find bounding segments at the anchor;
+    False if the anchor lies inside an existing alignment."""
+    pos1, pos2 = m.pos1, m.pos2
+    right = left = None
+    m_right = m_left = None
+    b_right = b_left = None
+    p = obi
+    while p is not None and p.pos1 <= pos1:
+        if p.end1 < pos1:
+            p = p.next
+            continue
+        bp = p.first_seg
+        while bp is not None:
+            if bp.e1 >= pos1:
+                break
+            bp = bp.next_seg
+            if bp is p.first_seg:
+                bp = None
+                break
+        if bp is None:
+            p = p.next
+            continue
+        if bp.type == HORZ_SEG:
+            raise RuntimeError("msp_left_right: cannot be horizontal")
+        if bp.type == DIAG_SEG:
+            x = signed_diff(bp.b2, pos2) + signed_diff(pos1, bp.b1)
+        else:
+            x = signed_diff(bp.b2, pos2)
+        if x == 0:
+            return False
+        if x > 0 and (right is None or x < right):
+            right, m_right, b_right = x, p, bp
+        elif x < 0 and (left is None or -x < left):
+            left, m_left, b_left = -x, p, bp
+        p = p.next
+    m.right_align1 = m.right_align2 = m_right
+    m.right_seg1 = m.right_seg2 = b_right
+    m.left_align1 = m.left_align2 = m_left
+    m.left_seg1 = m.left_seg2 = b_left
+    return True
+
+
+def get_above_below(aligner: YDropAligner, anchor1,
+                    obi: Optional[GAlign], oed: Optional[GAlign]):
+    mp = oed
+    while mp is not None:
+        if mp.end1 < anchor1:
+            break
+        mp = mp.prev
+    aligner.below_list = mp
+    mp = obi
+    while mp is not None:
+        if mp.pos1 > anchor1:
+            break
+        mp = mp.next
+    aligner.above_list = mp
+
+
+def align_left_right(obi: Optional[GAlign], m: GAlign):
+    pos1, pos2 = m.pos1, m.pos2
+    end1, end2 = m.end1, m.end2
+    rob = rot = lob = lot = None
+    m_rob = m_rot = m_lob = m_lot = None
+    b_rob = b_rot = b_lob = b_lot = None
+    p = obi
+    while p is not None:
+        if p.pos1 > end1 or p.end1 < pos1:
+            p = p.next
+            continue
+        bp = p.first_seg
+        while bp is not None:
+            if bp.type != HORZ_SEG and bp.e1 >= pos1:
+                break
+            bp = bp.next_seg
+            if bp is p.first_seg:
+                bp = None
+                break
+        if bp is not None and bp.b1 <= pos1:
+            if bp.type == DIAG_SEG:
+                x = signed_diff(bp.b2, pos2) + signed_diff(pos1, bp.b1)
+            else:
+                x = signed_diff(bp.b2, pos2)
+            if x > 0 and (rob is None or x < rob):
+                rob, m_rob, b_rob = x, p, bp
+            elif x < 0 and (lob is None or -x < lob):
+                lob, m_lob, b_lob = -x, p, bp
+        while bp is not None:
+            if bp.type != HORZ_SEG and bp.e1 >= end1:
+                break
+            bp = bp.next_seg
+            if bp is p.first_seg:
+                bp = None
+                break
+        if bp is not None and bp.type != HORZ_SEG and bp.e1 >= end1:
+            if bp.type == DIAG_SEG:
+                x = signed_diff(bp.b2, end2) + signed_diff(end1, bp.b1)
+            else:
+                x = signed_diff(bp.b2, end2)
+            if x > 0 and (rot is None or x < rot):
+                rot, m_rot, b_rot = x, p, bp
+            elif x < 0 and (lot is None or -x < lot):
+                lot, m_lot, b_lot = -x, p, bp
+        p = p.next
+    m.right_align1, m.right_seg1 = m_rob, b_rob
+    m.right_align2, m.right_seg2 = m_rot, b_rot
+    m.left_align1, m.left_seg1 = m_lob, b_lob
+    m.left_align2, m.left_seg2 = m_lot, b_lot
+
+
+def insert_align(m: GAlign, obi, oed):
+    """Insert into both ordered lists; returns new (obi, oed)."""
+    mq, mp = None, obi
+    while mp is not None and mp.pos1 < m.pos1:
+        mq, mp = mp, mp.next
+    if mq is not None:
+        mq.next = m
+        m.next = mp
+    else:
+        m.next = obi
+        obi = m
+    mq, mp = None, oed
+    while mp is not None and mp.end1 > m.end1:
+        mq, mp = mp, mp.prev
+    if mq is not None:
+        mq.prev = m
+        m.prev = mp
+    else:
+        m.prev = oed
+        oed = m
+    return obi, oed
+
+
+def format_alignment(v1, v2, start1, start2, stop1, stop2, s, script,
+                     m: GAlign) -> Alignment:
+    """reference format_alignment: record diagonal segments on m and
+    produce the external Alignment."""
+    beg1, end1 = start1 + 1, stop1 + 1
+    beg2, end2 = start2 + 1, stop2 + 1
+    height = end1 - beg1 + 1
+    width = end2 - beg2 + 1
+    i = j = 0
+    op_ix = 0
+    ops = script.ops
+    while i < height or j < width:
+        start_i, start_j = i, j
+        run = 0
+        while op_ix < len(ops) and ops[op_ix][0] == "S":
+            run += ops[op_ix][1]
+            op_ix += 1
+        i += run
+        j += run
+        m.save_seg(beg1 + start_i - 1, beg2 + start_j - 1,
+                   beg1 + i - 2, beg2 + j - 2)
+        if i < height or j < width:
+            if op_ix < len(ops):
+                op, r = ops[op_ix]
+                op_ix += 1
+                if op == "I":
+                    j += r
+                else:
+                    i += r
+            else:
+                break
+    return Alignment(
+        beg1=beg1, beg2=beg2, end1=end1, end2=end2,
+        script=script, score=s, hsp_id=m.hsp_id)
+
+
+# -- top-level driver ---------------------------------------------------------
+
+
+def identical_sequences(seq1, seq2, scoring) -> tuple[bool, int]:
+    if seq1.is_partitioned or seq2.is_partitioned:
+        return False, 0
+    if len(seq1.v) != len(seq2.v):
+        return False, 0
+    if seq1.rev_comp_flags != seq2.rev_comp_flags:
+        return False, 0
+    a = _upper(seq1.v)
+    b = _upper(seq2.v)
+    if not np.array_equal(a, b):
+        return False, 0
+    s = int(scoring.sub[a, b].astype(np.int64).sum())
+    s = min(s, BEST_POSSIBLE)
+    return True, s
+
+
+def _upper(seg):
+    out = seg.copy()
+    lower = (out >= ord("a")) & (out <= ord("z"))
+    out[lower] -= 32
+    return out
+
+
+def gapped_extend(target, query, scoring, anchors: SegmentTable,
+                  inhibit_trivial=False, y_drop=9400, trim_to_peak=True,
+                  score_thresh=None, traceback_mem=80 * 1024 * 1024,
+                  all_bounds=False):
+    """reference gapped_extend (gapped_extend.c:1012), unpartitioned path.
+
+    Returns list of Alignment in increasing-start order.
+    """
+    thresh = score_thresh.s if score_thresh is not None else 0
+
+    aligner = YDropAligner(target.v, query.v, scoring, y_drop, trim_to_peak,
+                           traceback_mem)
+
+    # sort anchors by decreasing score (reference batched_segments ->
+    # qSegmentsByDecreasingScore; ties prefer shorter, then pos2, pos1, id)
+    segs = sorted(
+        anchors.segments,
+        key=lambda g: (-g.score, g.length, g.pos2, g.pos1, g.seg_id))
+
+    msps = []
+    for k, seg in enumerate(segs):
+        g = GAlign(pos1=seg.pos1, pos2=seg.pos2,
+                   end1=seg.pos1 + seg.length - 1,
+                   end2=seg.pos2 + seg.length - 1,
+                   hsp_id=seg.hsp_id if seg.hsp_id else k + 1)
+        msps.append(g)
+
+    obi = oed = None
+
+    # trivial self-alignment
+    trivial_mp = None
+    is_ident, ident_score = identical_sequences(target, query, scoring)
+    if is_ident:
+        mp = GAlign(pos1=0, pos2=0,
+                    end1=len(target.v) - 1, end2=len(target.v) - 1)
+        mp.save_seg(mp.pos1, mp.pos2, mp.end1, mp.end2)
+        obi, oed = insert_align(mp, obi, oed)
+        mp.last_seg = mp.first_seg
+        mp.first_seg.prev_seg = None
+        mp.last_seg.next_seg = None
+        script = EditScript()
+        script.add("S", len(target.v))
+        a = Alignment(beg1=1, beg2=1, end1=len(target.v), end2=len(target.v),
+                      script=script,
+                      score=max(ident_score, thresh), is_trivial=True)
+        mp.align = a
+        trivial_mp = mp
+
+    for mp in msps:
+        if not msp_left_right(obi, mp):
+            continue
+        aligner.left_align = mp.left_align1
+        aligner.right_align = mp.right_align1
+        aligner.left_seg = mp.left_seg1
+        aligner.right_seg = mp.right_seg1
+        get_above_below(aligner, mp.pos1, obi, oed)
+
+        s, start1, start2, stop1, stop2, script = aligner.ydrop_align(
+            mp.pos1, mp.pos2)
+        anchor_pos1 = mp.pos1
+        mp.align = None
+        a = format_alignment(target.v, query.v, start1, start2, stop1, stop2,
+                             s, script, mp)
+        mp.align = a
+        mp.pos1, mp.pos2 = start1, start2
+        mp.end1, mp.end2 = stop1, stop2
+
+        if mp.first_seg is None:
+            continue
+        mp.last_seg = mp.first_seg.prev_seg
+        mp.first_seg.prev_seg = None
+        mp.last_seg.next_seg = None
+
+        if (not all_bounds) and a.score < thresh:
+            mp.first_seg = mp.last_seg = None
+            continue
+
+        align_left_right(obi, mp)
+        obi, oed = insert_align(mp, obi, oed)
+
+    # collect qualifying alignments in obi order
+    out = []
+    mp = obi
+    while mp is not None:
+        a = mp.align
+        keep = a is not None and a.score >= thresh
+        if keep and inhibit_trivial and a.is_trivial:
+            keep = False
+        if keep:
+            out.append(a)
+        mp = mp.next
+    return out

@@ -1,0 +1,96 @@
+"""Native (C++) runtime kernels for the exact host engine.
+
+Compiled on first use with g++ into a cached shared library and loaded
+via ctypes.  Everything here is an exact-speedup of the Python engine;
+if no compiler is available the Python paths are used instead.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_LIB = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "ydrop_row.cpp")
+
+
+class RowResult(ctypes.Structure):
+    _fields_ = [
+        ("LY", ctypes.c_int64),
+        ("np_col", ctypes.c_int64),
+        ("i_val", ctypes.c_int64),
+        ("best_score", ctypes.c_int64),
+        ("end1", ctypes.c_int64),
+        ("end2", ctypes.c_int64),
+        ("end_is_boundary", ctypes.c_int64),
+        ("boundary_score", ctypes.c_int64),
+        ("dq", ctypes.c_int64),
+        ("tbp", ctypes.c_int64),
+    ]
+
+
+def _build_lib() -> str | None:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "LASTZ_TPU_CACHE",
+        os.path.join(tempfile.gettempdir(), "lastz_tpu_native"))
+    os.makedirs(cache_dir, exist_ok=True)
+    lib_path = os.path.join(cache_dir, f"libydrop_{tag}.so")
+    if os.path.exists(lib_path):
+        return lib_path
+    tmp = lib_path + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except Exception:
+        return None
+    os.replace(tmp, lib_path)
+    return lib_path
+
+
+def get_lib():
+    """Return the loaded native library, or None if unavailable."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("LASTZ_TPU_NO_NATIVE"):
+        return None
+    path = _build_lib()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    i64 = ctypes.c_int64
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.ydrop_row.restype = None
+    lib.ydrop_row.argtypes = [
+        p_i64, p_i64, p_i64,      # CC, DD, MASK
+        p_u8,                     # tb
+        p_i64,                    # sub_row
+        p_u8, i64, i64,           # B, b_origin, b_step
+        i64, i64, i64,            # row, M, N
+        i64, i64, i64,            # LY, RY, prev_LY
+        i64, i64, i64,            # gap_e, gap_oe, y_drop
+        i64,                      # neg_inf
+        i64, i64, i64,            # best_score, end1, end2
+        i64, i64,                 # end_is_boundary, boundary_score
+        i64, i64,                 # trim_to_peak, have_active
+        i64,                      # tbp
+        ctypes.POINTER(RowResult),
+    ]
+    lib.xdrop_extend.restype = None
+    lib.xdrop_extend.argtypes = [
+        p_u8, p_u8, p_i64,
+        i64, i64, i64, i64, i64,
+        p_i64, p_i64, p_i64, p_i64, p_i64,
+    ]
+    _LIB = lib
+    return _LIB

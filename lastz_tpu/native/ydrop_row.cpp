@@ -1,0 +1,240 @@
+// Native inner loops for the exact host engine.
+//
+// The y-drop DP row sweep (the reference's hottest loop,
+// gapped_extend.c:3683-3775) and the x-drop diagonal scan
+// (seed_search.c:2623-2700) are bit-exact ports of the semantics of
+// lastz_tpu's Python engine (which is itself the correctness oracle for
+// the Pallas TPU kernels).  Built as a plain-C-ABI shared library and
+// loaded via ctypes; no pybind11 required.
+//
+// Build:  g++ -O3 -march=native -shared -fPIC ydrop_row.cpp -o libydrop.so
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// result block written back to Python after each row
+struct RowResult {
+    int64_t LY;         // possibly advanced by pruning
+    int64_t np_col;     // last non-pruned column
+    int64_t i_val;      // running I value at loop exit
+    int64_t best_score;
+    int64_t end1, end2;
+    int64_t end_is_boundary;
+    int64_t boundary_score;
+    int64_t dq;         // cells written (next write index)
+    int64_t tbp;        // traceback bytes written (next write index)
+};
+
+// Compute one DP row, columns [LY, RY) clipped to col <= N.
+//
+//   CC, DD:    sweep arrays; reads at index (col - prev_LY), writes at
+//              (col - LY_orig_adjusted) exactly like the reference's
+//              dp/dq pointers.
+//   MASK:      row-stamped mask array, read at (col - prev_LY)
+//   tb:        traceback byte array, writes from tbp
+//   sub_row:   int64[256] substitution scores for A[row]
+//   B:         the horizontal sequence (uint8)
+//   b_origin, b_step: B character for column c is B[b_origin + b_step*c]
+//
+// Semantics notes (all mirror the reference exactly):
+//   - prune when cell is masked or c < best - ydrop; at the left edge
+//     pruning advances LY, otherwise it writes -inf cells
+//   - D preferred over I when both improve C
+//   - best-score ties move the alignment end (>=)
+//   - when trim_to_peak is false, boundary-reaching cells (row==M or
+//     col==N) track a separate boundary score
+
+void ydrop_row(
+    int64_t* CC, int64_t* DD, int64_t* MASK,
+    uint8_t* tb,
+    const int64_t* sub_row,
+    const uint8_t* B, int64_t b_origin, int64_t b_step,
+    int64_t row, int64_t M, int64_t N,
+    int64_t LY, int64_t RY, int64_t prev_LY,
+    int64_t gap_e, int64_t gap_oe, int64_t y_drop,
+    int64_t neg_inf,
+    int64_t best_score, int64_t end1, int64_t end2,
+    int64_t end_is_boundary, int64_t boundary_score,
+    int64_t trim_to_peak, int64_t have_active,
+    int64_t tbp,
+    RowResult* out)
+{
+    int64_t shift = LY - prev_LY;
+    int64_t col = LY;
+    int64_t np_col = col;
+    int64_t i_val = neg_inf;
+    int64_t c = neg_inf;
+    int64_t dp = shift;
+    int64_t dq = 0;
+    uint8_t link = 0;
+
+    while (col < RY && col <= N) {
+        int64_t d = DD[dp];
+        bool masked = have_active && (MASK[dp] == row);
+        bool do_prune = false;
+
+        if (masked) {
+            do_prune = true;
+        } else if (d > c || i_val > c) {
+            // we CAN improve C
+            if (d >= i_val) { c = d;     link = 2 | 4 | 8; }  // cFromD|iExt|dExt
+            else            { c = i_val; link = 1 | 4 | 8; }  // cFromI|iExt|dExt
+            if (c < best_score - y_drop) {
+                do_prune = true;
+            } else {
+                i_val -= gap_e;
+                DD[dq] = d - gap_e;
+            }
+        } else {
+            // we CANNOT improve C
+            if (c < best_score - y_drop) {
+                do_prune = true;
+            } else {
+                if (c >= best_score) {
+                    best_score = c; end1 = row; end2 = col;
+                    end_is_boundary = 0;
+                }
+                if (!trim_to_peak && c >= boundary_score
+                        && (row == M || col == N)) {
+                    boundary_score = c; end1 = row; end2 = col;
+                    end_is_boundary = 1;
+                }
+                int64_t c_open = c - gap_oe;
+                d -= gap_e;
+                if (c_open > d) { DD[dq] = c_open; link = 0; }
+                else            { DD[dq] = d;      link = 0 | 8; }
+                i_val -= gap_e;
+                if (c_open > i_val) i_val = c_open;
+                else                link |= 4;
+            }
+        }
+
+        if (do_prune) {
+            if (col + 1 <= N)
+                c = CC[dp] + sub_row[B[b_origin + b_step * (col + 1)]];
+            else
+                c = neg_inf;
+            if (col == LY) {
+                LY++;
+            } else {
+                i_val = neg_inf;
+                DD[dq] = neg_inf;
+                CC[dq] = neg_inf;
+                dq++;
+            }
+            dp++;
+            tb[tbp++] = 0;
+            col++;
+            continue;
+        }
+
+        np_col = col;
+        int64_t c_next;
+        if (col + 1 <= N)
+            c_next = CC[dp] + sub_row[B[b_origin + b_step * (col + 1)]];
+        else
+            c_next = neg_inf;
+        dp++;
+        CC[dq] = c;
+        dq++;
+        c = c_next;
+        tb[tbp++] = link;
+        col++;
+    }
+
+    out->LY = LY;
+    out->np_col = np_col;
+    out->i_val = i_val;
+    out->best_score = best_score;
+    out->end1 = end1;
+    out->end2 = end2;
+    out->end_is_boundary = end_is_boundary;
+    out->boundary_score = boundary_score;
+    out->dq = dq;
+    out->tbp = tbp;
+}
+
+// X-drop gap-free extension scan (one direction).
+//
+// Scores the run starting just outside the scanned range; returns the
+// number of consumed elements, the best prefix score, and the index of
+// the FIRST prefix achieving it (strict-improvement rule).
+//
+//   sv:   int64 scores of successive steps (already gathered)
+//   n:    number of candidate steps
+void xdrop_scan(
+    const int64_t* sv, int64_t n, int64_t x_drop,
+    int64_t* out_consumed, int64_t* out_best, int64_t* out_best_ix)
+{
+    int64_t run = 0, best = 0, best_ix = -1;
+    int64_t k = 0;
+    for (; k < n; k++) {
+        if (run < best - x_drop) break;
+        run += sv[k];
+        if (run > best) { best = run; best_ix = k; }
+    }
+    *out_consumed = k;
+    *out_best = best;
+    *out_best_ix = best_ix;
+}
+
+// gather substitution scores for a diagonal run:
+//   out[k] = sub[ s1[p1 + d1*k] ][ s2[p2 + d2*k] ]
+void gather_diag_scores(
+    const uint8_t* s1, const uint8_t* s2,
+    const int64_t* sub,  // 256*256
+    int64_t p1, int64_t p2, int64_t d1, int64_t d2, int64_t n,
+    int64_t* out)
+{
+    for (int64_t k = 0; k < n; k++)
+        out[k] = sub[((int64_t)s1[p1 + d1 * k]) * 256 + s2[p2 + d2 * k]];
+}
+
+// Combined x-drop extension of a seed hit (both directions), exactly
+// mirroring xdrop_extend_seed_hit (seed_search.c:2528): left scan from
+// the right end of the hit down to `stop_left` (seq1 coordinate), right
+// scan up to `stop_right`.  Returns components for the caller to apply
+// entropy adjustment and thresholding.
+void xdrop_extend(
+    const uint8_t* s1, const uint8_t* s2, const int64_t* sub,
+    int64_t pos1, int64_t pos2,            // hit END positions
+    int64_t stop_left,                     // leftmost seq1 index allowed
+    int64_t stop_right,                    // one-past rightmost seq1 index
+    int64_t x_drop,
+    int64_t* out_left_start,               // leftmost seq1 index included
+    int64_t* out_left_score,
+    int64_t* out_right_stop,               // one past rightmost included
+    int64_t* out_right_score,
+    int64_t* out_right_block)              // where the right scan stopped
+{
+    int64_t diag = pos1 - pos2;
+
+    // left scan (pre-decrement semantics: first pair read is at pos1-1)
+    int64_t run = 0, best = 0;
+    int64_t left_start = pos1;
+    int64_t s1i = pos1, s2i = pos2;
+    while (s1i > stop_left && run >= best - x_drop) {
+        --s1i; --s2i;
+        run += sub[((int64_t)s1[s1i]) * 256 + s2[s2i]];
+        if (run > best) { best = run; left_start = s1i; }
+    }
+    *out_left_start = left_start;
+    *out_left_score = best;
+
+    // right scan
+    run = 0; best = 0;
+    int64_t right_stop = pos1;
+    s1i = pos1; s2i = pos2;
+    while (s1i < stop_right && run >= best - x_drop) {
+        run += sub[((int64_t)s1[s1i]) * 256 + s2[s2i]];
+        ++s1i; ++s2i;
+        if (run > best) { best = run; right_stop = s1i; }
+    }
+    *out_right_stop = right_stop;
+    *out_right_score = best;
+    *out_right_block = s1i;
+}
+
+}  // extern "C"

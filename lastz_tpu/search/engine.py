@@ -119,6 +119,15 @@ class SeedSearchEngine:
         # hot lookups
         self._sub = params.scoring.sub if params.scoring is not None else None
 
+        # native x-drop kernel (exact speedup; see native/ydrop_row.cpp)
+        self._native = None
+        if self._sub is not None and self._sub.dtype == np.int64:
+            from ..native import get_lib
+            lib = get_lib()
+            if lib is not None:
+                import ctypes
+                self._native = (lib, ctypes)
+
     # -- main loop --------------------------------------------------------
 
     def search(self, start: int = 0, end: int = 0) -> int:
@@ -325,6 +334,10 @@ class SeedSearchEngine:
         # --- left scan: from pos1 (just past hit end) down to stop
         block2 = old_diag_end
         stop1 = block2 + diag if block2 + diag > 0 else 0
+
+        if self._native is not None:
+            return self._xdrop_extend_native(pos1, pos2, length, diag, h,
+                                             old_diag_end, stop1)
         n_left = pos1 - stop1
         if n_left > 0:
             sc = sub[seq1[stop1:pos1][::-1], seq2[stop1 - diag : pos2][::-1]]
@@ -401,6 +414,63 @@ class SeedSearchEngine:
         new_length = right_stop - left_start
 
         # entropy adjustment (seed_search.c:2850-2905)
+        adjust = False
+        if hp.entropic_hsp:
+            if hp.hsp_threshold.t == "S":
+                adjust = (similarity >= hp.hsp_zero_threshold
+                          and similarity <= 3 * hp.hsp_threshold.s)
+            elif similarity > 0:
+                anch = self.anchors
+                adjust = (anch is not None and len(anch) > 0
+                          and similarity >= anch.low_score)
+        if adjust:
+            q = entropy(seq1[new_pos1 - new_length : new_pos1],
+                        seq2[new_pos2 - new_length : new_pos2])
+            similarity = int(similarity * q)
+
+        if hp.hsp_threshold.t == "S" and similarity < hp.hsp_threshold.s:
+            return None
+        return new_pos1, new_pos2, new_length, similarity
+
+    def _xdrop_extend_native(self, pos1, pos2, length, diag, h,
+                             old_diag_end, stop1):
+        """Native variant of the scans; identical semantics."""
+        lib, ctypes = self._native
+        hp = self.hp
+        seq1, seq2 = self.seq1, self.seq2
+        stop1r = min(len(seq1), len(seq2) + diag)
+        i64 = ctypes.c_int64
+        ls = i64()
+        lsc = i64()
+        rs = i64()
+        rsc = i64()
+        rb = i64()
+        p_u8 = ctypes.POINTER(ctypes.c_uint8)
+        p_i64 = ctypes.POINTER(ctypes.c_int64)
+        lib.xdrop_extend(
+            seq1.ctypes.data_as(p_u8), seq2.ctypes.data_as(p_u8),
+            self._sub.ctypes.data_as(p_i64),
+            pos1, pos2, stop1, stop1r, hp.x_drop,
+            ctypes.byref(ls), ctypes.byref(lsc),
+            ctypes.byref(rs), ctypes.byref(rsc), ctypes.byref(rb))
+        left_start, left_score = ls.value, lsc.value
+        right_stop, right_score = rs.value, rsc.value
+        right_block = rb.value
+
+        hit_left = pos1 - length
+        if left_start > hit_left:
+            length -= left_start - hit_left
+
+        similarity = left_score + right_score
+        extent = right_block - diag
+        if extent > self.diag_end[h]:
+            self.diag_end[h] = extent
+            self.diag_actual[h] = diag
+
+        new_pos1 = right_stop
+        new_pos2 = new_pos1 - diag
+        new_length = right_stop - left_start
+
         adjust = False
         if hp.entropic_hsp:
             if hp.hsp_threshold.t == "S":

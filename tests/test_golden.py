@@ -64,3 +64,30 @@ def test_hits():
 def test_hsp():
     check_lav("base_test.hsp.lav", [
         f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa", "C=3", "W=8", "T=0"])
+
+
+def test_default():
+    check_lav("base_test.default.lav", [
+        f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa"])
+
+
+def test_extended():
+    check_lav("base_test.extended.lav", [
+        f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa", "C=2", "W=8", "T=0"])
+
+
+def test_chained():
+    check_lav("base_test.chained.lav", [
+        f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa", "C=1", "W=8", "T=0"])
+
+
+def test_seeded():
+    check_lav("base_test.seeded.lav", [
+        f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa", "C=3",
+        "--seed=111010011101"])
+
+
+def test_hw_seeded():
+    check_lav("base_test.hwseeded.lav", [
+        f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa", "C=3",
+        "--seed=TTT0T0T0TTT00T0T"])
