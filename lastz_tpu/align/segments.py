@@ -10,7 +10,6 @@ kept together (segment.c:5-40).
 
 from __future__ import annotations
 
-import heapq
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -27,6 +26,7 @@ class Segment:
     hsp_id: int = 0
     filter: bool = False
     scale: float = 1.0  # used transiently by chaining
+    score_cov: int = 0  # coverage of the same-score subheap (heap mode)
 
     @property
     def diag(self) -> int:
@@ -40,7 +40,6 @@ class SegmentTable:
         self.coverage = 0  # total length of contained segments
         self.low_score = 0
         self.have_scores = False
-        self._heapified = False
 
     def __len__(self):
         return len(self.segments)
@@ -49,55 +48,130 @@ class SegmentTable:
         return iter(self.segments)
 
     # -- insertion with coverage limiting ---------------------------------
+    #
+    # Exact port of the reference's score-bounded min-heap
+    # (segment.c:1000-1330).  Below the coverage limit the table is a
+    # plain list; upon first reaching the limit it is sorted by
+    # increasing score (becoming a valid min-heap) and per-node
+    # "scoreCov" (coverage of the same-score subheap rooted there) is
+    # maintained through percolations.  Pruning removes the entire
+    # root tie-group while doing so keeps coverage at/above the limit.
+    # The heap SHAPE is semantically relevant (the prune test uses the
+    # root's tie-subheap coverage), hence the faithful port.
+
+    _hsp_id_counter = 0
 
     def add(self, pos1, pos2, length, score, seg_id=0, hsp_id=0):
-        """reference add_segment (segment.c): append, then if a coverage
-        limit is set, evict lowest scores until within budget (keeping
-        score ties together)."""
-        seg = Segment(pos1, pos2, length, int(score), seg_id, hsp_id)
+        if hsp_id == 0:
+            SegmentTable._hsp_id_counter += 1
+            hsp_id = SegmentTable._hsp_id_counter
+        if (self.coverage_limit != 0
+                and self.coverage >= self.coverage_limit
+                and len(self.segments) > 0
+                and score < self.low_score):
+            return
+        seg = Segment(pos1, pos2, length, score, seg_id, hsp_id)
+        seg.score_cov = length
+        self.segments.append(seg)
+        self.coverage += length
+        if len(self.segments) == 1 or score < self.low_score:
+            self.low_score = score
         if score != 0:
             self.have_scores = True
-        if self.coverage_limit == 0:
-            self.segments.append(seg)
-            self.coverage += length
-            if len(self.segments) == 1 or seg.score < self.low_score:
-                self.low_score = seg.score
+
+        if self.coverage_limit == 0 or self.coverage < self.coverage_limit:
             return
-        # heap mode: min-heap by score
-        if not self._heapified:
-            self._heap = [(s.score, i, s) for i, s in enumerate(self.segments)]
-            heapq.heapify(self._heap)
-            self._counter = len(self.segments)
-            self._heapified = True
-        # if below the lowest retained score and budget is full, skip
-        heapq.heappush(self._heap, (seg.score, self._counter, seg))
-        self._counter += 1
-        self.coverage += length
-        # evict while over budget, but never break a tie group whose
-        # removal would drop below budget... reference semantics: evict
-        # lowest-scoring segments while coverage > limit, except that
-        # all segments tied with the current root are evicted together
-        # only if coverage still exceeds the budget without them.
-        while self.coverage > self.coverage_limit and self._heap:
-            root_score = self._heap[0][0]
-            # gather the tie group
-            group = []
-            cov_without = self.coverage
-            while self._heap and self._heap[0][0] == root_score:
-                item = heapq.heappop(self._heap)
-                group.append(item)
-                cov_without -= item[2].length
-            if cov_without >= self.coverage_limit:
-                # safe to drop the whole tie group
-                self.coverage = cov_without
-            else:
-                # dropping the group would go under budget: keep it and
-                # stop (reference keeps tied scores together)
-                for item in group:
-                    heapq.heappush(self._heap, item)
+
+        segs = self.segments
+        if self.coverage - length < self.coverage_limit:
+            # first time over the limit: sort into a valid min-heap
+            segs.sort(key=lambda g: (g.score, g.length, g.pos2, g.pos1,
+                                     g.seg_id))
+            for ix in range(len(segs) - 1, -1, -1):
+                self._record_tie_score(ix)
+        else:
+            # percolate the appended segment up the min-heap
+            tied = False
+            ix = len(segs) - 1
+            while ix > 0:
+                p_ix = (ix - 1) // 2
+                if segs[ix].score >= segs[p_ix].score:
+                    tied = segs[ix].score == segs[p_ix].score
+                    break
+                segs[ix], segs[p_ix] = segs[p_ix], segs[ix]
+                self._record_tie_score(ix)
+                ix = p_ix
+            self._record_tie_score(ix)
+            if tied:
+                stopped = False
+                ix = (ix - 1) // 2
+                while ix > 0:
+                    if not self._record_tie_score(ix):
+                        stopped = True
+                        break
+                    ix = (ix - 1) // 2
+                if not stopped:
+                    self._record_tie_score(0)
+
+        # prune
+        if self.coverage - segs[0].score_cov < self.coverage_limit:
+            return
+        while (segs and
+               self.coverage - segs[0].score_cov >= self.coverage_limit):
+            s = segs[0].score
+            while segs and segs[0].score == s:
+                self._remove_root()
+        if segs:
+            self.low_score = segs[0].score
+
+    def _record_tie_score(self, ix) -> bool:
+        segs = self.segments
+        seg = segs[ix]
+        cov = seg.length
+        lft = 2 * ix + 1
+        if lft < len(segs):
+            if segs[lft].score == seg.score:
+                cov += segs[lft].score_cov
+            rgt = lft + 1
+            if rgt < len(segs) and segs[rgt].score == seg.score:
+                cov += segs[rgt].score_cov
+        if cov != seg.score_cov:
+            seg.score_cov = cov
+            return True
+        return False
+
+    def _remove_root(self):
+        segs = self.segments
+        self.coverage -= segs[0].length
+        if len(segs) <= 1:
+            self.segments.clear()
+            return
+        detached = segs.pop()
+        if len(segs) == 1:
+            segs[0] = detached
+            return
+        ix = (len(segs) - 1) // 2
+        while ix > 0:
+            if not self._record_tie_score(ix):
                 break
-        self.segments = [item[2] for item in sorted(self._heap, key=lambda x: x[1])]
-        self.low_score = min((s.score for s in self.segments), default=0)
+            ix = (ix - 1) // 2
+        ix = 0
+        while True:
+            child_ix = 2 * ix + 1
+            if child_ix >= len(segs):
+                break
+            rgt_ix = child_ix + 1
+            if rgt_ix < len(segs) and segs[rgt_ix].score < segs[child_ix].score:
+                child_ix = rgt_ix
+            if detached.score <= segs[child_ix].score:
+                break
+            segs[ix] = segs[child_ix]
+            ix = child_ix
+        segs[ix] = detached
+        while ix > 0:
+            self._record_tie_score(ix)
+            ix = (ix - 1) // 2
+        self._record_tie_score(0)
 
     # -- bulk ops -----------------------------------------------------------
 
@@ -143,9 +217,8 @@ class SegmentTable:
     def score_all(self, v1: np.ndarray, v2: np.ndarray, scoring):
         sub = scoring.sub
         for seg in self.segments:
-            seg.score = int(
-                sub[v1[seg.pos1 : seg.pos1 + seg.length],
-                    v2[seg.pos2 : seg.pos2 + seg.length]].sum())
+            seg.score = sub[v1[seg.pos1 : seg.pos1 + seg.length],
+                            v2[seg.pos2 : seg.pos2 + seg.length]].sum().item()
         self.have_scores = True
 
 

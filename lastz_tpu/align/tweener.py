@@ -1,0 +1,217 @@
+"""Interpolated ("tweener") alignment (reference tweener.c).
+
+Runs the full mini-pipeline — 7-mer exact-seed position table, seed
+search with x-drop, chaining, y-drop gapped extension — inside windows
+between adjacent outer alignments (and beyond chain ends), splicing
+the inner alignments into the outer list.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..config import ScoreThreshold
+from ..core.encoding import UPPER_NUC_TO_BITS
+from ..core.seeds import parse_seed
+from ..index.postable import build_seed_position_table
+from ..search.engine import SeedSearchEngine, HitProcessorParams
+from .segments import SegmentTable
+from .chain import reduce_to_chain
+from .ydrop import gapped_extend, reduce_to_points
+
+INNER_WORD_SIZE = 7
+
+
+@dataclass
+class _SubSeq:
+    """Minimal sequence stand-in for the inner pipeline."""
+    v: np.ndarray
+    rev_comp_flags: int = 0
+    start_loc: int = 1
+    true_len: int = 0
+    partitions: tuple = ()
+    is_partitioned: bool = False
+
+    def lookup_partition(self, pos):
+        return None
+
+
+@dataclass
+class _Active:
+    align: object
+    is_right_end: bool
+
+
+def tweener_interpolate(pipeline, target, query, align_list):
+    cfg = pipeline.cfg
+    if not align_list:
+        return align_list
+
+    window = cfg.inner_window + (cfg.inner_window & 1)  # round up to even
+    if cfg.inner_seed is None:
+        cfg.inner_seed = parse_seed("1" * INNER_WORD_SIZE, 28, with_trans=0)
+    inner_seed = cfg.inner_seed
+    score_thresh = ScoreThreshold("S", cfg.inner_threshold)
+
+    inner_list: list = []
+    active: list[_Active] = []
+
+    v1 = target.v
+    v2 = query.v
+    len1 = len(v1)
+    len2 = len(v2)
+
+    def bounded_align(b1, e1, b2, e2):
+        """reference bounded_align: inner pipeline in one window."""
+        if b1 == e1 or b2 == e2:
+            return
+        # (partitioned window splitting arrives with [multi]+--inner)
+        sub1 = _SubSeq(v=v1[b1 - 1 : e1].copy(), true_len=e1 - (b1 - 1))
+        sub2 = _SubSeq(v=v2[b2 - 1 : e2].copy(), true_len=e2 - (b2 - 1))
+        pt = build_seed_position_table(
+            sub1.v, 0, len(sub1.v), UPPER_NUC_TO_BITS, inner_seed, 1)
+        anchors = SegmentTable()
+
+        def reporter(pos1, pos2, length, s):
+            anchors.add(pos1 - length, pos2 - length, length, s)
+            return 1
+
+        hp = HitProcessorParams(
+            scoring=cfg.masked_scoring,
+            x_drop=cfg.x_drop,
+            hsp_threshold=score_thresh,
+            hsp_zero_threshold=(score_thresh.s if score_thresh.s > 0 else 0),
+            entropic_hsp=False,
+        )
+        engine = SeedSearchEngine(
+            sub1.v, pt, sub2.v, inner_seed, UPPER_NUC_TO_BITS, hp, reporter)
+        engine.search(0, len(sub2.v))
+
+        reduce_to_chain(anchors, cfg.chain_diag, cfg.chain_anti, cfg.scoring)
+        anchors.sort_by_pos1()
+
+        if len(anchors) == 0:
+            return
+        reduce_to_points(sub1.v, sub2.v, cfg.scoring, anchors)
+        inner = gapped_extend(
+            sub1, sub2, cfg.scoring, anchors,
+            inhibit_trivial=cfg.inhibit_trivial,
+            y_drop=cfg.y_drop,
+            trim_to_peak=not cfg.y_drop_untrimmed,
+            score_thresh=score_thresh,
+            traceback_mem=cfg.traceback_mem,
+        )
+        for a in inner:
+            a.beg1 += b1 - 1
+            a.end1 += b1 - 1
+            a.beg2 += b2 - 1
+            a.end2 += b2 - 1
+        # reference: innerList = merge_align(a, innerList) — the new
+        # window's alignments are the FIRST list, so they win ties
+        rest = inner_list[:]
+        out = []
+        i = j = 0
+        while i < len(inner) and j < len(rest):
+            if inner[i].beg1 <= rest[j].beg1:
+                out.append(inner[i])
+                i += 1
+            else:
+                out.append(rest[j])
+                j += 1
+        out.extend(inner[i:])
+        out.extend(rest[j:])
+        inner_list[:] = out
+
+    def try_bounded_align(b1, e1, b2, e2):
+        if b1 == e1 or b2 == e2:
+            return
+        bounded_align(b1, e1, b2, e2)
+
+    def dismiss(c: _Active):
+        if c.is_right_end:
+            b1 = c.align.end1
+            b2 = c.align.end2
+            a1 = min(b1 + window // 2, len1)
+            a2 = min(b2 + window // 2, len2)
+            try_bounded_align(b1, a1, b2, a2)
+
+    for a in align_list:
+        a1, a2 = a.beg1, a.beg2
+        a1_lft = 0 if a1 - 1 < window else a1 - window
+
+        # dismiss alignments that fell behind the sweep
+        keep = []
+        for c in active:
+            if c.align.end1 < a1_lft:
+                dismiss(c)
+            else:
+                keep.append(c)
+        active = keep
+
+        # look for an active alignment that overlaps A
+        has_overlap = False
+        overlap_ended_improperly = False
+        for c in active:
+            b = c.align
+            b1, b2 = b.end1, b.end2
+            dist_d = abs((b2 - b1) - (a2 - a1))
+            if dist_d <= window and (b1 >= a1 or b2 >= a2):
+                has_overlap = True
+                if b1 < a.end1 and b2 < a.end2:
+                    c.is_right_end = False
+                else:
+                    overlap_ended_improperly = True
+                    break
+        if has_overlap:
+            active.insert(0, _Active(a, not overlap_ended_improperly))
+            continue
+
+        # closest chain predecessor B
+        b_align = None
+        dist_to_b = 3 * window
+        is_left_end = True
+        for c in active:
+            b1, b2 = c.align.end1, c.align.end2
+            if b1 < a1 and b2 < a2 and a2 < b2 + window:
+                is_left_end = False
+                if c.is_right_end:
+                    dist = (a1 - b1) + (a2 - b2)
+                    if dist < dist_to_b:
+                        b_align = c.align
+                        dist_to_b = dist
+                c.is_right_end = False
+        if b_align is not None:
+            try_bounded_align(b_align.end1, a1, b_align.end2, a2)
+        elif is_left_end:
+            b1 = 1 if a1 <= window // 2 else a1 - window // 2
+            b2 = 1 if a2 <= window // 2 else a2 - window // 2
+            try_bounded_align(b1, a1, b2, a2)
+        active.insert(0, _Active(a, True))
+
+    for c in active:
+        dismiss(c)
+
+    out = list(align_list)
+    _merge_into(out, inner_list)
+    return out
+
+
+def _merge_into(dst: list, src: list):
+    """Stable merge by beg1 (reference merge_align), in place in dst."""
+    if not src:
+        return
+    merged = []
+    i = j = 0
+    while i < len(dst) and j < len(src):
+        if dst[i].beg1 <= src[j].beg1:
+            merged.append(dst[i])
+            i += 1
+        else:
+            merged.append(src[j])
+            j += 1
+    merged.extend(dst[i:])
+    merged.extend(src[j:])
+    dst[:] = merged

@@ -30,7 +30,8 @@ from typing import Optional
 
 import numpy as np
 
-from ..core.scoring import NEG_INFINITY_SCORE, WORST_POSSIBLE_SCORE
+from ..core.scoring import (NEG_INFINITY_SCORE, WORST_POSSIBLE_SCORE,
+                            neg_infinity_score, worst_possible_score)
 from .edit_script import EditScript, Alignment
 from .segments import SegmentTable
 
@@ -166,9 +167,10 @@ class YDropAligner:
         self.rev1 = v1[::-1].copy()
         self.rev2 = v2[::-1].copy()
         self.sub = scoring.sub
-        self.gap_e = int(scoring.gap_extend)
-        self.gap_oe = int(scoring.gap_open) + self.gap_e
-        self.y_drop = int(y_drop)
+        cast = float if scoring.sub.dtype == np.float64 else int
+        self.gap_e = cast(scoring.gap_extend)
+        self.gap_oe = cast(scoring.gap_open) + self.gap_e
+        self.y_drop = cast(y_drop)
         self.trim_to_peak = trim_to_peak
         self.tb_len = traceback_mem  # 1 byte/cell, like the reference
         self.truncation_reported = False
@@ -197,6 +199,8 @@ class YDropAligner:
             return 0, 0, 0, []
 
         gap_e, gap_oe, y_drop = self.gap_e, self.gap_oe, self.y_drop
+        NEG_INF = neg_infinity_score()
+        cell_dtype = self.sub.dtype
         sub = self.sub
 
         if reversed_:
@@ -208,7 +212,7 @@ class YDropAligner:
             b_at = lambda col: self.v2[anchor2 + col]
 
         if gap_e != 0:
-            y_drop_tail = y_drop // gap_e + 6
+            y_drop_tail = int(y_drop // gap_e) + 6
         else:
             y_drop_tail = min(N + 1, 500 * 1000)
 
@@ -270,16 +274,16 @@ class YDropAligner:
         # DP cells: CC/DD arrays indexed from current row's LY
         # (reference keeps one sweep row of dpCell)
         size0 = tb_needed + 1000
-        CC = np.zeros(size0, dtype=np.int64)
-        DD = np.zeros(size0, dtype=np.int64)
+        CC = np.zeros(size0, dtype=cell_dtype)
+        DD = np.zeros(size0, dtype=cell_dtype)
         MASK = np.full(size0, -1, dtype=np.int64)
 
         def cells_ensure(n):
             nonlocal CC, DD, MASK
             if n > len(CC):
                 add = n + len(CC) // 16 + 1000 - len(CC)
-                CC = np.concatenate([CC, np.zeros(add, dtype=np.int64)])
-                DD = np.concatenate([DD, np.zeros(add, dtype=np.int64)])
+                CC = np.concatenate([CC, np.zeros(add, dtype=cell_dtype)])
+                DD = np.concatenate([DD, np.zeros(add, dtype=cell_dtype)])
                 MASK = np.concatenate([MASK, np.full(add, -1, dtype=np.int64)])
 
         # -- compute first row
@@ -786,7 +790,7 @@ class YDropAligner:
                 pos1 += run
             ix += 1
         if ix == len(script.ops):
-            return pos1, pos2, WORST_POSSIBLE_SCORE
+            return pos1, pos2, worst_possible_score()
         script.ops[:ix] = []
         s = self._score_alignment(pos1, pos2, script)
         return pos1, pos2, s
@@ -802,7 +806,7 @@ class YDropAligner:
                 pos1 -= run
             ix -= 1
         if ix == 0:
-            return pos1, pos2, WORST_POSSIBLE_SCORE
+            return pos1, pos2, worst_possible_score()
         del script.ops[ix:]
         s = self._score_alignment(start1, start2, script)
         return pos1, pos2, s
@@ -1085,6 +1089,15 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
         aligner.left_seg = mp.left_seg1
         aligner.right_seg = mp.right_seg1
         get_above_below(aligner, mp.pos1, obi, oed)
+
+        # partitioned sequences: clamp the DP to the anchor's partition
+        # (gapped_extend.c:1355-1375)
+        if target.is_partitioned:
+            p1 = target.lookup_partition(mp.pos1)
+            aligner.low1, aligner.high1 = p1.sep_before + 1, p1.sep_after
+        if query.is_partitioned:
+            p2 = query.lookup_partition(mp.pos2)
+            aligner.low2, aligner.high2 = p2.sep_before + 1, p2.sep_after
 
         s, start1, start2, stop1, stop2, script = aligner.ydrop_align(
             mp.pos1, mp.pos2)

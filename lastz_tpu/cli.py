@@ -47,7 +47,8 @@ def parse_options(argv: list[str]) -> Config:
         args_parts.append(arg)
         val = arg.split("=", 1)[1] if "=" in arg else None
 
-        if not arg.startswith("-") and "=" not in arg:
+        import re as _re
+        if not arg.startswith("-") and not _re.match(r"^[A-Z]=", arg):
             positional.append(arg)
             args_parts.pop()
             continue
@@ -148,8 +149,11 @@ def parse_options(argv: list[str]) -> Config:
             cfg.which_strand = -1
         elif arg == "--gfextend":
             cfg.gf_extend = GFEX_XDROP
-        elif arg in ("--nogfextend", "--justhits", "--hitsonly"):
+        elif arg in ("--nogfextend", "--nogfx"):
             cfg.gf_extend = GFEX_NO_EXTEND
+        elif arg in ("--justhits", "--hitsonly"):
+            cfg.gf_extend = GFEX_NO_EXTEND
+            cfg.gapped_extend = False
         elif arg == "--chain":
             cfg.chain = True
         elif arg == "--nochain":
@@ -234,14 +238,20 @@ def parse_options(argv: list[str]) -> Config:
             cfg.segments_filename = val
         elif arg.startswith("--anchors="):
             cfg.segments_filename = val  # alias (reference synonym)
-        elif arg.startswith("--ambiguous="):
+        elif arg.startswith("--ambiguous=") or arg.startswith("--ambig="):
             parts = val.split(",")
-            kind = parts[0]
+            kind = parts[0].lower()
             if kind in ("n", "iupac"):
                 cfg.n_is_ambiguous = True
                 cfg.allow_ambi_dna = kind == "iupac"
-                cfg.ambi_match = int(parts[1]) if len(parts) > 1 else 0
-                cfg.ambi_mismatch = int(parts[2]) if len(parts) > 2 else 0
+                # one number => mismatch penalty; two => match,mismatch
+                if len(parts) == 2:
+                    cfg.ambi_mismatch = int(parts[1])
+                elif len(parts) >= 3:
+                    cfg.ambi_match = int(parts[1])
+                    cfg.ambi_mismatch = int(parts[2])
+            else:
+                raise UsageError(f"unknown ambiguity kind {kind}")
         elif arg.startswith("--maxwordcount="):
             if val.endswith("%"):
                 cfg.word_count_keep = float(val[:-1]) / 100.0
@@ -251,6 +261,10 @@ def parse_options(argv: list[str]) -> Config:
             cfg.end_comment = True
         elif arg.startswith("--output="):
             cfg.output_filename = val
+        elif arg in ("--doublescore", "--scoretype=double"):
+            # equivalent of the reference's lastz_D build
+            cfg.score_type = "D"
+            args_parts.pop()
         elif arg == "--version":
             print("lastz_tpu 0.1.0")
             sys.exit(0)

@@ -34,7 +34,8 @@ class ScoreThreshold:
     def to_string(self) -> str:
         # reference score_thresh_to_string
         if self.t == "S":
-            return f"{self.s}"
+            from .core.scoring import score_str
+            return score_str(self.s)
         if self.t == "C":
             return f"{self.c}c"
         if self.t == "P":
@@ -149,6 +150,8 @@ class Config:
 
     # runtime backend: "host" exact engine or "tpu" batched kernels
     backend: str = "host"
+    # score type: 'I' int32 (reference lastz) or 'D' double (lastz_D)
+    score_type: str = "I"
 
     def effective_x_drop(self) -> int:
         if self.x_drop != 0:

@@ -25,6 +25,45 @@ WORST_POSSIBLE_SCORE = -0x7FFFFFFF - 1
 NEG_INFINITY_SCORE = int(0.9 * WORST_POSSIBLE_SCORE)  # -1932735283
 VERY_BAD_SCORE = -((NEG_INFINITY_SCORE - WORST_POSSIBLE_SCORE) // 2)  # -107374182
 
+# double-score build ('D', reference lastz_D): score constants derive
+# from -FLT_MAX instead of INT32_MIN
+FLT_MAX = float(np.finfo(np.float32).max)
+WORST_POSSIBLE_SCORE_D = -FLT_MAX
+NEG_INFINITY_SCORE_D = 0.9 * WORST_POSSIBLE_SCORE_D
+VERY_BAD_SCORE_D = -((NEG_INFINITY_SCORE_D - WORST_POSSIBLE_SCORE_D) / 2)
+
+# process-wide score type, mirroring the reference's compile-time
+# scoreType switch ('I' int32 default, 'D' double for lastz_D parity)
+SCORE_TYPE = "I"
+
+
+def set_score_type(t: str):
+    global SCORE_TYPE
+    SCORE_TYPE = t
+
+
+def score_dtype():
+    return np.float64 if SCORE_TYPE == "D" else np.int64
+
+
+def worst_possible_score():
+    return WORST_POSSIBLE_SCORE_D if SCORE_TYPE == "D" else WORST_POSSIBLE_SCORE
+
+
+def neg_infinity_score():
+    return NEG_INFINITY_SCORE_D if SCORE_TYPE == "D" else NEG_INFINITY_SCORE
+
+
+def very_bad_score():
+    return VERY_BAD_SCORE_D if SCORE_TYPE == "D" else VERY_BAD_SCORE
+
+
+def score_str(s) -> str:
+    """Format a score as the reference's scoreFmtSimple does."""
+    if SCORE_TYPE == "D":
+        return f"{float(s):f}"
+    return str(int(s))
+
 # default substitution scores (reference dna_utilities.c:137-148)
 HOXD70 = np.array(
     [
@@ -93,7 +132,7 @@ def new_dna_score_set(
     fill_score: int = HOXD70_FILL,
     gap_open: int = HOXD70_OPEN,
     gap_extend: int = HOXD70_EXTEND,
-    dtype=np.int64,
+    dtype=None,
 ) -> ScoreSet:
     """Build a DNA score set (reference new_dna_score_set, dna_utilities.c:206).
 
@@ -105,9 +144,12 @@ def new_dna_score_set(
     """
     if template is None:
         template = HOXD70
+    if dtype is None:
+        dtype = score_dtype()
+    vbad = VERY_BAD_SCORE_D if dtype == np.float64 else VERY_BAD_SCORE
     sub = np.full((256, 256), fill_score, dtype=dtype)
-    sub[0, :] = VERY_BAD_SCORE
-    sub[:, 0] = VERY_BAD_SCORE
+    sub[0, :] = vbad
+    sub[:, 0] = vbad
     # note: the X rows/columns deliberately cover index 0 too, matching the
     # reference fill order (dna_utilities.c:283-291)
     for xc in (ord("X"), ord("x")):
@@ -155,6 +197,61 @@ def masked_score_set(ss: ScoreSet) -> ScoreSet:
         new.sub[1:, ord("X")] = bad
     new._dna4 = None
     return new
+
+
+def ambiguate_n(ss: ScoreSet, n_vs_n: int, n_vs_non_n: int):
+    """Score N as an ambiguous base (reference ambiguate_n)."""
+    sub = ss.sub
+    for r in (ord("N"), ord("n")):
+        for c in (ord("N"), ord("n")):
+            sub[r, c] = n_vs_n
+    if ss.cols_are_dna:
+        for ch in ss.row_chars:
+            if ch == ord("N"):
+                continue
+            lo = ch + 32 if 65 <= ch <= 90 else ch
+            for c in (ord("N"), ord("n")):
+                sub[ch, c] = n_vs_non_n
+                sub[lo, c] = n_vs_non_n
+    if ss.rows_are_dna:
+        for ch in ss.col_chars:
+            if ch == ord("N"):
+                continue
+            lo = ch + 32 if 65 <= ch <= 90 else ch
+            for r in (ord("N"), ord("n")):
+                sub[r, ch] = n_vs_non_n
+                sub[r, lo] = n_vs_non_n
+    ss._dna4 = None
+
+
+_AMBIGGIES = b"NnBDHKMRSVWYbdhkmrsvwy"
+
+
+def ambiguate_iupac(ss: ScoreSet, n_vs_n: int, n_vs_non_n: int):
+    """Score all IUPAC ambiguity codes (reference ambiguate_iupac)."""
+    sub = ss.sub
+
+    def low(c):
+        return c + 32 if 65 <= c <= 90 else c
+
+    for r in _AMBIGGIES:
+        for c in _AMBIGGIES:
+            sub[r, c] = n_vs_n if low(r) == low(c) else n_vs_non_n
+    if ss.rows_are_dna:
+        for ch in ss.row_chars:
+            for c in _AMBIGGIES:
+                if ch == ord("N") and c in (ord("N"), ord("n")):
+                    continue
+                sub[ch, c] = n_vs_non_n
+                sub[low(ch), c] = n_vs_non_n
+    if ss.cols_are_dna:
+        for ch in ss.col_chars:
+            for r in _AMBIGGIES:
+                if ch == ord("N") and r in (ord("N"), ord("n")):
+                    continue
+                sub[r, ch] = n_vs_non_n
+                sub[r, low(ch)] = n_vs_non_n
+    ss._dna4 = None
 
 
 def entropy(s: np.ndarray, t: np.ndarray) -> float:

@@ -72,6 +72,15 @@ class Seed:
             packed |= ((w >> np.uint64(src)) & np.uint64(1)) << np.uint64(dst)
         return packed.astype(np.uint32)
 
+    def pack_resolve(self, windows: np.ndarray) -> np.ndarray:
+        """Pack the demoted (resolving) bits of each window into a
+        compact word for overweight-seed verification."""
+        w = windows.astype(np.uint64)
+        packed = np.zeros_like(w, dtype=np.uint64)
+        for i, src in enumerate(self.resolve_bits):
+            packed |= ((w >> np.uint64(src)) & np.uint64(1)) << np.uint64(i)
+        return packed.astype(np.uint32)
+
     def _rc_words(self, w: np.ndarray) -> np.ndarray:
         n = self.length
         out = np.zeros_like(w)
@@ -216,6 +225,23 @@ def parse_seed(
         trans_flips=trans_flips,
         resolve_bits=tuple(resolve_srcs),
     )
+
+
+def seed_pattern_string(seed: Seed) -> str:
+    """Render the seed as in reference seed_pattern (seeds.c): the
+    implemented pattern over 1/T/0, plus '/RRR..' resolving-bit suffix
+    for overweight seeds."""
+    out = seed.pattern
+    if seed.type == "R" and seed.resolving_mask:
+        loc = 0
+        while loc < 16 and (seed.resolving_mask >> (2 * loc)) != 0:
+            loc += 1
+        if loc > 0:
+            out += "/"
+            for k in range(loc - 1, -1, -1):
+                bits = (seed.resolving_mask >> (2 * k)) & 3
+                out += {3: "?", 2: "R", 1: "?", 0: "0"}[bits]
+    return out
 
 
 def match_seed(word_len: int) -> str:

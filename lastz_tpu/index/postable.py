@@ -36,9 +36,13 @@ class PositionTable:
     # ascending; actual end-position = adj_start + step*value.
     csr_start: np.ndarray  # (4^weight + 1,) int64
     csr_pos: np.ndarray  # (num_entries,) uint32/int64
-    # packed 2-bit copy of the target, for overweight-seed resolution
-    # (reference pos_table 'asBits'); None unless seed.type == 'R'
-    as_bits: np.ndarray | None = None
+    # packed resolving bits per entry (aligned with csr_pos), for
+    # overweight seeds (replaces the reference's 'asBits' target copy
+    # with a precomputed per-entry word); None unless seed.type == 'R'
+    csr_resolve: np.ndarray | None = None
+    # liveness mask per entry; None means all alive (dynamic masking
+    # kills entries instead of restructuring the CSR)
+    alive: np.ndarray | None = None
 
     @property
     def num_words(self) -> int:
@@ -47,8 +51,10 @@ class PositionTable:
     def positions_for(self, word: int) -> np.ndarray:
         """Target end positions for `word`, in reference (descending) order."""
         lo, hi = self.csr_start[word], self.csr_start[word + 1]
-        stored = self.csr_pos[lo:hi][::-1]
-        return self.adj_start + self.step * stored.astype(np.int64)
+        stored = self.csr_pos[lo:hi]
+        if self.alive is not None:
+            stored = stored[self.alive[lo:hi]]
+        return self.adj_start + self.step * stored[::-1].astype(np.int64)
 
     def counts(self) -> np.ndarray:
         return np.diff(self.csr_start)
@@ -149,9 +155,9 @@ def build_seed_position_table(
     counts = np.bincount(sorted_words, minlength=num_words)
     csr_start = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
-    as_bits = None
+    csr_resolve = None
     if seed.type == "R":
-        as_bits = _pack_2bit(codes, start, end, adj_start)
+        csr_resolve = seed.pack_resolve(words)[order]
 
     return PositionTable(
         seed=seed,
@@ -161,17 +167,8 @@ def build_seed_position_table(
         adj_start=adj_start,
         csr_start=csr_start,
         csr_pos=sorted_pos,
-        as_bits=as_bits,
+        csr_resolve=csr_resolve,
     )
-
-
-def _pack_2bit(codes: np.ndarray, start: int, end: int, adj_start: int) -> np.ndarray:
-    """2-bit packed copy of codes (invalid -> 0), indexed from adj_start."""
-    n = end - adj_start
-    full = np.zeros(n, dtype=np.uint8)
-    off = start - adj_start
-    full[off:] = np.maximum(codes, 0).astype(np.uint8)
-    return full  # one code per byte; 'packed' logically (simple + fast)
 
 
 def limit_position_table(pt: PositionTable, max_count: int, keep_fraction: float = 0.0):

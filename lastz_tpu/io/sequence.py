@@ -70,11 +70,26 @@ class Sequence:
         return bool(self.partitions)
 
     def rev_comp(self):
-        """Reverse-complement in place (reference rev_comp_sequence)."""
-        self.v = NUC_TO_COMPLEMENT[self.v[::-1]].copy()
+        """Reverse-complement in place (reference rev_comp_sequence).
+
+        Partitioned sequences are reverse-complemented one partition at
+        a time, keeping the separator layout (observable in minus-
+        strand coordinates, sequences.c rev_comp_sequence)."""
+        if self.partitions:
+            for part in self.partitions:
+                lo, hi = part.sep_before + 1, part.sep_after
+                self.v[lo:hi] = NUC_TO_COMPLEMENT[self.v[lo:hi][::-1]]
+        else:
+            self.v = NUC_TO_COMPLEMENT[self.v[::-1]].copy()
         if self.vq is not None:
             self.vq = self.vq[::-1].copy()
         self.rev_comp_flags ^= RCF_REVCOMP
+
+    def lookup_partition(self, pos: int):
+        for part in self.partitions:
+            if part.sep_before <= pos < part.sep_after:
+                return part
+        return self.partitions[-1] if self.partitions else None
 
     def name_for_output(self) -> str:
         return self.header if self.use_full_names else self.short_header
@@ -202,6 +217,12 @@ def parse_sequence_spec(name: str) -> SequenceSpec:
         spec.filename = rest
 
     if actions_txt is not None:
+        # '<start>,<end>' uses a comma INSIDE one action, so try the
+        # whole bracket text as a subrange before comma-splitting
+        whole = _parse_subrange(actions_txt)
+        if whole is not None:
+            spec.start, spec.end = whole
+            actions_txt = ""
         for action in actions_txt.split(","):
             action = action.strip()
             if not action:

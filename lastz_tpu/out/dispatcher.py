@@ -27,6 +27,26 @@ class OutputDispatcher:
             self._fmt = "lav"
         else:
             self._fmt = fmt
+        # formats that are canned genpaf key strings (reference
+        # genpaf.h:117-126 and lastz.c --format= parsing)
+        from . import genpaf as gp_mod
+        self._genpaf_keys = None
+        if self._fmt in ("general", "general-"):
+            self._genpaf_keys = config.output_info or gp_mod.STANDARD_KEYS
+        elif self._fmt == "segments":
+            self._genpaf_keys = gp_mod.SEGMENT_KEYS
+        elif self._fmt == "paf":
+            self._genpaf_keys = gp_mod.PAF_MINIMAP2_KEYS
+        elif self._fmt == "paf:wfmash":
+            self._genpaf_keys = gp_mod.PAF_WFMASH_KEYS
+        elif self._fmt == "mapping":
+            self._genpaf_keys = gp_mod.MAPPING_KEYS
+        elif self._fmt in ("blastn", "blastn-"):
+            self._genpaf_keys = gp_mod.BLAST_KEYS
+        elif self._fmt == "rdotplot":
+            self._genpaf_keys = gp_mod.RDOTPLOT_KEYS
+        elif self._fmt == "rdotplot+score":
+            self._genpaf_keys = gp_mod.RDOTPLOT_SCORE_KEYS
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -52,6 +72,13 @@ class OutputDispatcher:
             from . import gfa as gfa_mod
             self.out.write(gfa_mod.gfa_job_header(
                 self.program_name, cfg.seq1_filename, cfg.seq2_filename))
+            # reference print_options emits z-records after the header
+            from ..core.seeds import seed_pattern_string
+            trans = {0: "", 1: " w/transition", 2: " w/2 transitions"}[
+                cfg.seed.with_trans]
+            self.out.write(gfa_mod.gfa_generic(
+                f"seed={seed_pattern_string(cfg.seed)}{trans}"))
+            self.out.write(gfa_mod.gfa_generic(f"step={cfg.step}"))
         elif self._fmt in ("axt", "axt+"):
             from . import axt as axt_mod
             self.out.write(axt_mod.axt_job_header(
@@ -74,13 +101,12 @@ class OutputDispatcher:
             pass
         elif self._fmt == "cigar":
             pass
-        elif self._fmt in ("general", "general-"):
+        elif self._genpaf_keys is not None:
             from . import genpaf as gp_mod
-            if self._fmt == "general":
-                self.out.write(gp_mod.genpaf_job_header(cfg.output_info))
-        elif self._fmt in ("segments", "none", "paf", "paf:wfmash",
-                           "blastn", "blastn-", "differences", "text",
-                           "ztext", "rdotplot"):
+            gp_mod.reset_alignment_counter()
+            if self._fmt in ("general", "segments"):
+                self.out.write(gp_mod.genpaf_job_header(self._genpaf_keys))
+        elif self._fmt in ("none", "differences", "text", "ztext"):
             pass
         else:
             raise ValueError(f"unsupported output format {self._fmt}")
@@ -88,8 +114,6 @@ class OutputDispatcher:
     def job_footer(self):
         if self._fmt == "lav":
             self.out.write(lav_mod.lav_job_footer())
-        elif self._fmt in ("maf", "maf+"):
-            self.out.write("##eof maf\n")
         if self.cfg.end_comment:
             self.out.write("# lastz end-of-file\n")
 
@@ -123,14 +147,11 @@ class OutputDispatcher:
             from . import gfa as gfa_mod
             self.out.write(gfa_mod.gfa_match(
                 self.seq1, pos1, self.seq2, pos2, length, s))
-        elif self._fmt == "segments":
-            from . import segments_out
-            self.out.write(segments_out.segments_match(
-                self.seq1, pos1, self.seq2, pos2, length, s))
-        elif self._fmt in ("general", "general-"):
+        elif self._genpaf_keys is not None:
             from . import genpaf as gp_mod
             self.out.write(gp_mod.genpaf_match(
-                self.cfg, self.seq1, pos1, self.seq2, pos2, length, s))
+                self.cfg, self.seq1, pos1, self.seq2, pos2, length, s,
+                self._genpaf_keys))
         elif self._fmt in ("maf", "maf+", "maf-"):
             from . import maf as maf_mod
             self.out.write(maf_mod.maf_match(
@@ -181,9 +202,10 @@ class OutputDispatcher:
         elif self._fmt == "gfa":
             from . import gfa as gfa_mod
             self.out.write(gfa_mod.gfa_align(self.seq1, self.seq2, a))
-        elif self._fmt in ("general", "general-"):
+        elif self._genpaf_keys is not None:
             from . import genpaf as gp_mod
-            self.out.write(gp_mod.genpaf_align(self.cfg, self.seq1, self.seq2, a))
+            self.out.write(gp_mod.genpaf_align(
+                self.cfg, self.seq1, self.seq2, a, self._genpaf_keys))
         elif self._fmt in ("sam", "softsam", "hardsam", "sam-", "softsam-", "hardsam-"):
             from . import sam as sam_mod
             self.out.write(sam_mod.sam_align(

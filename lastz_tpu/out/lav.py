@@ -20,14 +20,22 @@ RCF_LONG_SUFFIX = ["", "~", "~ (reverse complement)", " (reverse complement)"]
 def format_score_matrix(scoring) -> str:
     """4-column score matrix block as in the LAV d stanza
     (reference private_print_score_matrix, dna_utilities.c:1996)."""
-    width = 4
+    from ..core.scoring import SCORE_TYPE
+    width = 13 if SCORE_TYPE == "D" else 4
+
+    def cell(v):
+        if SCORE_TYPE == "D":
+            return f"{float(v):.6e}"
+        return str(int(v))
+
     lines = []
     cols = [c for c in scoring.col_chars if 65 <= c <= 90]
     rows = [r for r in scoring.row_chars if 65 <= r <= 90]
     head = " " + "".join(f" {chr(c):>{width}}" for c in cols)
     lines.append(head)
     for r in rows:
-        row = " " + "".join(f" {int(scoring.sub[r, c]):>{width}}" for c in cols)
+        row = " " + "".join(
+            f" {cell(scoring.sub[r, c]):>{width}}" for c in cols)
         lines.append(row)
     return "\n".join(lines)
 
@@ -40,8 +48,10 @@ def lav_job_header(program_name, name1, name2, args, scoring,
     out.append("d {\n")
     out.append(f'  "{program_name} {name1} {name2} {args}\n')
     out.append(format_score_matrix(scoring) + "\n")
+    from ..core.scoring import score_str
     out.append(
-        f"  O = {scoring.gap_open}, E = {scoring.gap_extend},"
+        f"  O = {score_str(scoring.gap_open)},"
+        f" E = {score_str(scoring.gap_extend)},"
         f" K = {hsp_threshold.to_string()}, L = {gapped_threshold.to_string()},"
         f" M = {dynamic_masking}"
     )
@@ -103,9 +113,10 @@ def lav_match(v1, pos1, v2, pos2, length, s) -> str:
     end1 = pos1 + length
     end2 = pos2 + length
     pct = percent_identical(v1, pos1, v2, pos2, length)
+    from ..core.scoring import score_str
     return (
         "a {\n"
-        f"  s {s}\n"
+        f"  s {score_str(s)}\n"
         f"  b {pos1 + 1} {pos2 + 1}\n"
         f"  e {end1} {end2}\n"
         f"  l {pos1 + 1} {pos2 + 1} {end1} {end2} {pct}\n"
@@ -128,9 +139,10 @@ def lav_align(v1, beg1, end1, v2, beg2, end2, script, s) -> str:
     script: EditScript of (op, run) with ops 'S'(sub) 'I' 'D'.
     """
     b1, b2 = beg1 + 1, beg2 + 1  # origin-1 inclusive
+    from ..core.scoring import score_str
     out = [
         "a {\n",
-        f"  s {s}\n",
+        f"  s {score_str(s)}\n",
         f"  b {b1} {b2}\n",
         f"  e {end1} {end2}\n",
     ]

@@ -43,10 +43,23 @@ class Pipeline:
 
     def _finalize_config(self):
         cfg = self.cfg
+        if cfg.score_type == "D":
+            from .core.scoring import set_score_type
+            set_score_type("D")
         if cfg.scoring is None:
             cfg.scoring = new_dna_score_set()
         if cfg.masked_scoring is None:
             cfg.masked_scoring = masked_score_set(cfg.scoring)
+        if cfg.allow_ambi_dna:
+            from .core.scoring import ambiguate_iupac
+            ambiguate_iupac(cfg.scoring, cfg.ambi_match, -cfg.ambi_mismatch)
+            ambiguate_iupac(cfg.masked_scoring, cfg.ambi_match,
+                            -cfg.ambi_mismatch)
+        if cfg.n_is_ambiguous:
+            from .core.scoring import ambiguate_n
+            ambiguate_n(cfg.scoring, cfg.ambi_match, -cfg.ambi_mismatch)
+            ambiguate_n(cfg.masked_scoring, cfg.ambi_match,
+                        -cfg.ambi_mismatch)
         if cfg.seed is None:
             seed_string = cfg.seed_string or SEED_12OF19
             cfg.seed = parse_seed(
@@ -90,6 +103,12 @@ class Pipeline:
         self.target = target
         self.pt = pt
 
+        self.targ_census = None
+        if cfg.dynamic_masking > 0 or cfg.report_census:
+            from .masking import Census
+            self.targ_census = Census(
+                len(target.v), "B", cfg.dynamic_masking)
+
         query_file = (SequenceFile(cfg.seq2_filename)
                       if cfg.seq2_filename else None)
         if query_file is None and cfg.self_compare:
@@ -127,7 +146,7 @@ class Pipeline:
         for th in (self.cfg.hsp_threshold, self.cfg.gapped_threshold):
             if th.t == "P":
                 th.t = "C"
-                th.c = int(th.p * len(target.v))
+                th.c = int(th.p * len(target.v) + 0.5)
 
     # -- per-query processing ------------------------------------------------
 
@@ -326,6 +345,12 @@ class Pipeline:
                 disp.print_match(seg.pos1, seg.pos2, seg.length, seg.score,
                                  seg.hsp_id)
 
+        if (self.targ_census is not None and anchors is not None
+                and not cfg.gapped_extend):
+            num_masked = self.targ_census.mask_segments(
+                anchors, target.v, self._on_mask_interval)
+            disp.print_x_stanza(num_masked)
+
         if cfg.gapped_extend:
             from .align.ydrop import gapped_extend, reduce_to_points
             reduce_to_points(target.v, query.v, cfg.scoring, anchors)
@@ -349,6 +374,10 @@ class Pipeline:
                 if cfg.mirror_gapped:
                     align_list = self._mirror_alignments(align_list)
                 disp.print_align_list(align_list)
+            if self.targ_census is not None and align_list:
+                num_masked = self.targ_census.mask_aligns(
+                    align_list, target.v, self._on_mask_interval)
+                disp.print_x_stanza(num_masked)
 
     # -- helpers ---------------------------------------------------------------
 
@@ -378,6 +407,14 @@ class Pipeline:
             align_list = filter_aligns_by_continuity(
                 align_list, cfg.min_continuity, cfg.max_continuity)
         return align_list
+
+    def _on_mask_interval(self, beg, end):
+        """Masking callback: drop the seeds over the masked interval
+        BEFORE the characters are overwritten (reference
+        remove_interval_seeds)."""
+        from .masking import remove_interval_seeds
+        remove_interval_seeds(self.pt, self.cfg.seed, self.target.v,
+                              beg - 1, end)
 
     def _report_mirror(self, pos1, pos2, length, s):
         target, query = self.target, None

@@ -45,6 +45,9 @@ from ..config import (
 DIAG_HASH_SIZE = 65536
 HASH_INACTIVE = -1
 
+_POPCOUNT16 = np.array(
+    [bin(i).count("1") for i in range(1 << 16)], dtype=np.int32)
+
 NO_SCORE = None  # sentinel for "discard this hit"
 
 
@@ -145,13 +148,31 @@ class SeedSearchEngine:
         flips = seed.trans_flips if seed.with_trans else ()
         with_trans = seed.with_trans
         resolve = seed.type == "R"
+        if resolve:
+            resolve_all = seed.pack_resolve(words)
         valid_idx = np.nonzero(valid)[0]
         for k in valid_idx:
             pos2 = start + L + int(k)
             packed = int(packed_all[k])
             if resolve:
+                # flipped probes spend transition budget in the index,
+                # leaving less for the resolving bits
+                # (private_hit_search_resolve, seed_search.c:700-780)
+                q_res = int(resolve_all[k])
                 bases_hit += self._probe_resolve(
-                    packed, pos2, int(words[k]), with_trans)
+                    packed, pos2, q_res, with_trans)
+                if with_trans == 1:
+                    for f in flips:
+                        bases_hit += self._probe_resolve(
+                            packed ^ f, pos2, q_res, 0)
+                elif with_trans >= 2:
+                    nf = len(flips)
+                    for i in range(nf):
+                        p1 = packed ^ flips[i]
+                        bases_hit += self._probe_resolve(p1, pos2, q_res, 1)
+                        for j in range(i + 1, nf):
+                            bases_hit += self._probe_resolve(
+                                p1 ^ flips[j], pos2, q_res, 0)
             else:
                 bases_hit += self._probe(packed, pos2)
                 if with_trans == 1:
@@ -179,16 +200,20 @@ class SeedSearchEngine:
         adj = pt.adj_start
         step = pt.step
         csr = pt.csr_pos
+        alive = pt.alive
         for i in range(hi - 1, lo - 1, -1):
+            if alive is not None and not alive[i]:
+                continue
             pos1 = adj + step * int(csr[i])
             if self.self_compare and self._below_diagonal(pos1, pos2):
                 continue
             bases_hit += self._process(pos1, pos2, self.seed.length)
         return bases_hit
 
-    def _probe_resolve(self, packed: int, pos2: int, unpacked2: int,
+    def _probe_resolve(self, packed: int, pos2: int, q_resolve: int,
                        trans_allowed: int) -> int:
-        """Overweight seeds: verify demoted bits against the target copy."""
+        """Overweight seeds: verify demoted bits against the target's
+        precomputed per-entry resolve words (seed_search.c:878-980)."""
         pt = self.pt
         lo = pt.csr_start[packed]
         hi = pt.csr_start[packed + 1]
@@ -198,22 +223,17 @@ class SeedSearchEngine:
         adj = pt.adj_start
         step = pt.step
         csr = pt.csr_pos
-        seed = self.seed
-        L = seed.length
-        for i in range(hi - 1, lo - 1, -1):
-            pos1 = adj + step * int(csr[i])
-            if self.self_compare and self._below_diagonal(pos1, pos2):
+        L = self.seed.length
+        xor = pt.csr_resolve[lo:hi] ^ np.uint32(q_resolve)
+        mism = _POPCOUNT16[xor & 0xFFFF] + _POPCOUNT16[xor >> 16]
+        ok = mism <= trans_allowed
+        if pt.alive is not None:
+            ok = ok & pt.alive[lo:hi]
+        for k in range(hi - 1 - lo, -1, -1):
+            if not ok[k]:
                 continue
-            # rebuild target window's unpacked word from the 2-bit copy
-            w1 = 0
-            seg = pt.as_bits[pos1 - L - pt.adj_start : pos1 - pt.adj_start]
-            for c in seg:
-                w1 = (w1 << 2) | int(c)
-            mismatches = 0
-            for src in seed.resolve_bits:
-                if ((w1 >> src) & 1) != ((unpacked2 >> src) & 1):
-                    mismatches += 1
-            if mismatches > trans_allowed:
+            pos1 = adj + step * int(csr[lo + k])
+            if self.self_compare and self._below_diagonal(pos1, pos2):
                 continue
             bases_hit += self._process(pos1, pos2, L)
         return bases_hit
@@ -349,7 +369,7 @@ class SeedSearchEngine:
             consumed = int(fail[0]) if len(fail) else n_left
             cc = c[:consumed]
             if len(cc):
-                best = int(cc.max())
+                best = cc.max().item()
                 if best > 0:
                     kstar = int(np.argmax(cc))
                     left_score = best
@@ -382,7 +402,7 @@ class SeedSearchEngine:
             consumed = int(fail[0]) if len(fail) else n_right
             cc = c[:consumed]
             if len(cc):
-                best = int(cc.max())
+                best = cc.max().item()
                 if best > 0:
                     kstar = int(np.argmax(cc))
                     right_score = best
@@ -426,7 +446,9 @@ class SeedSearchEngine:
         if adjust:
             q = entropy(seq1[new_pos1 - new_length : new_pos1],
                         seq2[new_pos2 - new_length : new_pos2])
-            similarity = int(similarity * q)
+            from ..core.scoring import SCORE_TYPE
+            similarity = (similarity * q if SCORE_TYPE == "D"
+                          else int(similarity * q))
 
         if hp.hsp_threshold.t == "S" and similarity < hp.hsp_threshold.s:
             return None
@@ -483,7 +505,9 @@ class SeedSearchEngine:
         if adjust:
             q = entropy(seq1[new_pos1 - new_length : new_pos1],
                         seq2[new_pos2 - new_length : new_pos2])
-            similarity = int(similarity * q)
+            from ..core.scoring import SCORE_TYPE
+            similarity = (similarity * q if SCORE_TYPE == "D"
+                          else int(similarity * q))
 
         if hp.hsp_threshold.t == "S" and similarity < hp.hsp_threshold.s:
             return None

@@ -91,3 +91,154 @@ def test_hw_seeded():
     check_lav("base_test.hwseeded.lav", [
         f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa", "C=3",
         "--seed=TTT0T0T0TTT00T0T"])
+
+
+def run_and_diff(golden_name, args, pipe=None):
+    got = run_lastz(args)
+    if pipe == "maf_sort_pos1":
+        got = _maf_sort_pos1(got)
+    with open(os.path.join("/root/reference/test_data", golden_name)) as f:
+        golden = f.read()
+    assert golden == got, f"{golden_name}: byte mismatch"
+
+
+def _maf_sort_pos1(text):
+    # equivalent of tools/maf_sort.py --key=pos1
+    blocks = []
+    head = []
+    cur = []
+    for line in text.splitlines(True):
+        if line.startswith("a "):
+            if cur:
+                blocks.append(cur)
+            cur = [line]
+        elif cur:
+            cur.append(line)
+        else:
+            head.append(line)
+    if cur:
+        blocks.append(cur)
+
+    def key(block):
+        s_line = block[1].split()
+        return (int(s_line[2]), block)
+
+    blocks.sort(key=lambda b: int(b[1].split()[2]))
+    return "".join(head) + "".join("".join(b) for b in blocks)
+
+
+def test_adaptive_k():
+    got = run_lastz([
+        f"{TD}/aglobin.2bit/human", f"{TD}/aglobin.2bit/cow",
+        "C=3", "W=8", "T=0", "--noentropy", "K=top50%", "--gfa"])
+    a_lines = sorted(
+        (l for l in got.splitlines() if l.startswith("a ")),
+        key=lambda l: -int(l.split()[2]))
+    with open("/root/reference/test_data/base_test.adaptive_k.gfa") as f:
+        golden = sorted(
+            (l.rstrip("\n") for l in f if l.startswith("a ")),
+            key=lambda l: -int(l.split()[2]))
+    assert sorted(golden) == sorted(a_lines)
+
+
+def test_ow_seeded():
+    got = run_lastz([
+        f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa",
+        "--justhits", "--seed=111010011101", "--word=12", "--gfa"])
+    mine = sorted(l for l in got.splitlines() if l[0] in "azsh")
+    with open("/root/reference/test_data/base_test.owseeded.gfa") as f:
+        golden = sorted(l.rstrip("\n") for l in f if l[0] in "azsh")
+    # d-record (command line) differs; a/z/s/h records must match
+    assert golden == mine
+
+
+def test_axt():
+    got = run_lastz([
+        f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa", "--format=axt"])
+    strip = lambda t: [l for l in t.splitlines() if not l.startswith("#")]
+    with open("/root/reference/test_data/base_test.default.axt") as f:
+        golden = strip(f.read())
+    assert golden == strip(got)
+
+
+def test_anchors():
+    run_and_diff("base_test.anchors.maf", [
+        f"{TD}/aglobin.2bit/human", f"{TD}/aglobin.2bit/cow",
+        "C=0", "--format=maf-",
+        f"--anchors={TD}/base_test.anchors.anchors"])
+
+
+def test_anchors_multi():
+    run_and_diff("base_test.anchors_multi.maf", [
+        f"{TD}/aglobin.2bit/human",
+        f"{TD}/shorties.fa[subset={TD}/shorties.names]",
+        "C=0", "--format=maf-",
+        f"--anchors={TD}/base_test.anchors_multi.anchors"])
+
+
+def test_subrange():
+    check_lav("base_test.subrange.lav", [
+        f"{TD}/aglobin.2bit/human[10000,60000]",
+        f"{TD}/aglobin.2bit/cow[15000#40000]"])
+
+
+def test_mask():
+    check_lav("base_test.mask.lav", [
+        f"{TD}/pseudocat.fa",
+        f"{TD}/pseudopig.fa[nmask={TD}/pseudopig.n.mask]",
+        "--ambiguous=n,60"])
+
+
+def test_coi_fa():
+    run_and_diff("base_test.coi.maf", [
+        f"{TD}/aglobin.2bit/human",
+        f"{TD}/shorties.fa[subset={TD}/shorties.names]",
+        "K=3000", "--maf-"])
+
+
+def test_coi_2bit():
+    run_and_diff("base_test.coi.maf", [
+        f"{TD}/aglobin.2bit/human",
+        f"{TD}/shorties.2bit[subset={TD}/shorties.names]",
+        "K=3000", "--maf-"])
+
+
+def test_multi():
+    run_and_diff("base_test.multi.maf", [
+        f"{TD}/aglobin.2bit/human",
+        f"{TD}/shorties.2bit[multi,@{TD}/shorties.names]",
+        "K=3000", "--maf-"], pipe="maf_sort_pos1")
+
+
+def test_multi_subrange():
+    run_and_diff("base_test.multi_subrange.maf", [
+        f"{TD}/aglobin.2bit/human",
+        f"{TD}/shorties.2bit[multi,51..200]",
+        "K=3000", "--maf-"])
+
+
+def test_masking():
+    check_lav("base_test.masking.lav", [
+        f"{TD}/fake_apple.fa", f"{TD}/fake_orange_reads.fa", "--masking=3"])
+
+
+def test_segments_roundtrip(tmp_path):
+    hsps = run_lastz([
+        f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa",
+        "--nogapped", "--format=segments"])
+    p = tmp_path / "segments.hsps"
+    p.write_text(hsps)
+    check_lav("base_test.default.lav", [
+        f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa", f"--segments={p}"])
+
+
+def test_interpolated():
+    check_lav("base_test.interpolated.lav", [
+        f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa",
+        "C=2", "W=8", "T=0", "H=2200"])
+
+
+def test_float():
+    check_lav("base_test.float.lav", [
+        f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa",
+        "C=2", "W=8", "T=0", "--doublescore"])
