@@ -103,28 +103,41 @@ def run_and_diff(golden_name, args, pipe=None):
 
 
 def _maf_sort_pos1(text):
-    # equivalent of tools/maf_sort.py --key=pos1
+    # faithful equivalent of tools/maf_sort.py --key=pos1
+    lines = text.splitlines()
     blocks = []
-    head = []
-    cur = []
-    for line in text.splitlines(True):
+    comments = []
+    i = 0
+    while i < len(lines):
+        line = lines[i]
         if line.startswith("a "):
-            if cur:
-                blocks.append(cur)
-            cur = [line]
-        elif cur:
-            cur.append(line)
+            block = [line]
+            i += 1
+            while i < len(lines) and lines[i].strip():
+                block.append(lines[i])
+                i += 1
+            s1 = block[1].split()
+            s2 = block[2].split()
+            score = float(block[0].split("score=")[1])
+            key = (int(s1[2]), s1[4], int(s2[2]), s2[4],
+                   int(s1[3]), int(s2[3]), score, s1[1], s2[1])
+            blocks.append((key, block, comments))
+            comments = []
+        elif line.startswith("#") or not line.strip():
+            if line.strip():
+                comments.append(line)
+            i += 1
         else:
-            head.append(line)
-    if cur:
-        blocks.append(cur)
-
-    def key(block):
-        s_line = block[1].split()
-        return (int(s_line[2]), block)
-
-    blocks.sort(key=lambda b: int(b[1].split()[2]))
-    return "".join(head) + "".join("".join(b) for b in blocks)
+            comments.append(line)
+            i += 1
+    blocks.sort()
+    out = []
+    for key, block, comm in blocks:
+        if comm:
+            out.append("\n".join(comm))
+        out.append("\n".join(block))
+        out.append("")
+    return "\n".join(out) + "\n" if blocks else text
 
 
 def test_adaptive_k():
