@@ -278,18 +278,23 @@ def parse_sequence_spec(name: str) -> SequenceSpec:
 
 
 def sniff_file_type(path: str) -> str:
+    """Identify the file format by magic number (reference
+    sequences.c:9060-9110)."""
+    import struct
+
     with open(path, "rb") as f:
         magic = f.read(4)
-    if magic[:4] in (b"\x1a\x41\x27\x43", b"\x43\x27\x41\x1a"):
-        return "2bit"
-    if magic[:4] in (b"\x6e\x69\x62\x1a", b"\x1a\x62\x69\x6e",
-                     b"\x3a\x29\xd3\xbe"):
-        return "nib"
-    if magic[:4] in (b"\xd1\x5f\x52\xca", b"\xca\x52\x5f\xd1"):
-        return "hsx"
-    with open(path, "rb") as f:
-        first = f.read(1)
-    if first == b"@":
+    if len(magic) == 4:
+        big = struct.unpack(">I", magic)[0]
+        if big in (0x6BE93D3A, 0x3A3DE96B):
+            return "nib"
+        if big in (0x1A412743, 0x4327411A):
+            return "2bit"
+        if big in (0xD2527095, 0x957052D2):
+            return "hsx"
+        if big == 0xC4B47197:  # qdna
+            return "qdna"
+    if magic[:1] == b"@":
         return "fastq"
     return "fasta"
 
@@ -298,6 +303,20 @@ class SequenceFile:
     """Iterates records of a sequence file (reference open_sequence_file)."""
 
     def __init__(self, name: str, default_type: str = "fasta"):
+        if name is None or name == "-":
+            # query from stdin (reference: "(stdin)")
+            import sys
+            self._stdin_data = sys.stdin.buffer.read()
+            self.spec = SequenceSpec(filename="(stdin)")
+            self.filename = "(stdin)"
+            self.file_type = ("fastq" if self._stdin_data[:1] == b"@"
+                              else "fasta")
+            self.contig_index = 0
+            self._records = None
+            self._cursor = 0
+            self._subset_names = None
+            return
+        self._stdin_data = None
         self.spec = parse_sequence_spec(name)
         self.filename = self.spec.filename
         self.file_type = self.spec.file_type or sniff_file_type(self.filename)
@@ -313,6 +332,12 @@ class SequenceFile:
 
     def _load_records(self):
         if self._records is not None:
+            return
+        if self._stdin_data is not None:
+            if self.file_type == "fastq":
+                self._records = _parse_fastq_bytes(self._stdin_data)
+            else:
+                self._records = _parse_fasta_bytes(self._stdin_data)
             return
         if self.file_type == "fasta":
             self._records = _read_fasta(self.filename)
@@ -464,14 +489,16 @@ def open_sequence_file(name: str) -> SequenceFile:
 
 def _read_fasta(path: str):
     """Return list of (data_bytes, header, short_header, contig)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return _parse_fasta_bytes(data)
+
+
+def _parse_fasta_bytes(data: bytes):
     records = []
     header = None
     chunks: list[bytes] = []
     contig = 0
-    with open(path, "rb") as f:
-        data = f.read()
-    if data.startswith(b">"):
-        pass
     lines = data.split(b"\n")
     for raw in lines:
         line = raw.rstrip(b"\r")
@@ -499,9 +526,14 @@ def _fasta_record(chunks, header, contig):
 
 
 def _read_fastq(path: str):
-    records = []
     with open(path, "rb") as f:
-        lines = f.read().split(b"\n")
+        data = f.read()
+    return _parse_fastq_bytes(data)
+
+
+def _parse_fastq_bytes(data: bytes):
+    records = []
+    lines = data.split(b"\n")
     i = 0
     contig = 0
     while i + 3 < len(lines) or (i < len(lines) and lines[i].strip()):
@@ -521,33 +553,30 @@ def _read_fastq(path: str):
 
 
 def _read_nib(path: str):
-    """Read .nib (4-bit) format: magic, length, 2 bases/byte."""
+    """Read .nib (4-bit) format (reference load_nib_sequence,
+    sequences.c:3399-3580): magic, length, then 2 bases per byte with
+    codes 0..7 = T C A G N X X X, +8 for soft-masked (lower case)."""
     import struct
 
     with open(path, "rb") as f:
         raw = f.read()
-    magic = struct.unpack("<I", raw[0:4])[0]
-    if magic == 0x6BE93D3A:
+    big = struct.unpack(">I", raw[0:4])[0]
+    if big == 0x3A3DE96B:  # nibMagicLittle read big-endian
         endian = "<"
-    elif struct.unpack(">I", raw[0:4])[0] == 0x6BE93D3A:
+    elif big == 0x6BE93D3A:
         endian = ">"
     else:
-        # UCSC nib magic 0x2A1A (other variants); try both byte orders
-        endian = "<"
+        raise ValueError(f"bad nib magic number in {path}")
     length = struct.unpack(endian + "I", raw[4:8])[0]
     codes = np.frombuffer(raw[8 : 8 + (length + 1) // 2], dtype=np.uint8)
-    hi = codes >> 4
-    lo = codes & 0xF
     interleaved = np.empty(2 * len(codes), dtype=np.uint8)
-    interleaved[0::2] = hi
-    interleaved[1::2] = lo
+    interleaved[0::2] = codes >> 4
+    interleaved[1::2] = codes & 0xF
     interleaved = interleaved[:length]
-    # nib code: 0=T 1=C 2=A 3=G 4=N; bit 3 set => masked (lower case)
-    table = np.frombuffer(b"TCAGNNNNtcagnnnn", dtype=np.uint8)
-    data = table[interleaved & 0xF].tobytes()
-    name = os.path.basename(path)
-    header = name
-    short = shorten_header(name, skip_path=True)
+    table = np.frombuffer(b"TCAGNXXXtcagnxxx", dtype=np.uint8)
+    data = table[interleaved].tobytes()
+    header = f"{path}:1-{length}"
+    short = shorten_header(path, skip_path=True)
     return (data, header, short, 1)
 
 

@@ -109,10 +109,12 @@ class Pipeline:
             self.targ_census = Census(
                 len(target.v), "B", cfg.dynamic_masking)
 
-        query_file = (SequenceFile(cfg.seq2_filename)
-                      if cfg.seq2_filename else None)
-        if query_file is None and cfg.self_compare:
+        if cfg.seq2_filename:
+            query_file = SequenceFile(cfg.seq2_filename)
+        elif cfg.self_compare:
             query_file = SequenceFile(cfg.seq1_filename)
+        else:
+            query_file = SequenceFile(None)  # query from stdin
 
         disp.job_header()
 

@@ -255,3 +255,39 @@ def test_float():
     check_lav("base_test.float.lav", [
         f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa",
         "C=2", "W=8", "T=0", "--doublescore"])
+
+
+def test_nib_target():
+    got = run_lastz([
+        f"{TD}/pseudopig2.nib", f"{TD}/pseudocat.fa", "C=2", "W=8", "T=0"])
+    import re
+    got = re.sub(r"\.\..*\.nib:.*\"", "> pig2\"", got)
+    got = got.replace(".nib", ".fa")
+    import io as _io
+    from lav_diff import _strip_d_stanzas
+    with open("/root/reference/test_data/base_test.pig_cat.lav") as f:
+        golden = _strip_d_stanzas(f.read())
+    assert golden == _strip_d_stanzas(got)
+
+
+def test_2bit_target_contig():
+    got = run_lastz([
+        f"{TD}/pseudopig.2bit/pig2", f"{TD}/pseudocat.fa",
+        "C=2", "W=8", "T=0"])
+    got = got.replace("pig", "> pig").replace("do> pig.2bit", "dopig2.fa")
+    import re
+    got = re.sub(r"(dopig2.*) 0 2", r"\1 0 1", got)
+    from lav_diff import _strip_d_stanzas
+    with open("/root/reference/test_data/base_test.pig_cat.lav") as f:
+        golden = _strip_d_stanzas(f.read())
+    assert golden == _strip_d_stanzas(got)
+
+
+def test_2bit_query():
+    got = run_lastz([
+        f"{TD}/pseudocat.fa", f"{TD}/pseudopig.2bit", "C=2", "W=8", "T=0"])
+    got = got.replace("pig", "> pig").replace("do> pig.2bit", "dopig.fa")
+    from lav_diff import _strip_d_stanzas
+    with open("/root/reference/test_data/base_test.extended.lav") as f:
+        golden = _strip_d_stanzas(f.read())
+    assert golden == _strip_d_stanzas(got)
