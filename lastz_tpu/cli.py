@@ -261,6 +261,35 @@ def parse_options(argv: list[str]) -> Config:
             cfg.end_comment = True
         elif arg.startswith("--output="):
             cfg.output_filename = val
+        elif arg in ("--anyornone", "--stopafterone"):
+            cfg.hsp_immediate = True
+            cfg.search_limit = 1
+            cfg.search_limit_warn = False
+            cfg.search_limit_keep = False
+        elif arg.startswith("--limitperquery=") or arg.startswith("--queryhsplimit="):
+            v = val
+            if v.endswith("+"):
+                cfg.search_limit_keep = True
+                v = v[:-1]
+            cfg.hsp_immediate = True
+            cfg.search_limit = int(v)
+        elif arg == "--markmismatches" or arg == "--action:markmismatches":
+            cfg.sam_mark_mismatches = True
+        elif arg.startswith("--readgroup="):
+            cfg.read_group = val
+        elif arg.startswith("--allocate:traceback=") or arg.startswith("--traceback="):
+            t = val.upper()
+            mult = 1
+            if t.endswith("M"):
+                mult = 1 << 20
+                t = t[:-1]
+            elif t.endswith("K"):
+                mult = 1 << 10
+                t = t[:-1]
+            elif t.endswith("G"):
+                mult = 1 << 30
+                t = t[:-1]
+            cfg.traceback_mem = int(float(t) * mult)
         elif arg in ("--doublescore", "--scoretype=double"):
             # equivalent of the reference's lastz_D build
             cfg.score_type = "D"

@@ -135,6 +135,9 @@ class Config:
     output_format: str = "lav"
     output_info: Optional[str] = None  # genpaf field keys
     output_filename: Optional[str] = None
+    sam_mark_mismatches: bool = False
+    read_group: Optional[str] = None
+    sam_rg_tags: Optional[str] = None
     end_comment: bool = False
     de_gapify_output: bool = False
 

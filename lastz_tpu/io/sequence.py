@@ -374,14 +374,15 @@ class SequenceFile:
         if self.spec.do_partition:
             return self._load_partitioned()
         while self._cursor < len(self._records):
-            data, header, short, contig = self._records[self._cursor]
+            rec = self._records[self._cursor]
             self._cursor += 1
-            seq = self._materialize(data, header, short, contig)
+            seq = self._materialize(*rec)
             return seq
         return None
 
-    def _materialize(self, data, header, short, contig) -> Sequence:
+    def _materialize(self, data, header, short, contig, quals=None) -> Sequence:
         true_len = len(data)
+        qdata = quals
         start_loc = 1
         if self.spec.start or self.spec.end:
             s = self.spec.start or 1
@@ -395,6 +396,8 @@ class SequenceFile:
             if s < 1 or s > e:
                 raise ValueError(f"bad subrange {s}..{e}")
             data = data[s - 1 : e]
+            if qdata:
+                qdata = qdata[s - 1 : e]
             start_loc = s
         v = np.frombuffer(data, dtype=np.uint8).copy()
         if self.spec.unmask:
@@ -413,6 +416,8 @@ class SequenceFile:
             contig=contig,
             file_type=self.file_type,
             use_full_names=self.spec.use_full_names,
+            vq=(np.frombuffer(qdata, dtype=np.uint8).copy()
+                if qdata else None),
         )
         for maskfile, ch in ((self.spec.nmask_filename, ord("N")),
                              (self.spec.xmask_filename, ord("X"))):
@@ -444,7 +449,8 @@ class SequenceFile:
         chunks = [b"\0"]
         parts = []
         pos = 1
-        for (data, header, short, contig) in recs:
+        for rec in recs:
+            data, header, short, contig = rec[:4]
             true_len = len(data)
             start_loc = 1
             if self.spec.start or self.spec.end:
@@ -541,13 +547,13 @@ def _parse_fastq_bytes(data: bytes):
             i += 1
             continue
         if not lines[i].startswith(b"@"):
-            raise ValueError(f"bad fastq record at line {i+1} of {path}")
+            raise ValueError(f"bad fastq record at line {i+1}")
         header = lines[i].decode("latin-1")
         data = lines[i + 1].strip()
-        # line i+2 is '+'; line i+3 is qualities
+        quals = lines[i + 3].strip() if i + 3 < len(lines) else b""
         contig += 1
         short = shorten_header(">" + header[1:])
-        records.append((bytes(data), header, short, contig))
+        records.append((bytes(data), header, short, contig, bytes(quals)))
         i += 4
     return records
 

@@ -86,6 +86,11 @@ def get_lib():
         i64,                      # tbp
         ctypes.POINTER(RowResult),
     ]
+    lib.ydrop_bench.restype = ctypes.c_int64
+    lib.ydrop_bench.argtypes = [
+        p_i64, p_i64, p_i64, p_u8, p_i64, p_u8,
+        i64, i64, i64, i64, i64, i64,
+    ]
     lib.xdrop_extend.restype = None
     lib.xdrop_extend.argtypes = [
         p_u8, p_u8, p_i64,

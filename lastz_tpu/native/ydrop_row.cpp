@@ -237,4 +237,32 @@ void xdrop_extend(
     *out_right_block = s1i;
 }
 
+// Single-core speed benchmark: run `rows` iterations of the row sweep
+// over a fixed-width band, entirely in native code (no per-row FFI
+// overhead).  This is the fair "reference C speed" baseline for the
+// TPU kernel: it is the same inner loop the reference's
+// ydrop_one_sided_align runs (gapped_extend.c:3683-3775).
+int64_t ydrop_bench(
+    int64_t* CC, int64_t* DD, int64_t* MASK, uint8_t* tb,
+    const int64_t* sub_row, const uint8_t* B,
+    int64_t rows, int64_t band,
+    int64_t gap_e, int64_t gap_oe, int64_t y_drop, int64_t neg_inf)
+{
+    RowResult res;
+    int64_t best = 0, end1 = 0, end2 = 0, bnd = 0, bscore = neg_inf;
+    int64_t tbp = 0;
+    for (int64_t r = 1; r <= rows; r++) {
+        ydrop_row(CC, DD, MASK, tb, sub_row, B, 0, 1,
+                  r, rows, band - 2, 0, band - 1, 0,
+                  gap_e, gap_oe, y_drop, neg_inf,
+                  best, end1, end2, bnd, bscore,
+                  1, 0, tbp, &res);
+        best = res.best_score;
+        end1 = res.end1; end2 = res.end2;
+        bnd = res.end_is_boundary; bscore = res.boundary_score;
+        tbp = 0;  // reuse the traceback row
+    }
+    return best;
+}
+
 }  // extern "C"

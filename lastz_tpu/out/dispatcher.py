@@ -96,7 +96,9 @@ class OutputDispatcher:
             pass
         elif self._fmt in ("sam", "softsam", "hardsam"):
             from . import sam as sam_mod
-            self.out.write(sam_mod.sam_job_header(self.cfg))
+            self.out.write(sam_mod.sam_job_header(
+                self.cfg, getattr(self.cfg, "read_group", None)))
+            self._sam_sq_printed = False
         elif self._fmt in ("sam-", "softsam-", "hardsam-"):
             pass
         elif self._fmt == "cigar":
@@ -208,6 +210,9 @@ class OutputDispatcher:
                 self.cfg, self.seq1, self.seq2, a, self._genpaf_keys))
         elif self._fmt in ("sam", "softsam", "hardsam", "sam-", "softsam-", "hardsam-"):
             from . import sam as sam_mod
+            if not getattr(self, "_sam_sq_printed", True):
+                self.out.write(sam_mod.sam_sq_header(self.seq1))
+                self._sam_sq_printed = True
             self.out.write(sam_mod.sam_align(
                 self.cfg, self.seq1, self.seq2, a,
                 hard="hard" in self._fmt))

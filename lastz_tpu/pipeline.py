@@ -256,7 +256,18 @@ class Pipeline:
                 if cfg.hsp_threshold.t == "C" else 0)
 
         mode = self._reporter_mode()
-        if mode == "report":
+        if cfg.hsp_immediate and cfg.gapped_extend:
+            reporter = self._make_gappily_reporter(target, query)
+        elif cfg.hsp_immediate:
+            def reporter(pos1, pos2, length, s):
+                # report_filtered_hsps: identity/coverage filters then print
+                if self._segment_passes_filters(target, query,
+                                                pos1 - length, pos2 - length,
+                                                length):
+                    disp.print_match(pos1 - length, pos2 - length, length, s)
+                    return length
+                return 0
+        elif mode == "report":
             def reporter(pos1, pos2, length, s):
                 disp.print_match(pos1 - length, pos2 - length, length, s)
                 if cfg.mirror_hsp:
@@ -409,6 +420,73 @@ class Pipeline:
             align_list = filter_aligns_by_continuity(
                 align_list, cfg.min_continuity, cfg.max_continuity)
         return align_list
+
+    def _make_gappily_reporter(self, target, query):
+        """hspImmediate + gapped: per-hit gapped extension and printing
+        (reference gappily_extend_hsps, gapped_extend.c:5279)."""
+        from .align.ydrop import YDropAligner, segment_peak, format_alignment
+        from .align.ydrop import GAlign
+
+        cfg = self.cfg
+        disp = self.dispatcher
+        aligner = YDropAligner(target.v, query.v, cfg.scoring, cfg.y_drop,
+                               not cfg.y_drop_untrimmed, cfg.traceback_mem)
+        seen_hashes: list = []
+
+        def reporter(pos1, pos2, length, s):
+            p1 = pos1 - length
+            p2 = pos2 - length
+            peak = segment_peak(
+                target.v[p1 : p1 + length], query.v[p2 : p2 + length],
+                cfg.scoring.sub)
+            a1 = p1 + peak
+            a2 = p2 + peak
+            aligner.left_align = aligner.right_align = None
+            aligner.left_seg = aligner.right_seg = None
+            aligner.above_list = aligner.below_list = None
+            if target.is_partitioned:
+                part = target.lookup_partition(a1)
+                aligner.low1, aligner.high1 = part.sep_before + 1, part.sep_after
+            if query.is_partitioned:
+                part = query.lookup_partition(a2)
+                aligner.low2, aligner.high2 = part.sep_before + 1, part.sep_after
+            sc, start1, start2, stop1, stop2, script = aligner.ydrop_align(
+                a1, a2)
+            if sc < cfg.gapped_threshold.s:
+                return 0
+            mp = GAlign(hsp_id=0)
+            a = format_alignment(target.v, query.v, start1, start2,
+                                 stop1, stop2, sc, script, mp)
+            if mp.first_seg is None:
+                return 0
+            alist = self._filter_aligns(target, query, [a])
+            if not alist:
+                return 0
+            if cfg.search_limit > 1:
+                h = (a.beg1, a.end1, target.rev_comp_flags,
+                     a.beg2, a.end2, query.rev_comp_flags)
+                if len(seen_hashes) > cfg.search_limit:
+                    return 0
+                if h in seen_hashes:
+                    return 0
+                if len(seen_hashes) >= cfg.search_limit:
+                    seen_hashes.append(h)
+                    return 1
+                seen_hashes.append(h)
+            disp.print_align_list(alist)
+            return 1
+
+        return reporter
+
+    def _segment_passes_filters(self, target, query, pos1, pos2, length):
+        cfg = self.cfg
+        if cfg.min_identity > 0 or cfg.max_identity < 1:
+            from .filters.identity import _identity_of_segment
+            ident, _ = _identity_of_segment(
+                target.v, pos1, query.v, pos2, length)
+            if not (cfg.min_identity <= ident <= cfg.max_identity):
+                return False
+        return True
 
     def _on_mask_interval(self, beg, end):
         """Masking callback: drop the seeds over the masked interval
