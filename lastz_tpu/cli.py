@@ -185,6 +185,11 @@ def parse_options(argv: list[str]) -> Config:
             cfg.self_compare = True
             cfg.cloned_query = True
             cfg.inhibit_trivial = True
+        elif arg == "--mirror":
+            cfg.mirror_hsp = True
+        elif arg == "--nomirror":
+            cfg.mirror_hsp = False
+            cfg.mirror_gapped = False
         elif arg == "--notrivial":
             cfg.inhibit_trivial = True
         elif arg == "--recoverseeds":
@@ -220,6 +225,9 @@ def parse_options(argv: list[str]) -> Config:
             elif fmt.startswith("general-:"):
                 cfg.output_format = "general-"
                 cfg.output_info = fmt[len("general-:"):]
+            elif fmt in ("rdotplot", "rdotplot+score"):
+                cfg.output_format = fmt
+                cfg.de_gapify_output = True
             else:
                 cfg.output_format = fmt
         elif arg == "--gfa":
@@ -238,6 +246,43 @@ def parse_options(argv: list[str]) -> Config:
             cfg.segments_filename = val
         elif arg.startswith("--anchors="):
             cfg.segments_filename = val  # alias (reference synonym)
+        elif arg.startswith("--scores=") or arg.startswith("Q="):
+            from .core.scoring import read_score_file
+            info = read_score_file(val)
+            cfg.scoring = info["scoring"]
+            if "x_drop" in info:
+                cfg.x_drop = info["x_drop"]
+            if "y_drop" in info:
+                cfg.y_drop = info["y_drop"]
+            if "hsp_threshold" in info:
+                cfg.hsp_threshold = ScoreThreshold("S", info["hsp_threshold"])
+            if "gapped_threshold" in info:
+                cfg.gapped_threshold = ScoreThreshold(
+                    "S", info["gapped_threshold"])
+                have_gapped_thresh = True
+            if "step" in info:
+                cfg.step = info["step"]
+            if "seed" in info:
+                seed_string = info["seed"]
+        elif arg.startswith("--match="):
+            # --match=<reward>[,<penalty>]: simple match/mismatch scores
+            import numpy as _np
+            parts = val.split(",")
+            reward = int(parts[0])
+            penalty = int(parts[1]) if len(parts) > 1 else reward
+            from .core.scoring import new_dna_score_set
+            tmpl = _np.full((4, 4), -penalty, dtype=_np.int64)
+            _np.fill_diagonal(tmpl, reward)
+            gap_open = cfg.scoring.gap_open if cfg.scoring else 400
+            gap_extend = cfg.scoring.gap_extend if cfg.scoring else 30
+            cfg.scoring = new_dna_score_set(
+                template=tmpl, gap_open=gap_open, gap_extend=gap_extend)
+        elif arg.startswith("--gap="):
+            if "," in val:
+                o, e = val.split(",")
+                _set_gap(cfg, open_=int(o), extend=int(e))
+            else:
+                _set_gap(cfg, extend=int(val))
         elif arg.startswith("--ambiguous=") or arg.startswith("--ambig="):
             parts = val.split(",")
             kind = parts[0].lower()

@@ -95,8 +95,9 @@ class Config:
     entropic_hsp: bool = True
     report_entropy: bool = False
     gapped_all_bounds: bool = False
-    mirror_hsp: bool = False
-    mirror_gapped: bool = False
+    # None = unset (reference -1); --self enables mirroring by default
+    mirror_hsp: Optional[bool] = None
+    mirror_gapped: Optional[bool] = None
     traceback_mem: int = 80 * 1024 * 1024
 
     n_is_ambiguous: bool = False

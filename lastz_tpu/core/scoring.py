@@ -199,6 +199,99 @@ def masked_score_set(ss: ScoreSet) -> ScoreSet:
     return new
 
 
+def read_score_file(path: str) -> dict:
+    """Parse a blastz/lastz score file (reference read_score_set,
+    dna_utilities.c:640+): leading `name=value` assignments, then a
+    column-header line and one score row per row character.
+
+    Returns a dict with a 'scoring' ScoreSet plus any of the optional
+    assignment values that were present (hsp_threshold, x_drop, ...).
+    """
+    bad_score = -1000
+    fill_score = -100
+    gap_open = HOXD70_OPEN
+    gap_extend = HOXD70_EXTEND
+    extras: dict = {}
+
+    lines = []
+    with open(path) as f:
+        for raw in f:
+            line = raw.split("#")[0].strip()
+            if not line:
+                continue
+            lines.append(line)
+
+    ix = 0
+    while ix < len(lines) and "=" in lines[ix]:
+        key, val = lines[ix].split("=", 1)
+        key = key.strip().lower()
+        val = val.strip()
+        ix += 1
+        if key in ("gap_open_penalty", "gap_open", "o"):
+            gap_open = int(float(val))
+            extras["gap_open_set"] = True
+        elif key in ("gap_extend_penalty", "gap_extend", "e"):
+            gap_extend = int(float(val))
+            extras["gap_extend_set"] = True
+        elif key in ("bad", "bad_score"):
+            bad_score = int(float(val))
+        elif key in ("fill", "fill_score"):
+            fill_score = int(float(val))
+        elif key in ("hsp_threshold", "k"):
+            extras["hsp_threshold"] = int(float(val))
+        elif key in ("gapped_threshold", "l"):
+            extras["gapped_threshold"] = int(float(val))
+        elif key in ("x_drop", "x"):
+            extras["x_drop"] = int(float(val))
+        elif key in ("y_drop", "y"):
+            extras["y_drop"] = int(float(val))
+        elif key in ("step", "z"):
+            extras["step"] = int(val)
+        elif key in ("seed",):
+            extras["seed"] = val
+        elif key in ("ball",):
+            extras["ball"] = val
+        # unknown assignments ignored (bottleneck etc. arrive with
+        # quantum support)
+
+    if ix >= len(lines):
+        raise ValueError(f"score file {path} has no score matrix")
+
+    col_chars = lines[ix].split()
+    ix += 1
+    ss = new_dna_score_set(
+        template=np.zeros((4, 4), dtype=np.int64),
+        bad_score=bad_score, fill_score=fill_score,
+        gap_open=gap_open, gap_extend=gap_extend)
+    # overwrite the DNA 4x4 (and any other single-char rows) from the file
+    row_seen = 0
+    while ix < len(lines):
+        fields = lines[ix].split()
+        ix += 1
+        if len(fields) == len(col_chars) + 1:
+            row_ch = fields[0]
+            scores = fields[1:]
+        elif len(fields) == len(col_chars):
+            row_ch = col_chars[row_seen]
+            scores = fields
+        else:
+            raise ValueError(f"bad score row in {path}: {fields}")
+        row_seen += 1
+        r = ord(row_ch[0])
+        r_low = r + 32 if 65 <= r <= 90 else r
+        for cch, sval in zip(col_chars, scores):
+            c = ord(cch[0])
+            c_low = c + 32 if 65 <= c <= 90 else c
+            v = int(float(sval))
+            ss.sub[r, c] = v
+            ss.sub[r, c_low] = v
+            ss.sub[r_low, c] = v
+            ss.sub[r_low, c_low] = v
+    ss._dna4 = None
+    extras["scoring"] = ss
+    return extras
+
+
 def ambiguate_n(ss: ScoreSet, n_vs_n: int, n_vs_non_n: int):
     """Score N as an ambiguous base (reference ambiguate_n)."""
     sub = ss.sub

@@ -19,6 +19,8 @@ class OutputDispatcher:
         self.program_name = program_name
         self.strand_header_printed = False
         self.printed_for_query = 0
+        self._name_header = False
+        self._prev_names = (None, None)
         self.seq1 = None
         self.seq2 = None
         self._writer = None
@@ -45,8 +47,10 @@ class OutputDispatcher:
             self._genpaf_keys = gp_mod.BLAST_KEYS
         elif self._fmt == "rdotplot":
             self._genpaf_keys = gp_mod.RDOTPLOT_KEYS
+            self._name_header = True
         elif self._fmt == "rdotplot+score":
             self._genpaf_keys = gp_mod.RDOTPLOT_SCORE_KEYS
+            self._name_header = True
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -125,6 +129,17 @@ class OutputDispatcher:
         elif self._fmt == "gfa":
             from . import gfa as gfa_mod
             self.out.write(gfa_mod.gfa_header(self.seq1, self.seq2))
+        elif self._name_header:
+            # rdotplot: a name pair line whenever the names change
+            # (output.c fmtGenpafNameHeader)
+            name1 = self.seq1.name_for_output() or "seq1"
+            name2 = self.seq2.name_for_output() or "seq2"
+            if (name1, name2) != self._prev_names:
+                if self._fmt == "rdotplot+score":
+                    self.out.write(f"{name1}\t{name2}\tscore\n")
+                else:
+                    self.out.write(f"{name1}\t{name2}\n")
+                self._prev_names = (name1, name2)
         # most other formats have no per-strand header
 
     def _ensure_strand_header(self):

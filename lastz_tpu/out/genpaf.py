@@ -134,7 +134,7 @@ def blastz_score_to_ncbi_expectation(s):
     return 3.0e9 * 3.0e9 * (2.0 ** -bits)
 
 
-def genpaf_align(cfg, seq1, seq2, a, keys=None) -> str:
+def genpaf_align(cfg, seq1, seq2, a, keys=None, as_match=False) -> str:
     keys = keys if keys is not None else (cfg.output_info or STANDARD_KEYS)
     beg1, beg2 = a.beg1, a.beg2
     height = a.end1 - beg1 + 1
@@ -153,26 +153,35 @@ def genpaf_align(cfg, seq1, seq2, a, keys=None) -> str:
                     + seq2.lookup_partition(beg2 - 1).sep_after + 1)
                    if seq2.is_partitioned else seq2_true)
 
+    # the reference computes dot-plot coordinates differently for
+    # gapped alignments (print_genpaf_align) and ungapped matches
+    # (print_genpaf_match); as_match selects the latter
+    m_plus = 0 if as_match else 1   # plus strand: align adds one
+    m_minus = 1 if as_match else 0  # minus strand: match adds one
     if seq1.rev_comp_flags & 2:
         start1 = beg1 - 1 - offset1 + seq1_true + 2 - (start_loc1 + seq1_len)
-        dot_start1 = ((start_loc1 + seq1_len + offset1 - beg1) - 1
-                      if not seq1.is_partitioned else seq1_invert - beg1)
+        dot_start1 = ((start_loc1 + seq1_len + offset1 - beg1) - 1 + m_minus
+                      if not seq1.is_partitioned
+                      else seq1_invert - beg1 + m_minus)
         dot_end1 = (dot_start1 - height) + 1
         strand1 = "-"
     else:
         start1 = beg1 - 1 - offset1 + start_loc1
-        dot_start1 = start1 + 1 if not seq1.is_partitioned else beg1 + 1
+        dot_start1 = (start1 + m_plus if not seq1.is_partitioned
+                      else beg1 + m_plus)
         dot_end1 = dot_start1 + height - 1
         strand1 = "+"
     if seq2.rev_comp_flags & 2:
         start2 = beg2 - 1 - offset2 + seq2_true + 2 - (start_loc2 + seq2_len)
-        dot_start2 = ((start_loc2 + seq2_len + offset2 - beg2) - 1
-                      if not seq1.is_partitioned else seq2_invert - beg2)
+        dot_start2 = ((start_loc2 + seq2_len + offset2 - beg2) - 1 + m_minus
+                      if not seq1.is_partitioned
+                      else seq2_invert - beg2 + m_minus)
         dot_end2 = (dot_start2 - width) + 1
         strand2 = "-"
     else:
         start2 = beg2 - 1 - offset2 + start_loc2
-        dot_start2 = start2 + 1 if not seq2.is_partitioned else beg2 + 1
+        dot_start2 = (start2 + m_plus if not seq2.is_partitioned
+                      else beg2 + m_plus)
         dot_end2 = dot_start2 + width - 1
         strand2 = "+"
 
@@ -421,4 +430,4 @@ def genpaf_match(cfg, seq1, pos1, seq2, pos2, length, s, keys=None) -> str:
     a = Alignment(beg1=pos1 + 1, beg2=pos2 + 1,
                   end1=pos1 + length, end2=pos2 + length,
                   script=script, score=s)
-    return genpaf_align(cfg, seq1, seq2, a, keys)
+    return genpaf_align(cfg, seq1, seq2, a, keys, as_match=True)

@@ -30,6 +30,69 @@ from .align.segments import SegmentTable, Segment
 PROGRAM_NAME = "lastz_tpu.v0.1.0"
 
 
+def _upper_truncate(script, pos1, pos2):
+    """reference edit_script_upper_truncate (edit_script.c): truncate
+    the script where it first touches/crosses the self-diagonal in
+    conceptual coordinates.  Returns (x, y, truncated); x None means
+    the whole alignment was below the diagonal."""
+    if not script.ops:
+        return pos1, pos2, False
+    if pos1 > pos2:
+        script.ops.clear()
+        return None, None, True
+    # expand into single (op, rpt) steps scanning
+    reaches = False
+    i = 0
+    prev1 = prev2 = 0
+    limit = 0
+    for i, (op, rpt) in enumerate(script.ops):
+        prev1, prev2 = pos1, pos2
+        if op == "S":
+            pos1 += rpt
+            pos2 -= rpt
+            limit = pos2 + 1
+        elif op == "I":
+            pos2 -= rpt
+            limit = pos2
+        else:
+            pos1 += rpt
+            limit = pos2
+        if pos1 >= limit:
+            reaches = True
+            break
+    if not reaches:
+        return pos1, pos2, False
+    del script.ops[i + 1:]
+    if pos1 > pos2:
+        op, rpt = script.ops[i]
+        if op == "S":
+            rpt = (prev2 + 1 - prev1) // 2
+            pos1 = prev1 + rpt
+            pos2 = prev2 - rpt
+        elif op == "I":
+            rpt = prev2 - prev1
+            pos1 = prev1
+            pos2 = prev2 - rpt
+        else:
+            rpt = prev2 - prev1
+            pos1 = prev1 + rpt
+            pos2 = prev2
+        script.ops[i] = (op, rpt)
+    return pos1, pos2, True
+
+
+def _trim_head(script, n):
+    """Remove the first n columns (reference edit_script_trim_head)."""
+    while n > 0 and script.ops:
+        op, rpt = script.ops[0]
+        take = min(rpt, n)
+        if rpt <= take:
+            script.ops.pop(0)
+        else:
+            script.ops[0] = (op, rpt - take)
+        n -= take
+
+
 class Pipeline:
     def __init__(self, cfg: Config, out=None):
         self.cfg = cfg
@@ -80,6 +143,21 @@ class Pipeline:
                 cfg.gapped_threshold = cfg.hsp_threshold.copy()
             else:
                 cfg.gapped_threshold = ScoreThreshold("S", 3000)
+
+        # --self: mirroring defaults (lastz.c:8722-8745, 9056-9061)
+        if cfg.self_compare:
+            if cfg.mirror_hsp is None:
+                cfg.mirror_hsp = True
+                cfg.mirror_gapped = False
+            elif cfg.mirror_gapped is None:
+                cfg.mirror_gapped = False
+            if cfg.mirror_hsp and cfg.gapped_extend:
+                cfg.mirror_hsp = False
+                cfg.mirror_gapped = True
+        if cfg.mirror_hsp is None:
+            cfg.mirror_hsp = False
+        if cfg.mirror_gapped is None:
+            cfg.mirror_gapped = False
 
     # -- main entry ---------------------------------------------------------
 
@@ -386,7 +464,10 @@ class Pipeline:
             if align_list:
                 if cfg.mirror_gapped:
                     align_list = self._mirror_alignments(align_list)
-                disp.print_align_list(align_list)
+                if cfg.de_gapify_output:
+                    self._print_align_list_segments(align_list)
+                else:
+                    disp.print_align_list(align_list)
             if self.targ_census is not None and align_list:
                 num_masked = self.targ_census.mask_aligns(
                     align_list, target.v, self._on_mask_interval)
@@ -496,15 +577,142 @@ class Pipeline:
         remove_interval_seeds(self.pt, self.cfg.seed, self.target.v,
                               beg - 1, end)
 
+    def _print_align_list_segments(self, align_list):
+        """reference print_align_list_segments (output.c:126): print
+        each gapped alignment's ungapped segments as matches."""
+        disp = self.dispatcher
+        sub = self.cfg.scoring.sub
+        v1 = self.target.v
+        v2 = disp.seq2.v
+        for a in align_list:
+            i = j = 0
+            beg1, beg2 = a.beg1, a.beg2
+            ops = a.script.ops
+            op_ix = 0
+            height = a.end1 - beg1 + 1
+            width = a.end2 - beg2 + 1
+            while i < height or j < width:
+                prev_i, prev_j = i, j
+                run = 0
+                while op_ix < len(ops) and ops[op_ix][0] == "S":
+                    run += ops[op_ix][1]
+                    op_ix += 1
+                i += run
+                j += run
+                if i < height or j < width:
+                    if op_ix < len(ops):
+                        op, r = ops[op_ix]
+                        op_ix += 1
+                        if op == "I":
+                            j += r
+                        else:
+                            i += r
+                s = 0
+                if run:
+                    s = sub[v1[beg1 - 1 + prev_i : beg1 - 1 + prev_i + run],
+                            v2[beg2 - 1 + prev_j : beg2 - 1 + prev_j + run]
+                            ].sum().item()
+                disp.print_match(beg1 - 1 + prev_i, beg2 - 1 + prev_j,
+                                 run, s, a.hsp_id)
+
+    def _mirror_coords(self, query, pos1, pos2, length):
+        """Mirror an HSP across the self-alignment diagonal
+        (reference report_hsps/collect_hsps mirroring)."""
+        if self.target.rev_comp_flags == query.rev_comp_flags:
+            return pos1, pos2
+        s1 = len(self.target.v) - pos1 + length
+        s2 = len(query.v) - pos2 + length
+        if s2 == pos1 and s1 == pos2:
+            return None
+        return s1, s2
+
     def _report_mirror(self, pos1, pos2, length, s):
-        target, query = self.target, None
-        raise NotImplementedError
+        m = self._mirror_coords(self.dispatcher.seq2, pos1, pos2, length)
+        if m is None:
+            return
+        s1, s2 = m
+        self.dispatcher.print_match(s2 - length, s1 - length, length, s)
 
     def _collect_mirror(self, pos1, pos2, length, s, rcf):
-        raise NotImplementedError
+        m = self._mirror_coords(self.dispatcher.seq2, pos1, pos2, length)
+        if m is None:
+            return
+        s1, s2 = m
+        self.anchors.add(s2 - length, s1 - length, length, s, rcf)
 
     def _mirror_alignments(self, align_list):
-        raise NotImplementedError
+        """reference mirror_alignments (lastz.c:4229): add the mirror
+        image of each alignment; opposite-strand alignments touching
+        the main anti-diagonal are truncated and self-joined."""
+        from .align.edit_script import EditScript, Alignment
+
+        target = self.target
+        query = self.dispatcher.seq2
+        seq_len = len(target.v)
+        same_strand = target.rev_comp_flags == query.rev_comp_flags
+
+        out = []
+        mirrored = []
+        for a in align_list:
+            pos1, end1 = a.beg1 - 1, a.end1
+            pos2, end2 = a.beg2 - 1, a.end2
+            if same_strand:
+                b = Alignment(
+                    beg1=pos2 + 1, beg2=pos1 + 1, end1=end2, end2=end1,
+                    script=a.script.mirrored(), score=a.score)
+                out.append(a)
+                mirrored.append(b)
+                continue
+            # opposite strands: conceptual coordinates flip
+            in_pos2, in_end2 = pos2, end2
+            invert1 = invert2 = seq_len
+            if target.is_partitioned or query.is_partitioned:
+                p1 = target.lookup_partition(pos1)
+                p2 = query.lookup_partition(pos2)
+                invert1 = p1.sep_before + p1.sep_after + 1
+                invert2 = p2.sep_before + p2.sep_after + 1
+            pos2c = invert2 - in_pos2
+            end2c = invert2 - in_end2
+            if pos1 == pos2c:
+                continue  # starts on the diagonal: discard
+            if end1 >= end2c:
+                # touches or crosses the diagonal: truncate + self-join
+                x, y, truncated = _upper_truncate(a.script, pos1, pos2c)
+                if truncated and x is None:
+                    continue
+                have_overlap = False
+                if truncated:
+                    if x < y or x > y + 1:
+                        sys.stderr.write(
+                            "WARNING. alignment crosses the main diagonal "
+                            "in an unexpected way\n")
+                        a.end1 = x
+                        a.end2 = invert2 - y
+                        out.append(a)
+                        continue
+                    a.end1 = end1 = x
+                    a.end2 = in_end2 = invert2 - y
+                    have_overlap = x == y + 1
+                tmp = a.script.reversed().mirrored()
+                if have_overlap:
+                    _trim_head(tmp, 1)
+                a.script.append_script(tmp)
+                n1, n2 = a.script.lengths()
+                a.end1 = pos1 + n1
+                a.end2 = in_pos2 + n2
+                from .align.ydrop import YDropAligner
+                al = YDropAligner(target.v, query.v, self.cfg.scoring,
+                                  self.cfg.y_drop, True)
+                a.score = al._score_alignment(pos1, in_pos2, a.script)
+                out.append(a)
+                continue
+            b = Alignment(
+                beg1=(invert2 - in_end2) + 1, end1=(invert2 - in_pos2),
+                beg2=(invert1 - end1) + 1, end2=(invert1 - pos1),
+                script=a.script.reversed().mirrored(), score=a.score)
+            out.append(a)
+            mirrored.append(b)
+        return out + mirrored
 
     def _swap_anchor_sets(self):
         self.anchors, self.secondary_anchors = (
