@@ -192,6 +192,30 @@ def parse_options(argv: list[str]) -> Config:
             cfg.mirror_gapped = False
         elif arg == "--notrivial":
             cfg.inhibit_trivial = True
+        elif arg.startswith("--exact="):
+            cfg.gf_extend = GFEX_EXACT
+            cfg.hsp_threshold = ScoreThreshold("S", int(val))
+            cfg.entropic_hsp = False
+        elif arg.startswith("--mismatch="):
+            parts = val.split(",")
+            n = int(parts[0])
+            cfg.gf_extend = GFEX_MISMATCH_BASE + n
+            if len(parts) > 1:
+                cfg.hsp_threshold = ScoreThreshold("S", int(parts[1]))
+            cfg.entropic_hsp = False
+        elif arg.startswith("--twins="):
+            v = val
+            if ".." in v:
+                lo, hi = v.split("..")
+            elif ":" in v:
+                lo, hi = v.split(":")
+            else:
+                lo, hi = "0", v
+            cfg.twin_min_gap = int(lo)
+            cfg.twin_max_gap = int(hi)
+        elif arg == "--notwins":
+            cfg.twin_min_gap = None
+            cfg.twin_max_gap = None
         elif arg == "--recoverseeds":
             cfg.basic_hit_type = HIT_RECOVER
         elif arg.startswith("--filter="):

@@ -72,6 +72,8 @@ class Config:
     with_trans: int = 1
     twin_min_span: int = 0
     twin_max_span: int = 0
+    twin_min_gap: Optional[int] = None  # from --twins=min..max
+    twin_max_gap: Optional[int] = None
     basic_hit_type: int = HIT_SIMPLE
     min_matches: int = -1
     max_transversions: int = -1

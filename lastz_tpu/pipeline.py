@@ -129,6 +129,9 @@ class Pipeline:
                 seed_string, cfg.max_index_bits, with_trans=cfg.with_trans)
         else:
             cfg.seed.with_trans = cfg.with_trans
+        if cfg.twin_min_gap is not None:
+            cfg.twin_min_span = 2 * cfg.seed.length + cfg.twin_min_gap
+            cfg.twin_max_span = 2 * cfg.seed.length + cfg.twin_max_gap
 
         if cfg.gf_extend == GFEX_NO_EXTEND:
             cfg.x_drop = 0

@@ -313,8 +313,106 @@ class SeedSearchEngine:
             return 0
         return self._extend_and_report(pos1, pos2, length, h)
 
+    SEED_HIT_QUEUE_SIZE = 256 * 1024
+
+    def _ensure_twin_queue(self):
+        if hasattr(self, "shq_pos2"):
+            return
+        n = self.SEED_HIT_QUEUE_SIZE
+        self.shq_prev = np.zeros(n, dtype=np.int64)
+        self.shq_isblock = np.zeros(n, dtype=bool)
+        self.shq_pos2 = np.zeros(n, dtype=np.int64)
+        self.shq_diag = np.zeros(n, dtype=np.int64)
+        self.last_seed_hit = np.zeros(DIAG_HASH_SIZE, dtype=np.int64)
+        self.seed_hit_num = n  # first hit gets number n+1
+
+    def _enqueue_seed_hit(self, pos1, pos2, is_block):
+        """reference _enqueue_seed_hit (diag_hash.c)."""
+        n = self.SEED_HIT_QUEUE_SIZE
+        diag = pos1 - pos2
+        h = diag & (DIAG_HASH_SIZE - 1)
+        self.seed_hit_num += 1
+        ix = self.seed_hit_num % n
+        if self.last_seed_hit[h] <= self.seed_hit_num - n:
+            self.shq_prev[ix] = 0
+        else:
+            self.shq_prev[ix] = self.last_seed_hit[h]
+        self.last_seed_hit[h] = self.seed_hit_num
+        self.shq_isblock[ix] = is_block
+        self.shq_pos2[ix] = pos2
+        self.shq_diag[ix] = diag
+
     def _process_twin(self, pos1, pos2, length) -> int:
-        raise NotImplementedError("twin-hit processing arrives with --twins")
+        """Queue-based twin-hit processing (the reference's default
+        build: process_for_twin_hit with seedHitQueue,
+        seed_search.c + diag_hash.h:106-145)."""
+        hp = self.hp
+        if hp.pos_filter and self._filter_by_pos(pos1, pos2, length):
+            return 0
+        if hp.min_matches >= 0 and self._filter_by_subs(pos1, pos2, length):
+            return 0
+        self._ensure_twin_queue()
+        self._unblocked_left = False
+        n = self.SEED_HIT_QUEUE_SIZE
+        diag = pos1 - pos2
+        h = diag & (DIAG_HASH_SIZE - 1)
+        de = self.diag_end
+        if de[h] == HASH_INACTIVE:
+            de[h] = 0
+            self._enqueue_seed_hit(pos1, pos2, False)
+            return 0
+
+        span = None
+        num = int(self.last_seed_hit[h])
+        found_twin = False
+        while num > self.seed_hit_num - n:
+            ix = num % n
+            q_pos2 = int(self.shq_pos2[ix])
+            span = pos2 - (q_pos2 - length)
+            if span > self.twin_max_span:
+                break
+            if self.shq_diag[ix] != diag:
+                num = int(self.shq_prev[ix])
+                continue
+            if self.shq_isblock[ix]:
+                if pos2 - length <= q_pos2:
+                    return 0  # overlaps a previous extension
+                break
+            if span < self.twin_min_span:
+                num = int(self.shq_prev[ix])
+                continue
+            found_twin = True
+            break
+        if not found_twin:
+            self._enqueue_seed_hit(pos1, pos2, False)
+            return 0
+
+        # twin found: the combined hit spans from the older hit's start
+        length = span
+        if hp.gf_extend == GFEX_XDROP:
+            old_end = int(de[h])
+            r = self._xdrop_extend(pos1, pos2, length)
+            if de[h] != old_end:
+                extent = int(de[h])
+                self._enqueue_seed_hit(diag + extent, extent, True)
+            if r is None:
+                return 0
+            pos1, pos2, length, s = r
+        elif hp.gf_extend == GFEX_EXACT:
+            old_end = int(de[h])
+            r = self._match_extend(pos1, pos2, length)
+            if de[h] != old_end:
+                extent = int(de[h])
+                self._enqueue_seed_hit(diag + extent, extent, True)
+                if r is None:
+                    self._enqueue_seed_hit(pos1, pos2, False)
+            if r is None:
+                return 0
+            pos1, pos2, length, s = r
+        else:
+            de[h] = pos2
+            s = 0
+        return self._report(pos1, pos2, length, s)
 
     def _extend_and_report(self, pos1, pos2, length, h) -> int:
         hp = self.hp
@@ -514,52 +612,206 @@ class SeedSearchEngine:
         return new_pos1, new_pos2, new_length, similarity
 
     def _match_extend(self, pos1: int, pos2: int, length: int):
-        """Exact-match extension (match_extend_seed_hit,
-        seed_search.c:3018+): extend while bases match exactly (ACGT
-        only), threshold is a minimum length."""
+        """Exact-match extension (match_extend_seed_hit, seed_search.c):
+        bases must match exactly (case-insensitive ACGT); the
+        hspThreshold is interpreted as a minimum length."""
+        from ..core.encoding import NUC_TO_BITS
+
         hp = self.hp
         seq1, seq2 = self.seq1, self.seq2
         diag = pos1 - pos2
         h = diag & (DIAG_HASH_SIZE - 1)
-        c2b = self.char_to_bits
+        c2b = NUC_TO_BITS
+
+        # validate the hit body is an exact match (scanning from right)
+        s1i, s2i = pos1, pos2
+        stop = pos1 - length
+        while s1i > stop:
+            s1i -= 1
+            s2i -= 1
+            b1, b2 = c2b[seq1[s1i]], c2b[seq2[s2i]]
+            if b1 != b2 or b1 < 0 or b2 < 0:
+                extent = s2i
+                if extent > self.diag_end[h]:
+                    self.diag_end[h] = extent
+                    self.diag_actual[h] = diag
+                return None
 
         old_diag_end = 0 if self._unblocked_left else int(self.diag_end[h])
-        stop1 = max(old_diag_end + diag, 0)
-        # left: from hit start leftward
-        s = pos1 - length
-        while s > stop1:
-            b1, b2 = c2b[seq1[s - 1]], c2b[seq2[s - 1 - diag]]
-            if b1 < 0 or b2 < 0 or b1 != b2:
+        block = old_diag_end + diag
+        stop1 = block if block > 0 else 0
+        # left extension: pre-decrement from the hit's start
+        s1i = pos1 - length
+        s2i = pos2 - length
+        if s1i < stop1:
+            s1i -= 1
+            s2i -= 1
+        else:
+            while s1i >= stop1:
+                if s1i == stop1:
+                    s1i -= 1
+                    s2i -= 1
+                    break
+                s1i -= 1
+                s2i -= 1
+                n1, n2 = seq1[s1i], seq2[s2i]
+                b1, b2 = c2b[n1], c2b[n2]
+                if n1 == 0 or n2 == 0 or b1 != b2 or b1 < 0 or b2 < 0:
+                    break
+        left = s1i
+
+        # right extension: pre-increment from the hit's end; reaching
+        # the stop reads the terminator in the reference, i.e. the scan
+        # ends AT the stop position
+        s1i = pos1 - 1
+        s2i = pos2 - 1
+        block2 = len(seq2)
+        stop1r = len(seq1) if len(seq1) <= block2 + diag else block2 + diag
+        broke = False
+        while s1i + 1 < stop1r:
+            s1i += 1
+            s2i += 1
+            n1, n2 = seq1[s1i], seq2[s2i]
+            b1, b2 = c2b[n1], c2b[n2]
+            if n1 == 0 or n2 == 0 or b1 != b2 or b1 < 0 or b2 < 0:
+                broke = True
                 break
-            s -= 1
-        left_start = s
-        stop1r = min(len(seq1), len(seq2) + diag)
-        e = pos1
-        while e < stop1r:
-            b1, b2 = c2b[seq1[e]], c2b[seq2[e - diag]]
-            if b1 < 0 or b2 < 0 or b1 != b2:
-                break
-            e += 1
-        if e - diag > self.diag_end[h]:
-            self.diag_end[h] = e - diag
+        if not broke and s1i + 1 == stop1r:
+            s1i += 1
+            s2i += 1
+        right = s1i
+
+        extent = right - diag
+        if extent > self.diag_end[h]:
+            self.diag_end[h] = extent
             self.diag_actual[h] = diag
-        new_len = e - left_start
-        # interior of the original hit may contain mismatches under a
-        # spaced seed; the reference requires a run of exact matches, so
-        # verify the hit body too
-        b1 = c2b[seq1[left_start:e]]
-        b2 = c2b[seq2[left_start - diag : e - diag]]
-        if np.any(b1 < 0) or np.any(b2 < 0) or np.any(b1 != b2):
-            # find the longest exact run covering the seed hit; the
-            # reference extends from the hit ends only, so a mismatch
-            # inside the hit means the hit never matched exactly: drop
+
+        new_pos1 = right
+        new_pos2 = new_pos1 - diag
+        new_len = right - (left + 1)
+        if new_len < hp.hsp_threshold.s:
             return None
-        if hp.hsp_threshold.t == "S" and new_len < hp.hsp_threshold.s:
-            return None
-        return e, e - diag, new_len, new_len
+        return new_pos1, new_pos2, new_len, new_len
 
     def _mismatch_extend(self, pos1: int, pos2: int, length: int):
-        raise NotImplementedError("n-mismatch extension arrives with --mismatch")
+        """N-mismatch extension (mismatch_extend_seed_hit,
+        seed_search.c): find the longest run with at most M mismatches
+        covering the hit; threshold is a minimum length."""
+        from ..core.encoding import NUC_TO_BITS
+        from ..config import GFEX_MISMATCH_BASE
+
+        hp = self.hp
+        seq1, seq2 = self.seq1, self.seq2
+        diag = pos1 - pos2
+        h = diag & (DIAG_HASH_SIZE - 1)
+        c2b = NUC_TO_BITS
+        M = hp.gf_extend - GFEX_MISMATCH_BASE
+
+        # count mismatches inside the hit (scanning right to left)
+        E = 0
+        extent = None
+        s1i, s2i = pos1, pos2
+        stop = pos1 - length
+        while s1i > stop:
+            s1i -= 1
+            s2i -= 1
+            b1, b2 = c2b[seq1[s1i]], c2b[seq2[s2i]]
+            if b1 != b2 or b1 < 0 or b2 < 0:
+                extent = s2i
+                E += 1
+                if E > M:
+                    if extent is not None and extent > self.diag_end[h]:
+                        self.diag_end[h] = extent
+                        self.diag_actual[h] = diag
+                    return None
+
+        # left scan: collect up to M+1-E mismatch positions
+        old_diag_end = 0 if self._unblocked_left else int(self.diag_end[h])
+        block = old_diag_end + diag
+        stop1 = block if block > 0 else 0
+        want = M + 1 - E
+        mm_loc: list[int] = []
+        s1i = pos1 - length
+        s2i = pos2 - length
+        if s1i < stop1:
+            s1i -= 1
+            s2i -= 1
+        else:
+            while s1i >= stop1:
+                if s1i == stop1:
+                    s1i -= 1
+                    s2i -= 1
+                    break
+                s1i -= 1
+                s2i -= 1
+                n1, n2 = seq1[s1i], seq2[s2i]
+                b1, b2 = c2b[n1], c2b[n2]
+                if n1 == 0 or n2 == 0:
+                    break
+                if b1 != b2 or b1 < 0 or b2 < 0:
+                    mm_loc.insert(0, s1i)
+                    if len(mm_loc) == want:
+                        break
+        if len(mm_loc) < want:
+            mm_loc.insert(0, s1i)
+        mm_shortfall = want - len(mm_loc)
+
+        # right scan: pair each left start with an ending mismatch
+        s1i = pos1 - 1
+        s2i = pos2 - 1
+        block2 = len(seq2)
+        stop1r = len(seq1) if len(seq1) <= block2 + diag else block2 + diag
+        best_len = 0
+        left = right = None
+        scan = 0
+        broke = False
+        while s1i + 1 < stop1r:
+            s1i += 1
+            s2i += 1
+            n1, n2 = seq1[s1i], seq2[s2i]
+            b1, b2 = c2b[n1], c2b[n2]
+            if n1 == 0 or n2 == 0:
+                broke = True
+                break
+            if b1 != b2 or b1 < 0 or b2 < 0:
+                if extent is None:
+                    extent = s2i
+                if mm_shortfall > 0:
+                    mm_shortfall -= 1
+                    continue
+                this_len = s1i - mm_loc[scan]
+                if this_len > best_len:
+                    best_len = this_len
+                    left = mm_loc[scan]
+                    right = s1i
+                scan += 1
+                if scan == len(mm_loc):
+                    broke = True
+                    break
+        if not broke and s1i + 1 == stop1r:
+            s1i += 1
+            s2i += 1
+        if scan < len(mm_loc):
+            if extent is None:
+                extent = s2i
+            this_len = s1i - mm_loc[scan]
+            if this_len > best_len:
+                left = mm_loc[scan]
+                right = s1i
+        if left is None:
+            raise RuntimeError("mismatch_extend found no interval")
+
+        new_pos1 = right
+        new_pos2 = new_pos1 - diag
+        new_len = right - (left + 1)
+        if new_len >= hp.hsp_threshold.s:
+            extent = new_pos1 + 1 - diag
+        if extent is not None and extent > self.diag_end[h]:
+            self.diag_end[h] = extent
+            self.diag_actual[h] = diag
+        if new_len < hp.hsp_threshold.s:
+            return None
+        return new_pos1, new_pos2, new_len, new_len
 
     # -- filters -------------------------------------------------------------
 
