@@ -249,6 +249,10 @@ def parse_options(argv: list[str]) -> Config:
             elif fmt.startswith("general-:"):
                 cfg.output_format = "general-"
                 cfg.output_info = fmt[len("general-:"):]
+            elif fmt in ("diff", "diffs", "difference", "differences"):
+                cfg.output_format = "differences"
+            elif fmt in ("diff-", "diffs-", "difference-", "differences-"):
+                cfg.output_format = "differences-"
             elif fmt in ("rdotplot", "rdotplot+score"):
                 cfg.output_format = fmt
                 cfg.de_gapify_output = True

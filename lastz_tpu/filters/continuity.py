@@ -1,0 +1,26 @@
+"""Continuity filter (reference continuity_dist.c): fraction of
+alignment columns that are not gaps."""
+
+from __future__ import annotations
+
+
+def alignment_continuity(a):
+    height = a.end1 - a.beg1 + 1
+    width = a.end2 - a.beg2 + 1
+    run_total = sum(r for op, r in a.script.ops if op == "S")
+    if run_total == 0:
+        return 0, 0
+    gap_columns = (height - run_total) + (width - run_total)
+    return run_total, run_total + gap_columns
+
+
+def filter_aligns_by_continuity(align_list, min_con, max_con):
+    out = []
+    for a in align_list:
+        numer, denom = alignment_continuity(a)
+        if denom == 0:
+            continue
+        con = numer / denom
+        if min_con <= con <= max_con:
+            out.append(a)
+    return out

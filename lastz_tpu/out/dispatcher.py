@@ -112,7 +112,14 @@ class OutputDispatcher:
             gp_mod.reset_alignment_counter()
             if self._fmt in ("general", "segments"):
                 self.out.write(gp_mod.genpaf_job_header(self._genpaf_keys))
-        elif self._fmt in ("none", "differences", "text", "ztext"):
+        elif self._fmt in ("text", "ztext"):
+            # reference print_options emits plain seed=/step= lines
+            from ..core.seeds import seed_pattern_string
+            trans = {0: "", 1: " w/transition", 2: " w/2 transitions"}[
+                cfg.seed.with_trans]
+            self.out.write(f"seed={seed_pattern_string(cfg.seed)}{trans}\n")
+            self.out.write(f"step={cfg.step}\n")
+        elif self._fmt in ("none", "differences", "differences-"):
             pass
         else:
             raise ValueError(f"unsupported output format {self._fmt}")
@@ -178,6 +185,11 @@ class OutputDispatcher:
             self.out.write(axt_mod.axt_match(
                 self.seq1, pos1, self.seq2, pos2, length, s,
                 self._next_axt_id()))
+        elif self._fmt in ("text", "ztext"):
+            from . import text as text_mod
+            self.out.write(text_mod.text_match(
+                self.seq1, pos1, self.seq2, pos2, length, s,
+                one_based=(self._fmt == "text")))
         elif self._fmt == "none":
             pass
         else:
@@ -234,6 +246,17 @@ class OutputDispatcher:
         elif self._fmt == "cigar":
             from . import cigar as cigar_mod
             self.out.write(cigar_mod.cigar_align(self.seq1, self.seq2, a))
+        elif self._fmt in ("text", "ztext"):
+            from . import text as text_mod
+            self.out.write(text_mod.text_align(
+                self.seq1, self.seq2, a,
+                one_based=(self._fmt == "text")))
+        elif self._fmt in ("differences", "differences-"):
+            from . import diffs as diffs_mod
+            self.out.write(diffs_mod.diffs_align(
+                self.seq1, self.seq2, a,
+                with_blocks=(self._fmt == "differences"),
+                inhibit_n=self.cfg.n_is_ambiguous))
         elif self._fmt == "none":
             pass
         else:

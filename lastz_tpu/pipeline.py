@@ -106,9 +106,8 @@ class Pipeline:
 
     def _finalize_config(self):
         cfg = self.cfg
-        if cfg.score_type == "D":
-            from .core.scoring import set_score_type
-            set_score_type("D")
+        from .core.scoring import set_score_type
+        set_score_type(cfg.score_type)
         if cfg.scoring is None:
             cfg.scoring = new_dna_score_set()
         if cfg.masked_scoring is None:
@@ -484,7 +483,10 @@ class Pipeline:
             from .filters.identity import filter_segments_by_identity
             filter_segments_by_identity(
                 target.v, query.v, anchors, cfg.min_identity, cfg.max_identity)
-        # coverage / match-count filters arrive with their options
+        if cfg.min_coverage > 0 or cfg.max_coverage < 1:
+            from .filters.coverage import filter_segments_by_coverage
+            filter_segments_by_coverage(
+                target, query, anchors, cfg.min_coverage, cfg.max_coverage)
 
     def _filter_aligns(self, target, query, align_list):
         cfg = self.cfg
