@@ -110,6 +110,7 @@ def parse_options(argv: list[str]) -> Config:
             cfg.y_drop = int(val)
         elif arg.startswith("M="):
             cfg.dynamic_masking = int(val)
+            _fit_census_kind(cfg)
         elif arg.startswith("G="):
             cfg.chain_diag = int(val)
         elif arg.startswith("R="):
@@ -227,6 +228,32 @@ def parse_options(argv: list[str]) -> Config:
                 cfg.min_matches = int(parts[0])
         elif arg.startswith("--masking="):
             cfg.dynamic_masking = int(val)
+            _fit_census_kind(cfg)
+        elif arg == "--census" or arg == "--census=on":
+            cfg.report_census = True
+            if not cfg.census_kind:
+                cfg.census_kind = "B"
+        elif arg in ("--nocensus", "--census=off"):
+            cfg.report_census = False
+        elif arg.startswith("--census="):
+            cfg.report_census = True
+            if not cfg.census_kind:
+                cfg.census_kind = "B"
+            cfg.census_filename = val
+        elif arg == "--census16" or arg.startswith("--census16="):
+            if cfg.dynamic_masking >= 65535:
+                raise SystemExit(
+                    "--census16 can't support --masking > %d"
+                    % (65535 - 1))
+            cfg.report_census = True
+            cfg.census_kind = "W"
+            if "=" in arg:
+                cfg.census_filename = val
+        elif arg == "--census32" or arg.startswith("--census32="):
+            cfg.report_census = True
+            cfg.census_kind = "L"
+            if "=" in arg:
+                cfg.census_filename = val
         elif arg.startswith("--inner="):
             cfg.inner_threshold = int(float(val))
         elif arg.startswith("--identity="):
@@ -334,6 +361,16 @@ def parse_options(argv: list[str]) -> Config:
             cfg.end_comment = True
         elif arg.startswith("--output="):
             cfg.output_filename = val
+        elif arg.startswith("--rdotplot+score="):
+            cfg.dotplot_filename = val
+            cfg.dotplot_keys = "rdotplot+score"
+        elif arg.startswith("--rdotplot="):
+            cfg.dotplot_filename = val
+            cfg.dotplot_keys = "rdotplot"
+        elif arg.startswith("--axt="):
+            cfg.axt_filename = val
+        elif arg.startswith("--maf="):
+            cfg.maf_filename = val
         elif arg in ("--anyornone", "--stopafterone"):
             cfg.hsp_immediate = True
             cfg.search_limit = 1
@@ -388,6 +425,23 @@ def parse_options(argv: list[str]) -> Config:
     # trailing spaces, file names removed)
     cfg.args = "".join(p + " " for p in args_parts)
     return cfg
+
+
+def _fit_census_kind(cfg):
+    """Pick a census counter width wide enough for the masking threshold
+    (reference lastz.c:6560-6578)."""
+    n = cfg.dynamic_masking
+    if cfg.census_kind == "B" and n >= 255:
+        cfg.census_kind = ""
+    elif cfg.census_kind == "W" and n >= 65535:
+        raise SystemExit("--census16 can't support --masking > %d" % 65534)
+    if not cfg.census_kind:
+        if n < 255:
+            cfg.census_kind = "B"
+        elif n < 65535:
+            cfg.census_kind = "W"
+        else:
+            cfg.census_kind = "L"
 
 
 def _set_gap(cfg, open_=None, extend=None):

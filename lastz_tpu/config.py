@@ -121,6 +121,8 @@ class Config:
     word_count_limit: int = 0
     max_word_count_chasm: int = 0
     dynamic_masking: int = 0
+    census_kind: str = ""          # '', 'B', 'W', or 'L'
+    census_filename: str | None = None
     report_census: bool = False
 
     min_identity: float = 0.0
@@ -138,6 +140,12 @@ class Config:
     output_format: str = "lav"
     output_info: Optional[str] = None  # genpaf field keys
     output_filename: Optional[str] = None
+    # secondary output channels (reference lastz.c dotplotFilename,
+    # axtFilename, mafFilename: written in ADDITION to the primary format)
+    dotplot_filename: Optional[str] = None
+    dotplot_keys: Optional[str] = None     # rdotplot vs rdotplot+score
+    axt_filename: Optional[str] = None
+    maf_filename: Optional[str] = None
     sam_mark_mismatches: bool = False
     read_group: Optional[str] = None
     sam_rg_tags: Optional[str] = None

@@ -73,9 +73,8 @@ class Census:
 
     def masked_intervals(self):
         """Yield (beg, end) origin-1 inclusive runs reaching threshold
-        (reference report_census_intervals)."""
-        if self.mask_thresh <= 0:
-            return
+        (reference report_census_intervals; a zero threshold matches
+        every position, i.e. one whole-sequence interval)."""
         run_beg = -1
         for pos in range(self.len):
             if int(self.count[pos]) >= self.mask_thresh:
@@ -86,6 +85,41 @@ class Census:
                 run_beg = -1
         if run_beg >= 0:
             yield (run_beg + 1, self.len)
+
+    def print_census(self, out, seq=None, delimiter=" "):
+        """Print positions whose count meets the threshold (reference
+        masking.c:676 print_census).  With a sequence, each line is
+        name<d>pos<d>count; partitioned sequences use per-partition
+        names and offsets."""
+        thresh = self.mask_thresh
+        if seq is None:
+            for pos in range(self.len):
+                c = int(self.count[pos])
+                if c >= thresh:
+                    out.write(f"{pos + 1}{delimiter}{c}\n")
+            return
+        if not seq.is_partitioned:
+            name = seq.name_for_output() or "seq1"
+            for pos in range(self.len):
+                c = int(self.count[pos])
+                if c >= thresh:
+                    out.write(f"{name}{delimiter}{pos + 1}{delimiter}{c}\n")
+            return
+        parts = list(seq.partitions)
+        part_ix = 0
+        name = None
+        offset = 0
+        for pos in range(self.len):
+            if part_ix < len(parts) and pos == parts[part_ix].sep_before:
+                name = parts[part_ix].header
+                offset = parts[part_ix].sep_before + 1
+                part_ix += 1
+            elif name is not None:
+                c = int(self.count[pos])
+                if c >= thresh:
+                    out.write(
+                        f"{name}{delimiter}{pos + 1 - offset}"
+                        f"{delimiter}{c}\n")
 
 
 def remove_interval_seeds(pt, seed, target_v, beg, end):

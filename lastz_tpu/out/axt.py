@@ -11,13 +11,16 @@ def _matrix_with_extras(scoring, prefix="# ") -> str:
     out = []
     out.append(f"{prefix}gap_open_penalty   = {scoring.gap_open}\n")
     out.append(f"{prefix}gap_extend_penalty = {scoring.gap_extend}\n")
+    from ..core.scoring import SCORE_TYPE, score_str
     cols = [c for c in scoring.col_chars if 65 <= c <= 90]
     rows = [r for r in scoring.row_chars if 65 <= r <= 90]
-    width = 4
-    out.append(prefix + "  " + "".join(f" {chr(c):>{width}}" for c in cols) + "\n")
+    width = 13 if SCORE_TYPE == "D" else 4
+    out.append(prefix + "   " + "".join(f" {chr(c):>{width}}" for c in cols)
+               + "\n")
     for r in rows:
         out.append(prefix + " " + f"{chr(r):>2}"
-                   + "".join(f" {int(scoring.sub[r, c]):>{width}}" for c in cols)
+                   + "".join(f" {score_str(scoring.sub[r, c]):>{width}}"
+                             for c in cols)
                    + "\n")
     return "".join(out)
 

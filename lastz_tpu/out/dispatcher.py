@@ -52,19 +52,60 @@ class OutputDispatcher:
             self._genpaf_keys = gp_mod.RDOTPLOT_SCORE_KEYS
             self._name_header = True
 
+        # secondary output channels (reference lastz.c:8557-8580):
+        # --rdotplot=/--axt=/--maf= files written alongside the primary
+        self.secondaries = []
+        if getattr(config, "dotplot_filename", None) \
+                or getattr(config, "axt_filename", None) \
+                or getattr(config, "maf_filename", None):
+            import dataclasses
+            pairs = []
+            if config.dotplot_filename:
+                if self._fmt in ("rdotplot", "rdotplot+score"):
+                    raise SystemExit(
+                        "--format=rdotplot can't be used with "
+                        "--rdotplot=<file>")
+                pairs.append((config.dotplot_keys or "rdotplot",
+                              config.dotplot_filename))
+            if config.axt_filename:
+                if self._fmt == "axt":
+                    raise SystemExit(
+                        "--format=axt can't be used with --axt=<file>")
+                pairs.append(("axt", config.axt_filename))
+            if config.maf_filename:
+                if self._fmt == "maf":
+                    raise SystemExit(
+                        "--format=maf can't be used with --maf=<file>")
+                pairs.append(("maf", config.maf_filename))
+            for fmt2, fname in pairs:
+                sub_cfg = dataclasses.replace(
+                    config, output_format=fmt2, dotplot_filename=None,
+                    axt_filename=None, maf_filename=None,
+                    end_comment=False)
+                self.secondaries.append(OutputDispatcher(
+                    sub_cfg, open(fname, "w"), program_name))
+
     # -- lifecycle ---------------------------------------------------------
 
     def set_sequences(self, seq1, seq2):
         self.seq1 = seq1
         self.seq2 = seq2
+        for sub in self.secondaries:
+            sub.set_sequences(seq1, seq2)
 
     def init_for_query(self):
         self.printed_for_query = 0
+        for sub in self.secondaries:
+            sub.init_for_query()
 
     def init_for_strand(self):
         self.strand_header_printed = False
+        for sub in self.secondaries:
+            sub.init_for_strand()
 
     def job_header(self):
+        for sub in self.secondaries:
+            sub.job_header()
         cfg = self.cfg
         if self._fmt == "lav":
             self.out.write(lav_mod.lav_job_header(
@@ -129,6 +170,9 @@ class OutputDispatcher:
             self.out.write(lav_mod.lav_job_footer())
         if self.cfg.end_comment:
             self.out.write("# lastz end-of-file\n")
+        for sub in self.secondaries:
+            sub.job_footer()
+            sub.out.close()
 
     def _strand_header(self):
         if self._fmt == "lav":
@@ -163,6 +207,8 @@ class OutputDispatcher:
         if cfg.search_limit > 0 and self.printed_for_query >= cfg.search_limit:
             return
         self.printed_for_query += 1
+        for sub in self.secondaries:
+            sub.print_match(pos1, pos2, length, s, hsp_id)
         self._ensure_strand_header()
         if self._fmt == "lav":
             self.out.write(lav_mod.lav_match(
@@ -207,6 +253,13 @@ class OutputDispatcher:
         """Print gapped alignments (list of Alignment)."""
         if not alignments:
             return
+        for sub in self.secondaries:
+            if sub._fmt in ("rdotplot", "rdotplot+score"):
+                # the dotplot channel is always de-gapified (reference
+                # output.c:713 print_genpaf_align_list_segments)
+                sub._print_aligns_degapified(alignments)
+            else:
+                sub.print_align_list(alignments)
         cfg = self.cfg
         for a in alignments:
             if cfg.search_limit > 0 and self.printed_for_query >= cfg.search_limit:
@@ -262,6 +315,43 @@ class OutputDispatcher:
         else:
             raise ValueError(f"format {self._fmt} cannot print alignments yet")
 
+    def _print_aligns_degapified(self, align_list):
+        """Print each alignment's gap-free segments as matches
+        (reference print_align_list_segments, output.c:126)."""
+        sub = self.cfg.scoring.sub
+        v1 = self.seq1.v
+        v2 = self.seq2.v
+        for a in align_list:
+            i = j = 0
+            beg1, beg2 = a.beg1, a.beg2
+            ops = a.script.ops
+            op_ix = 0
+            height = a.end1 - beg1 + 1
+            width = a.end2 - beg2 + 1
+            while i < height or j < width:
+                prev_i, prev_j = i, j
+                run = 0
+                while op_ix < len(ops) and ops[op_ix][0] == "S":
+                    run += ops[op_ix][1]
+                    op_ix += 1
+                i += run
+                j += run
+                if i < height or j < width:
+                    if op_ix < len(ops):
+                        op, r = ops[op_ix]
+                        op_ix += 1
+                        if op == "I":
+                            j += r
+                        else:
+                            i += r
+                s = 0
+                if run:
+                    s = sub[v1[beg1 - 1 + prev_i : beg1 - 1 + prev_i + run],
+                            v2[beg2 - 1 + prev_j : beg2 - 1 + prev_j + run]
+                            ].sum().item()
+                self.print_match(beg1 - 1 + prev_i, beg2 - 1 + prev_j,
+                                 run, s, a.hsp_id)
+
     def print_x_stanza(self, num_masked: int):
         if self._fmt == "lav":
             self.out.write(lav_mod.lav_x_stanza(num_masked))
@@ -269,3 +359,10 @@ class OutputDispatcher:
     def print_m_stanza(self, census):
         if self._fmt == "lav":
             self.out.write(lav_mod.lav_m_stanza(census))
+
+    def print_census_stanza(self, census):
+        """Census stanza, lav family only (reference output.c:1205)."""
+        if self._fmt == "lav":
+            self.out.write("Census {\n")
+            census.print_census(self.out, None, " ")
+            self.out.write("}\n")

@@ -187,7 +187,7 @@ class Pipeline:
         if cfg.dynamic_masking > 0 or cfg.report_census:
             from .masking import Census
             self.targ_census = Census(
-                len(target.v), "B", cfg.dynamic_masking)
+                len(target.v), cfg.census_kind or "B", cfg.dynamic_masking)
 
         if cfg.seq2_filename:
             query_file = SequenceFile(cfg.seq2_filename)
@@ -222,6 +222,18 @@ class Pipeline:
         # end-of-job m-stanza (reference lastz.c:1761 prints it always
         # for lav, with the census intervals when masking was active)
         disp.print_m_stanza(getattr(self, "targ_census", None))
+        if cfg.report_census and self.targ_census is not None:
+            # reference lastz.c:1762-1775: census is printed with the
+            # threshold dropped to zero (every position reported)
+            cen = self.targ_census
+            saved = cen.mask_thresh
+            cen.mask_thresh = 0
+            if cfg.census_filename is None:
+                disp.print_census_stanza(cen)
+            else:
+                with open(cfg.census_filename, "w") as f:
+                    cen.print_census(f, target, "\t")
+            cen.mask_thresh = saved
         disp.job_footer()
 
     def _resolve_score_thresholds(self, target: Sequence):
