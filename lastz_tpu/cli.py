@@ -400,6 +400,20 @@ def parse_options(argv: list[str]) -> Config:
                 mult = 1 << 30
                 t = t[:-1]
             cfg.traceback_mem = int(float(t) * mult)
+        elif arg == "--infer" or arg.startswith("--infer="):
+            cfg.infer_scores = True
+            cfg.infer_only = False
+            if val is not None:
+                cfg.infer_control_filename = val
+        elif arg == "--inferonly" or arg.startswith("--inferonly="):
+            cfg.infer_scores = True
+            cfg.infer_only = True
+            if val is not None:
+                cfg.infer_control_filename = val
+        elif arg == "--infscores" or arg.startswith("--infscores="):
+            cfg.infer_scores = True
+            if val is not None:
+                cfg.infer_scores_filename = val
         elif arg in ("--doublescore", "--scoretype=double"):
             # equivalent of the reference's lastz_D build
             cfg.score_type = "D"
@@ -475,6 +489,14 @@ def main(argv=None):
         out = open(cfg.output_filename, "w")
         close = True
     try:
+        if cfg.infer_scores:
+            from .infer import drive_scoring_inference
+            inferred = drive_scoring_inference(
+                cfg, cfg.infer_control_filename, cfg.infer_scores_filename)
+            if cfg.infer_only:
+                return 0
+            cfg.scoring = inferred
+            cfg.masked_scoring = None
         Pipeline(cfg, out).run()
     finally:
         if close:

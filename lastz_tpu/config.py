@@ -162,6 +162,12 @@ class Config:
     args: str = ""  # reconstructed command tail for job headers
     verbosity: int = 0
 
+    # scoring inference (--infer/--inferonly/--infscores)
+    infer_scores: bool = False
+    infer_only: bool = False
+    infer_control_filename: Optional[str] = None
+    infer_scores_filename: Optional[str] = None
+
     # runtime backend: "host" exact engine or "tpu" batched kernels
     backend: str = "host"
     # score type: 'I' int32 (reference lastz) or 'D' double (lastz_D)

@@ -64,6 +64,15 @@ def score_str(s) -> str:
         return f"{float(s):f}"
     return str(int(s))
 
+
+def score_fmt(s) -> str:
+    """Format a score as the reference's scoreFmt does ('%d' for int
+    builds, '%le' for double builds; dna_utilities.h:105-125).  Used by
+    the maf/axt/cigar writers for alignment scores."""
+    if SCORE_TYPE == "D":
+        return f"{float(s):e}"
+    return str(int(s))
+
 # default substitution scores (reference dna_utilities.c:137-148)
 HOXD70 = np.array(
     [
@@ -197,6 +206,67 @@ def masked_score_set(ss: ScoreSet) -> ScoreSet:
         new.sub[1:, ord("X")] = bad
     new._dna4 = None
     return new
+
+
+def scale_score_set(ss: ScoreSet, scale: float):
+    """Multiply every substitution score (reference scale_score_set,
+    dna_utilities.c:1924)."""
+    ss.sub *= scale
+    ss._dna4 = None
+
+
+def round_score(v: float) -> int:
+    """reference round_score (dna_utilities.c:1953): round half away
+    from zero."""
+    return int(v + 0.5) if v >= 0 else int(v - 0.5)
+
+
+def write_score_set(f, ss: ScoreSet, with_gap_scores: bool = True,
+                    as_ints: bool = False):
+    """Write a score set as a LASTZ score file (reference
+    private_write_score_set, dna_utilities.c; used by --infer)."""
+    def fmt(v):
+        if as_ints:
+            return "%d" % round_score(float(v))
+        if SCORE_TYPE == "D":
+            return "%.6f" % float(v)
+        return "%d" % int(v)
+
+    def fmt_star(v, w):
+        s = fmt(v)
+        return "%*s" % (w, s)
+
+    rows = [c for c in ss.row_chars if 65 <= c <= 90] \
+        if ss.rows_are_dna else list(ss.row_chars)
+    cols = [c for c in ss.col_chars if 65 <= c <= 90] \
+        if ss.cols_are_dna else list(ss.col_chars)
+
+    min_sub = min(float(ss.sub[r, c])
+                  for r in ss.row_chars for c in ss.col_chars)
+
+    v_width = 18 if with_gap_scores else 10
+    f.write('# (a LASTZ scoring set, created by "LASTZ --infer")\n\n')
+    f.write("%-*s = %c:%s # used for sub[%c][*] and sub[*][%c]\n"
+            % (v_width, "bad_score", ss.bad_row, fmt(10 * min_sub),
+               ss.bad_row, ss.bad_row))
+    f.write("%-*s = %s    # used when sub[*][*] not otherwise defined\n"
+            % (v_width, "fill_score", fmt(min_sub)))
+    if with_gap_scores:
+        f.write("%-*s = %s\n" % (v_width, "gap_open_penalty",
+                                 fmt(ss.gap_open)))
+        f.write("%-*s = %s\n" % (v_width, "gap_extend_penalty",
+                                 fmt(ss.gap_extend)))
+    f.write("\n")
+
+    w = 3
+    for r in rows:
+        for c in cols:
+            w = max(w, len(fmt(ss.sub[r, c])) + 1)
+    f.write(" " + "".join(" %*c" % (w, c) for c in cols) + "\n")
+    for r in rows:
+        f.write(chr(r)
+                + "".join(" " + fmt_star(ss.sub[r, c], w) for c in cols)
+                + "\n")
 
 
 def read_score_file(path: str) -> dict:

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..core.scoring import score_fmt
+
 
 def _matrix_with_extras(scoring, prefix="# ") -> str:
     """Score matrix block with row labels and gap penalties
@@ -112,7 +114,8 @@ def axt_align(seq1, seq2, a, number: int, extras_size2=False) -> str:
         start2 = beg2 - 1 - offset2 + start_loc2
         strand2 = "+"
     head = (f"{number} {name1} {start1} {start1 + len1 - 1}"
-            f" {name2} {start2} {start2 + len2 - 1} {strand2} {a.score}")
+            f" {name2} {start2} {start2 + len2 - 1} {strand2}"
+            f" {score_fmt(a.score)}")
     if extras_size2:
         head += f" {seq2_len}"
     t1, t2 = _gapped_texts(seq1.v, seq2.v, beg1, beg2, a.script)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from ..core.encoding import NUC_TO_BITS
+from ..core.scoring import score_fmt
 
 RCF_SUFFIX = ["", "~", "~", ""]
 
@@ -116,7 +117,8 @@ def cigar_align(seq1, seq2, a, with_info=True, mark_mismatches=False,
     if with_info:
         out.append(
             f"cigar: {name2}{suff2} {start2} {end2} {strand2}"
-            f" {name1}{suff1} {start1} {end1} {strand1} {a.score}")
+            f" {name1}{suff1} {start1} {end1} {strand1}"
+            f" {score_fmt(a.score)}")
     out.append(cigarx_text(seq1.v, beg1, seq2.v, beg2, a.script,
                            letter_after=letter_after, with_spaces=with_spaces,
                            hide_singles=hide_singles, lower_case=lower_case,

@@ -13,9 +13,11 @@ from . import lav as lav_mod
 
 
 class OutputDispatcher:
-    def __init__(self, config, out: TextIO, program_name: str = "lastz_tpu.v0.1.0"):
+    def __init__(self, config, out: TextIO, program_name: str = "lastz_tpu.v0.1.0",
+                 collector=None):
         self.cfg = config
         self.out = out
+        self.collector = collector
         self.program_name = program_name
         self.strand_header_printed = False
         self.printed_for_query = 0
@@ -160,7 +162,7 @@ class OutputDispatcher:
                 cfg.seed.with_trans]
             self.out.write(f"seed={seed_pattern_string(cfg.seed)}{trans}\n")
             self.out.write(f"step={cfg.step}\n")
-        elif self._fmt in ("none", "differences", "differences-"):
+        elif self._fmt in ("none", "differences", "differences-", "infscores"):
             pass
         else:
             raise ValueError(f"unsupported output format {self._fmt}")
@@ -203,6 +205,13 @@ class OutputDispatcher:
     def print_match(self, pos1: int, pos2: int, length: int, s: int,
                     hsp_id: int = 0):
         """Print one ungapped HSP; pos1/pos2 are START positions (origin-0)."""
+        if self._fmt == "infscores":
+            # scoring-inference collection (reference fmtInfScores,
+            # output.c print_match -> gather_stats_from_match)
+            if self.collector is not None:
+                self.collector.gather_from_match(
+                    self.seq1, pos1, self.seq2, pos2, length)
+            return
         cfg = self.cfg
         if cfg.search_limit > 0 and self.printed_for_query >= cfg.search_limit:
             return
@@ -252,6 +261,11 @@ class OutputDispatcher:
     def print_align_list(self, alignments):
         """Print gapped alignments (list of Alignment)."""
         if not alignments:
+            return
+        if self._fmt == "infscores":
+            if self.collector is not None:
+                for a in alignments:
+                    self.collector.gather_from_align(self.seq1, self.seq2, a)
             return
         for sub in self.secondaries:
             if sub._fmt in ("rdotplot", "rdotplot+score"):

@@ -65,7 +65,8 @@ def maf_align(seq1, seq2, a, distinguish_names=False) -> str:
 
     t1, t2 = _gapped_texts(seq1.v, seq2.v, beg1, beg2, a.script)
 
-    out = [f"a score={a.score}\n"]
+    from ..core.scoring import score_fmt
+    out = [f"a score={score_fmt(a.score)}\n"]
     out.append(
         f"s {name1}{suff1}{' ' * (name_w + 1 - len1)}"
         f"{start1 - 1:>{start_w}} {l1:>{end_w}} {strand1}"

@@ -94,11 +94,12 @@ def _trim_head(script, n):
 
 
 class Pipeline:
-    def __init__(self, cfg: Config, out=None):
+    def __init__(self, cfg: Config, out=None, collector=None):
         self.cfg = cfg
         self.out = out or sys.stdout
         self._finalize_config()
-        self.dispatcher = OutputDispatcher(cfg, self.out, PROGRAM_NAME)
+        self.dispatcher = OutputDispatcher(cfg, self.out, PROGRAM_NAME,
+                                           collector=collector)
         self.anchors: Optional[SegmentTable] = None
         self.secondary_anchors: Optional[SegmentTable] = None
 
@@ -163,23 +164,30 @@ class Pipeline:
 
     # -- main entry ---------------------------------------------------------
 
-    def run(self):
+    def run(self, target=None, pt=None):
+        """Full job.  `target`/`pt` may be supplied pre-loaded (the
+        scoring-inference loop shares them across iterations, as the
+        reference shares seq1/targPositions with izParams)."""
         cfg = self.cfg
         disp = self.dispatcher
 
-        target_file = SequenceFile(cfg.seq1_filename)
-        target = target_file.load()
         if target is None:
-            raise ValueError(f"no sequence in {cfg.seq1_filename}")
+            target_file = SequenceFile(cfg.seq1_filename)
+            target = target_file.load()
+            if target is None:
+                raise ValueError(f"no sequence in {cfg.seq1_filename}")
 
         # resolve adaptive ('P') thresholds now that target length is known
         self._resolve_score_thresholds(target)
 
-        pt = build_seed_position_table(
-            target.v, 0, len(target.v), UPPER_NUC_TO_BITS, cfg.seed, cfg.step)
-        if cfg.word_count_limit > 0 or cfg.word_count_keep > 0:
-            from .index.postable import limit_position_table
-            limit_position_table(pt, cfg.word_count_limit, cfg.word_count_keep)
+        if pt is None:
+            pt = build_seed_position_table(
+                target.v, 0, len(target.v), UPPER_NUC_TO_BITS, cfg.seed,
+                cfg.step)
+            if cfg.word_count_limit > 0 or cfg.word_count_keep > 0:
+                from .index.postable import limit_position_table
+                limit_position_table(pt, cfg.word_count_limit,
+                                     cfg.word_count_keep)
         self.target = target
         self.pt = pt
 
