@@ -400,6 +400,18 @@ def parse_options(argv: list[str]) -> Config:
                 mult = 1 << 30
                 t = t[:-1]
             cfg.traceback_mem = int(float(t) * mult)
+        elif arg.startswith("--writecapsule="):
+            if cfg.read_capsule:
+                raise UsageError(
+                    "can't use --writecapsule with --targetcapsule")
+            cfg.capsule_filename = val
+            cfg.write_capsule = True
+        elif arg.startswith("--targetcapsule="):
+            if cfg.write_capsule:
+                raise UsageError(
+                    "can't use --targetcapsule with --writecapsule")
+            cfg.capsule_filename = val
+            cfg.read_capsule = True
         elif arg == "--infer" or arg.startswith("--infer="):
             cfg.infer_scores = True
             cfg.infer_only = False
@@ -426,10 +438,35 @@ def parse_options(argv: list[str]) -> Config:
         else:
             raise UsageError(f"unknown option {arg}")
 
-    if len(positional) >= 1:
-        cfg.seq1_filename = positional[0]
-    if len(positional) >= 2:
-        cfg.seq2_filename = positional[1]
+    if cfg.read_capsule:
+        # the one positional (if any) is the query (lastz.c:7755-7770)
+        if len(positional) >= 2:
+            raise UsageError("can't use --targetcapsule with two queries")
+        if len(positional) == 1:
+            cfg.seq2_filename = positional[0]
+        if have_step:
+            raise UsageError("can't use --step with --targetcapsule")
+        if seed_string is not None:
+            raise UsageError("can't use --seed with --targetcapsule")
+        if cfg.dynamic_masking > 0:
+            raise UsageError("can't use --masking with --targetcapsule")
+        if cfg.word_count_limit > 0 or cfg.word_count_keep > 0:
+            raise UsageError("can't use --maxwordcount with --targetcapsule")
+        if cfg.max_index_bits != 28:
+            raise UsageError("can't use --word with --targetcapsule")
+    elif cfg.write_capsule:
+        if len(positional) >= 2:
+            raise UsageError(
+                "--writecapsule can't be used when you specify a query file")
+        if cfg.infer_scores:
+            raise UsageError("can't use --infer with --writecapsule")
+        if len(positional) >= 1:
+            cfg.seq1_filename = positional[0]
+    else:
+        if len(positional) >= 1:
+            cfg.seq1_filename = positional[0]
+        if len(positional) >= 2:
+            cfg.seq2_filename = positional[1]
     if cfg.self_compare and cfg.seq2_filename is None:
         cfg.seq2_filename = cfg.seq1_filename
     if seed_string is not None:
@@ -478,7 +515,7 @@ def main(argv=None):
     except UsageError as e:
         print(f"lastz_tpu: {e}", file=sys.stderr)
         return 1
-    if cfg.seq1_filename is None:
+    if cfg.seq1_filename is None and not cfg.read_capsule:
         print("usage: lastz_tpu target [query] [options]", file=sys.stderr)
         return 1
     from .pipeline import Pipeline

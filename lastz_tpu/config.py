@@ -162,6 +162,11 @@ class Config:
     args: str = ""  # reconstructed command tail for job headers
     verbosity: int = 0
 
+    # capsule: persisted index snapshot (--writecapsule/--targetcapsule)
+    write_capsule: bool = False
+    read_capsule: bool = False
+    capsule_filename: Optional[str] = None
+
     # scoring inference (--infer/--inferonly/--infscores)
     infer_scores: bool = False
     infer_only: bool = False

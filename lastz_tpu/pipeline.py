@@ -171,6 +171,16 @@ class Pipeline:
         cfg = self.cfg
         disp = self.dispatcher
 
+        if target is None and cfg.read_capsule:
+            # target + index come from the capsule; its seed/step
+            # replace the defaults (lastz.c:8807-8813)
+            from .index.capsule import open_capsule_file
+            target, pt = open_capsule_file(
+                cfg.capsule_filename,
+                writable_target=cfg.dynamic_masking > 0)
+            pt.seed.with_trans = cfg.with_trans
+            cfg.seed = pt.seed
+            cfg.step = pt.step
         if target is None:
             target_file = SequenceFile(cfg.seq1_filename)
             target = target_file.load()
@@ -190,6 +200,16 @@ class Pipeline:
                                      cfg.word_count_keep)
         self.target = target
         self.pt = pt
+
+        if cfg.write_capsule:
+            # write the index snapshot and quit (lastz.c:1361-1376)
+            from .index.capsule import write_capsule_file, unitize
+            cap_size = write_capsule_file(cfg.capsule_filename, target, pt)
+            self.out.write(
+                "%s byte target sequence capsule written to %s\n"
+                % (unitize(cap_size, by_thousands=True),
+                   cfg.capsule_filename))
+            return
 
         self.targ_census = None
         if cfg.dynamic_masking > 0 or cfg.report_census:
