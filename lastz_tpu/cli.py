@@ -21,6 +21,18 @@ class UsageError(Exception):
     pass
 
 
+# user-selectable --format= names (reference lastz.c:6975-7482)
+KNOWN_FORMATS = {
+    "gfa", "gfanoscore", "lav", "lav+", "lav+text", "text+lav", "lavscore",
+    "axt", "axt+", "axt:size2", "waxt", "maf", "maf+", "maf-",
+    "sam", "sam-", "softsam", "softsam-", "hardsam", "hardsam-",
+    "cigar", "general", "general-", "segments", "mapping",
+    "paf", "paf:wfmash", "blastn", "blastn-",
+    "text", "ztext", "comp", "identity", "deseed", "none",
+    "rdotplot", "rdotplot+score",
+}
+
+
 def parse_threshold(text: str) -> ScoreThreshold:
     """Parse K=/L= values: plain score, '<n>%', or 'top<n>%'."""
     t = text.strip()
@@ -36,6 +48,7 @@ def parse_options(argv: list[str]) -> Config:
     positional = []
     have_with_trans = False
     have_gapped_thresh = False
+    have_max_identity = False
     have_step = False
     seed_string = None
     args_parts = []
@@ -260,6 +273,7 @@ def parse_options(argv: list[str]) -> Config:
             lo, _, hi = val.partition("..")
             cfg.min_identity = float(lo) / 100.0
             cfg.max_identity = float(hi) / 100.0 if hi else 1.0
+            have_max_identity = True
         elif arg.startswith("--coverage="):
             lo, _, hi = val.partition("..")
             cfg.min_coverage = float(lo) / 100.0
@@ -283,8 +297,30 @@ def parse_options(argv: list[str]) -> Config:
             elif fmt in ("rdotplot", "rdotplot+score"):
                 cfg.output_format = fmt
                 cfg.de_gapify_output = True
-            else:
+            elif fmt == "zerotext":
+                cfg.output_format = "ztext"
+            elif fmt in ("istats", "infstats") or (
+                    (fmt.startswith("istats(") or fmt.startswith("infstats("))
+                    and fmt.endswith(")")):
+                # inference stats: defaults the identity cap to 70%
+                # (lastz.c:7447-7473)
+                cfg.output_format = "istats"
+                if "(" in fmt:
+                    pct = fmt[fmt.index("(") + 1 : -1].rstrip("%")
+                    try:
+                        pct_val = float(pct)
+                    except ValueError:
+                        raise UsageError(f"unknown format {val}")
+                    if not 0 <= pct_val <= 100:
+                        raise UsageError(f"unknown format {val}")
+                    cfg.max_identity = pct_val / 100.0
+                    have_max_identity = True
+                elif not have_max_identity:
+                    cfg.max_identity = 0.70
+            elif fmt in KNOWN_FORMATS:
                 cfg.output_format = fmt
+            else:
+                raise UsageError(f"unknown format {fmt}")
         elif arg == "--gfa":
             cfg.output_format = "gfa"
         elif arg == "--lav":

@@ -27,25 +27,41 @@ def filter_segments_by_identity(v1, v2, table, min_identity, max_identity):
     table.segments = kept
 
 
-def alignment_identity(v1, v2, a):
-    """match/mismatch ratio over substitution columns of an alignment."""
+def segment_identity_counts(v1, pos1, v2, pos2, length):
+    """(matches, denom) counts (reference segment_identity,
+    identity_dist.c:350)."""
+    b1 = NUC_TO_BITS[v1[pos1 : pos1 + length]]
+    b2 = NUC_TO_BITS[v2[pos2 : pos2 + length]]
+    ok = (b1 >= 0) & (b2 >= 0)
+    denom = int(np.count_nonzero(ok))
+    matches = int(np.count_nonzero(ok & (b1 == b2)))
+    return matches, denom
+
+
+def alignment_identity_counts(v1, v2, a):
+    """(matches, denom) over an alignment's substitution columns
+    (reference alignment_identity, identity_dist.c:180)."""
     i = a.beg1 - 1
     j = a.beg2 - 1
     matches = 0
     denom = 0
     for op, run in a.script.ops:
         if op == "S":
-            b1 = NUC_TO_BITS[v1[i : i + run]]
-            b2 = NUC_TO_BITS[v2[j : j + run]]
-            ok = (b1 >= 0) & (b2 >= 0)
-            denom += int(np.count_nonzero(ok))
-            matches += int(np.count_nonzero(ok & (b1 == b2)))
+            m, d = segment_identity_counts(v1, i, v2, j, run)
+            denom += d
+            matches += m
             i += run
             j += run
         elif op == "I":
             j += run
         else:
             i += run
+    return matches, denom
+
+
+def alignment_identity(v1, v2, a):
+    """match/mismatch ratio over substitution columns of an alignment."""
+    matches, denom = alignment_identity_counts(v1, v2, a)
     if denom == 0:
         return 0.0
     return matches / denom

@@ -132,6 +132,95 @@ def _count_substitutions(v1, pos1, v2, pos2, length):
     return int(valid.sum()), pair_count
 
 
+def accumulate_from_match(inf: InfStats, v1, pos1, v2, pos2, length):
+    """reference accumulate_stats_from_match (infer_scores.c:1911)."""
+    denom, pair_count = _count_substitutions(v1, pos1, v2, pos2, length)
+    inf.ref_bases += denom
+    inf.sec_bases += denom
+    _add_length(inf.ref_blocks, denom)
+    _add_length(inf.sec_blocks, denom)
+    _add_length(inf.segments, denom)
+    inf.ref_bkgd += pair_count.sum(axis=1)
+    inf.sec_bkgd += pair_count.sum(axis=0)
+    inf.subs += pair_count
+    return denom, pair_count
+
+
+def accumulate_from_align(inf: InfStats, v1, v2, a):
+    """reference accumulate_stats_from_align (infer_scores.c:1804)."""
+    beg1 = a.beg1  # 1-based inclusive
+    beg2 = a.beg2
+    height = a.end1 - beg1 + 1
+    width = a.end2 - beg2 + 1
+    _add_length(inf.ref_blocks, height)
+    _add_length(inf.sec_blocks, width)
+
+    pair_count = np.zeros((4, 4), dtype=np.int64)
+    ref_run = sec_run = 0
+    i = j = 0
+    ops = a.script.ops
+    op_ix = 0
+    while i < height or j < width:
+        prev_i, prev_j = i, j
+        run = 0
+        while op_ix < len(ops) and ops[op_ix][0] == "S":
+            run += ops[op_ix][1]
+            op_ix += 1
+        i += run
+        j += run
+        ref_run += run
+        sec_run += run
+        if run > 0:
+            d, pc = _count_substitutions(
+                v1, beg1 - 1 + prev_i, v2, beg2 - 1 + prev_j, run)
+            pair_count += pc
+            if d != 0:
+                inf.ref_bases += d
+                inf.sec_bases += d
+                _add_length(inf.segments, d)
+        if i < height or j < width:
+            prev_i, prev_j = i, j
+            if op_ix < len(ops):
+                op, rpt = ops[op_ix]
+                op_ix += 1
+                if op == "I":
+                    j += rpt
+                else:
+                    i += rpt
+            if j != prev_j:  # deletion from reference sequence
+                indel_len = j - prev_j
+                _add_length(inf.ref_gaps, indel_len)
+                if ref_run > 0:
+                    _add_length(inf.ref_runs, ref_run)
+                    ref_run = 0
+                cc = NUC_TO_BITS[
+                    v2[beg2 - 1 + prev_j : beg2 - 1 + prev_j + indel_len]]
+                cc = cc[cc >= 0]
+                np.add.at(inf.sec_bkgd, cc, 1)
+                sec_run += len(cc)
+                inf.sec_bases += len(cc)
+            if i != prev_i:  # deletion from secondary sequence
+                indel_len = i - prev_i
+                _add_length(inf.sec_gaps, indel_len)
+                if sec_run > 0:
+                    _add_length(inf.sec_runs, sec_run)
+                    sec_run = 0
+                cc = NUC_TO_BITS[
+                    v1[beg1 - 1 + prev_i : beg1 - 1 + prev_i + indel_len]]
+                cc = cc[cc >= 0]
+                np.add.at(inf.ref_bkgd, cc, 1)
+                ref_run += len(cc)
+                inf.ref_bases += len(cc)
+    if ref_run > 0:
+        _add_length(inf.ref_runs, ref_run)
+    if sec_run > 0:
+        _add_length(inf.sec_runs, sec_run)
+
+    inf.ref_bkgd += pair_count.sum(axis=1)
+    inf.sec_bkgd += pair_count.sum(axis=0)
+    inf.subs += pair_count
+
+
 class InfStatsCollector:
     """Output 'format' that tallies inference stats instead of printing
     (reference fmtInfScores; gather_stats_from_match/align_list)."""
@@ -153,95 +242,15 @@ class InfStatsCollector:
         inf = self.bins[identity_bin(numer, denom)]
         inf.count += 1
         inf.coverage += denom
-        # accumulate_stats_from_match (infer_scores.c:1911)
-        inf.ref_bases += denom
-        inf.sec_bases += denom
-        _add_length(inf.ref_blocks, denom)
-        _add_length(inf.sec_blocks, denom)
-        _add_length(inf.segments, denom)
-        inf.ref_bkgd += pair_count.sum(axis=1)
-        inf.sec_bkgd += pair_count.sum(axis=0)
-        inf.subs += pair_count
+        accumulate_from_match(inf, seq1.v, pos1, seq2.v, pos2, length)
 
     def gather_from_align(self, seq1, seq2, a):
-        """reference gather_stats_from_align_list (infer_scores.c:1478)
-        + accumulate_stats_from_align (:1804)."""
+        """reference gather_stats_from_align_list (infer_scores.c:1478)."""
         numer, denom = _alignment_identity(seq1.v, seq2.v, a)
         inf = self.bins[identity_bin(numer, denom)]
         inf.count += 1
         inf.coverage += denom
-
-        beg1 = a.beg1  # 1-based inclusive
-        beg2 = a.beg2
-        height = a.end1 - beg1 + 1
-        width = a.end2 - beg2 + 1
-        _add_length(inf.ref_blocks, height)
-        _add_length(inf.sec_blocks, width)
-
-        pair_count = np.zeros((4, 4), dtype=np.int64)
-        ref_run = sec_run = 0
-        i = j = 0
-        ops = a.script.ops
-        op_ix = 0
-        while i < height or j < width:
-            prev_i, prev_j = i, j
-            run = 0
-            while op_ix < len(ops) and ops[op_ix][0] == "S":
-                run += ops[op_ix][1]
-                op_ix += 1
-            i += run
-            j += run
-            ref_run += run
-            sec_run += run
-            if run > 0:
-                d, pc = _count_substitutions(
-                    seq1.v, beg1 - 1 + prev_i, seq2.v, beg2 - 1 + prev_j, run)
-                pair_count += pc
-                if d != 0:
-                    inf.ref_bases += d
-                    inf.sec_bases += d
-                    _add_length(inf.segments, d)
-            if i < height or j < width:
-                prev_i, prev_j = i, j
-                if op_ix < len(ops):
-                    op, rpt = ops[op_ix]
-                    op_ix += 1
-                    if op == "I":
-                        j += rpt
-                    else:
-                        i += rpt
-                if j != prev_j:  # deletion from reference sequence
-                    indel_len = j - prev_j
-                    _add_length(inf.ref_gaps, indel_len)
-                    if ref_run > 0:
-                        _add_length(inf.ref_runs, ref_run)
-                        ref_run = 0
-                    cc = NUC_TO_BITS[
-                        seq2.v[beg2 - 1 + prev_j : beg2 - 1 + prev_j + indel_len]]
-                    cc = cc[cc >= 0]
-                    np.add.at(inf.sec_bkgd, cc, 1)
-                    sec_run += len(cc)
-                    inf.sec_bases += len(cc)
-                if i != prev_i:  # deletion from secondary sequence
-                    indel_len = i - prev_i
-                    _add_length(inf.sec_gaps, indel_len)
-                    if sec_run > 0:
-                        _add_length(inf.sec_runs, sec_run)
-                        sec_run = 0
-                    cc = NUC_TO_BITS[
-                        seq1.v[beg1 - 1 + prev_i : beg1 - 1 + prev_i + indel_len]]
-                    cc = cc[cc >= 0]
-                    np.add.at(inf.ref_bkgd, cc, 1)
-                    ref_run += len(cc)
-                    inf.ref_bases += len(cc)
-        if ref_run > 0:
-            _add_length(inf.ref_runs, ref_run)
-        if sec_run > 0:
-            _add_length(inf.sec_runs, sec_run)
-
-        inf.ref_bkgd += pair_count.sum(axis=1)
-        inf.sec_bkgd += pair_count.sum(axis=0)
-        inf.subs += pair_count
+        accumulate_from_align(inf, seq1.v, seq2.v, a)
 
     # -- reduction -----------------------------------------------------------
 

@@ -122,7 +122,8 @@ def axt_align(seq1, seq2, a, number: int, extras_size2=False) -> str:
     return f"{head}\n{t1}\n{t2}\n\n"
 
 
-def axt_match(seq1, pos1, seq2, pos2, length, s, number: int) -> str:
+def axt_match(seq1, pos1, seq2, pos2, length, s, number: int,
+              extras_size2=False) -> str:
     from ..align.edit_script import EditScript
     from ..align.edit_script import Alignment
 
@@ -131,4 +132,4 @@ def axt_match(seq1, pos1, seq2, pos2, length, s, number: int) -> str:
     a = Alignment(beg1=pos1 + 1, beg2=pos2 + 1,
                   end1=pos1 + length, end2=pos2 + length,
                   script=script, score=s)
-    return axt_align(seq1, seq2, a, number)
+    return axt_align(seq1, seq2, a, number, extras_size2=extras_size2)

@@ -27,10 +27,35 @@ class OutputDispatcher:
         self.seq2 = None
         self._writer = None
         fmt = config.output_format
-        if fmt in ("lav", "lav+text", "lavscore"):
+        # lav family (reference fmtLav/LavComment/LavScore/LavText)
+        self._lav_extras = fmt == "lav+"
+        self._lav_score_l = fmt == "lavscore"
+        self._lav_text = fmt in ("lav+text", "text+lav")
+        # axt family (fmtAxt/AxtComment/AxtGeneral)
+        self._axt_comments = fmt == "axt+"
+        self._axt_size2 = fmt in ("axt:size2", "waxt")
+        # maf comments (fmtMafComment)
+        self._maf_comments = fmt == "maf+"
+        self._gfa_noscore = fmt == "gfanoscore"
+        if fmt in ("lav", "lav+", "lav+text", "text+lav", "lavscore"):
             self._fmt = "lav"
+        elif fmt in ("axt:size2", "waxt"):
+            self._fmt = "axt"
+        elif fmt == "gfanoscore":
+            self._fmt = "gfa"
         else:
             self._fmt = fmt
+        # identity-distribution / inference-stats collectors
+        # (fmtIdDist, fmtInfStats: collected per record, printed in the
+        # job footer)
+        self._iddist = None
+        self._infstats = None
+        if self._fmt == "identity":
+            from .iddist import IdentityDistribution
+            self._iddist = IdentityDistribution()
+        elif self._fmt == "istats":
+            from .infstats import InferenceStatsReport
+            self._infstats = InferenceStatsReport()
         # formats that are canned genpaf key strings (reference
         # genpaf.h:117-126 and lastz.c --format= parsing)
         from . import genpaf as gp_mod
@@ -114,24 +139,33 @@ class OutputDispatcher:
                 self.program_name,
                 cfg.seq1_filename, cfg.seq2_filename, cfg.args,
                 cfg.scoring, cfg.hsp_threshold, cfg.gapped_threshold,
-                cfg.dynamic_masking))
+                cfg.dynamic_masking,
+                with_extras=self._lav_extras,
+                x_drop=cfg.effective_x_drop(),
+                y_drop=cfg.effective_y_drop()))
+            if self._lav_extras or self._lav_text:
+                # print_options via print_generic (lastz.c:1443,10440):
+                # lav+ prints comments; lav+text prints comment + plain
+                for line in self._options_lines():
+                    self.out.write(lav_mod.lav_comment(line))
+                    if self._lav_text:
+                        self.out.write(line + "\n")
         elif self._fmt == "gfa":
             from . import gfa as gfa_mod
             self.out.write(gfa_mod.gfa_job_header(
                 self.program_name, cfg.seq1_filename, cfg.seq2_filename))
             # reference print_options emits z-records after the header
-            from ..core.seeds import seed_pattern_string
-            trans = {0: "", 1: " w/transition", 2: " w/2 transitions"}[
-                cfg.seed.with_trans]
-            self.out.write(gfa_mod.gfa_generic(
-                f"seed={seed_pattern_string(cfg.seed)}{trans}"))
-            self.out.write(gfa_mod.gfa_generic(f"step={cfg.step}"))
+            for line in self._options_lines():
+                self.out.write(gfa_mod.gfa_generic(line))
         elif self._fmt in ("axt", "axt+"):
             from . import axt as axt_mod
             self.out.write(axt_mod.axt_job_header(
                 self.program_name, cfg.args, cfg.scoring,
                 cfg.hsp_threshold, cfg.gapped_threshold,
                 cfg.effective_x_drop(), cfg.effective_y_drop()))
+            if self._axt_comments:
+                for line in self._options_lines():
+                    self.out.write(f"# {line}\n")
         elif self._fmt in ("maf", "maf+"):
             from . import maf as maf_mod
             self.out.write(maf_mod.maf_job_header(
@@ -139,6 +173,9 @@ class OutputDispatcher:
                 cfg.hsp_threshold, cfg.gapped_threshold,
                 cfg.effective_x_drop(), cfg.effective_y_drop(),
                 with_comments=True))
+            if self._maf_comments:
+                for line in self._options_lines():
+                    self.out.write(f"# {line}\n")
         elif self._fmt in ("maf-",):
             pass
         elif self._fmt in ("sam", "softsam", "hardsam"):
@@ -157,19 +194,32 @@ class OutputDispatcher:
                 self.out.write(gp_mod.genpaf_job_header(self._genpaf_keys))
         elif self._fmt in ("text", "ztext"):
             # reference print_options emits plain seed=/step= lines
-            from ..core.seeds import seed_pattern_string
-            trans = {0: "", 1: " w/transition", 2: " w/2 transitions"}[
-                cfg.seed.with_trans]
-            self.out.write(f"seed={seed_pattern_string(cfg.seed)}{trans}\n")
-            self.out.write(f"step={cfg.step}\n")
-        elif self._fmt in ("none", "differences", "differences-", "infscores"):
+            for line in self._options_lines():
+                self.out.write(line + "\n")
+        elif self._fmt in ("none", "differences", "differences-",
+                           "infscores", "comp", "deseed", "identity",
+                           "istats"):
             pass
         else:
             raise ValueError(f"unsupported output format {self._fmt}")
 
+    def _options_lines(self):
+        """reference print_options (lastz.c:10440): the seed/step
+        settings lines, rendered per-format as comments or records."""
+        from ..core.seeds import seed_pattern_string
+        cfg = self.cfg
+        trans = {0: "", 1: " w/transition", 2: " w/2 transitions"}[
+            cfg.seed.with_trans]
+        return [f"seed={seed_pattern_string(cfg.seed)}{trans}",
+                f"step={cfg.step}"]
+
     def job_footer(self):
         if self._fmt == "lav":
             self.out.write(lav_mod.lav_job_footer())
+        elif self._iddist is not None:
+            self._iddist.print_job(self.out)
+        elif self._infstats is not None:
+            self._infstats.print_job(self.out)
         if self.cfg.end_comment:
             self.out.write("# lastz end-of-file\n")
         for sub in self.secondaries:
@@ -221,11 +271,35 @@ class OutputDispatcher:
         self._ensure_strand_header()
         if self._fmt == "lav":
             self.out.write(lav_mod.lav_match(
-                self.seq1.v, pos1, self.seq2.v, pos2, length, s))
+                self.seq1.v, pos1, self.seq2.v, pos2, length, s,
+                score_in_l_line=self._lav_score_l))
+            if self._lav_text:
+                # quirk: lav+text matches are ONE-based (outputFormat !=
+                # fmtZeroText, output.c:846-848) while its gapped
+                # alignments are zero-based (explicit false, :604)
+                from . import text as text_mod
+                self.out.write(text_mod.text_match(
+                    self.seq1, pos1, self.seq2, pos2, length, s,
+                    one_based=True))
         elif self._fmt == "gfa":
             from . import gfa as gfa_mod
             self.out.write(gfa_mod.gfa_match(
-                self.seq1, pos1, self.seq2, pos2, length, s))
+                self.seq1, pos1, self.seq2, pos2, length,
+                0 if self._gfa_noscore else s))
+        elif self._fmt == "comp":
+            from . import comp as comp_mod
+            self.out.write(comp_mod.comp_match(
+                self.seq1, pos1, self.seq2, pos2, length, s,
+                cfg.seed, cfg.step))
+        elif self._fmt == "deseed":
+            from . import comp as comp_mod
+            self.out.write(comp_mod.deseed_match(
+                self.seq1, pos1, self.seq2, pos2, length))
+        elif self._fmt == "identity":
+            self._iddist.from_match(self.seq1, pos1, self.seq2, pos2, length)
+        elif self._fmt == "istats":
+            self._infstats.from_match(self.seq1, pos1,
+                                      self.seq2, pos2, length)
         elif self._genpaf_keys is not None:
             from . import genpaf as gp_mod
             self.out.write(gp_mod.genpaf_match(
@@ -233,13 +307,22 @@ class OutputDispatcher:
                 self._genpaf_keys))
         elif self._fmt in ("maf", "maf+", "maf-"):
             from . import maf as maf_mod
+            if self._maf_comments:
+                from .comments import match_comments
+                self.out.write(match_comments(
+                    self.seq1, pos1, self.seq2, pos2, length))
             self.out.write(maf_mod.maf_match(
                 self.seq1, pos1, self.seq2, pos2, length, s))
         elif self._fmt in ("axt", "axt+"):
             from . import axt as axt_mod
+            if self._axt_comments:
+                from .comments import match_comments
+                self.out.write(match_comments(
+                    self.seq1, pos1, self.seq2, pos2, length,
+                    with_cigar=False))
             self.out.write(axt_mod.axt_match(
                 self.seq1, pos1, self.seq2, pos2, length, s,
-                self._next_axt_id()))
+                self._next_axt_id(), extras_size2=self._axt_size2))
         elif self._fmt in ("text", "ztext"):
             from . import text as text_mod
             self.out.write(text_mod.text_match(
@@ -267,6 +350,14 @@ class OutputDispatcher:
                 for a in alignments:
                     self.collector.gather_from_align(self.seq1, self.seq2, a)
             return
+        if self._fmt == "identity":
+            for a in alignments:
+                self._iddist.from_align(self.seq1, self.seq2, a)
+            return
+        if self._fmt == "istats":
+            for a in alignments:
+                self._infstats.from_align(self.seq1, self.seq2, a)
+            return
         for sub in self.secondaries:
             if sub._fmt in ("rdotplot", "rdotplot+score"):
                 # the dotplot channel is always de-gapified (reference
@@ -288,16 +379,34 @@ class OutputDispatcher:
                 self.seq1.v, a.beg1 - 1, a.end1,
                 self.seq2.v, a.beg2 - 1, a.end2,
                 a.script, a.score))
+            if self._lav_text:
+                # reference passes oneBased=false here (output.c:604-615)
+                from . import text as text_mod
+                self.out.write(text_mod.text_align(
+                    self.seq1, self.seq2, a, one_based=False))
         elif self._fmt in ("axt", "axt+"):
             from . import axt as axt_mod
+            if self._axt_comments:
+                from .comments import align_comments
+                self.out.write(align_comments(
+                    self.seq1, self.seq2, a,
+                    with_continuity=False, with_cigar=False))
             self.out.write(axt_mod.axt_align(
-                self.seq1, self.seq2, a, self._next_axt_id()))
+                self.seq1, self.seq2, a, self._next_axt_id(),
+                extras_size2=self._axt_size2))
         elif self._fmt in ("maf", "maf+", "maf-"):
             from . import maf as maf_mod
+            if self._maf_comments:
+                from .comments import align_comments
+                self.out.write(align_comments(
+                    self.seq1, self.seq2, a,
+                    with_continuity=True, with_cigar=True))
             self.out.write(maf_mod.maf_align(self.seq1, self.seq2, a))
         elif self._fmt == "gfa":
             from . import gfa as gfa_mod
-            self.out.write(gfa_mod.gfa_align(self.seq1, self.seq2, a))
+            self.out.write(gfa_mod.gfa_align(
+                self.seq1, self.seq2, a,
+                scoring=None if self._gfa_noscore else self.cfg.scoring))
         elif self._genpaf_keys is not None:
             from . import genpaf as gp_mod
             self.out.write(gp_mod.genpaf_align(
@@ -324,7 +433,7 @@ class OutputDispatcher:
                 self.seq1, self.seq2, a,
                 with_blocks=(self._fmt == "differences"),
                 inhibit_n=self.cfg.n_is_ambiguous))
-        elif self._fmt == "none":
+        elif self._fmt in ("none", "comp", "deseed"):
             pass
         else:
             raise ValueError(f"format {self._fmt} cannot print alignments yet")

@@ -78,7 +78,7 @@ def gfa_align(seq1, seq2, a, scoring=None) -> str:
                     j += r
                 else:
                     i += r
-    out.append(f"A {beg1}{s1}/{beg2}{s2} {height} {width} {total}\n")
+    out.append(f"A {beg1}{s1}/{beg2}{s2} {height}/{width} {total}\n")
     i = j = 0
     op_ix = 0
     ops = a.script.ops

@@ -107,21 +107,31 @@ def percent_identical(v1: np.ndarray, pos1: int, v2: np.ndarray, pos2: int,
     return (200 * matches + denom) // (2 * denom)
 
 
-def lav_match(v1, pos1, v2, pos2, length, s) -> str:
+def lav_match(v1, pos1, v2, pos2, length, s, score_in_l_line=False) -> str:
     """HSP a-stanza (reference print_lav_match); pos1/pos2 are START
-    positions, origin-0."""
+    positions, origin-0.  With score_in_l_line, the l-line carries the
+    score rather than percent identity (reference print_lavscore_match,
+    lav.c:363)."""
     end1 = pos1 + length
     end2 = pos2 + length
-    pct = percent_identical(v1, pos1, v2, pos2, length)
     from ..core.scoring import score_str
+    if score_in_l_line:
+        tail = score_str(s)
+    else:
+        tail = percent_identical(v1, pos1, v2, pos2, length)
     return (
         "a {\n"
         f"  s {score_str(s)}\n"
         f"  b {pos1 + 1} {pos2 + 1}\n"
         f"  e {end1} {end2}\n"
-        f"  l {pos1 + 1} {pos2 + 1} {end1} {end2} {pct}\n"
+        f"  l {pos1 + 1} {pos2 + 1} {end1} {end2} {tail}\n"
         "}\n"
     )
+
+
+def lav_comment(text: str) -> str:
+    """reference vprint_lav_comment: '# ' prefixed comment line."""
+    return f"# {text}\n"
 
 
 def _align_match_percent(run: int, match: int) -> int:
