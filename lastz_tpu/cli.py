@@ -562,18 +562,30 @@ def main(argv=None):
         out = open(cfg.output_filename, "w")
         close = True
     try:
-        if cfg.infer_scores:
-            from .infer import drive_scoring_inference
-            inferred = drive_scoring_inference(
-                cfg, cfg.infer_control_filename, cfg.infer_scores_filename)
-            if cfg.infer_only:
-                return 0
-            cfg.scoring = inferred
-            cfg.masked_scoring = None
-        Pipeline(cfg, out).run()
+        try:
+            return _run(cfg, out)
+        except ValueError as e:
+            # user-facing input errors (missing contigs, bad subranges,
+            # malformed files) exit like the reference's suicide()
+            print(f"FAILURE: {e}", file=sys.stderr)
+            return 1
     finally:
         if close:
             out.close()
+
+
+def _run(cfg, out):
+    from .pipeline import Pipeline
+
+    if cfg.infer_scores:
+        from .infer import drive_scoring_inference
+        inferred = drive_scoring_inference(
+            cfg, cfg.infer_control_filename, cfg.infer_scores_filename)
+        if cfg.infer_only:
+            return 0
+        cfg.scoring = inferred
+        cfg.masked_scoring = None
+    Pipeline(cfg, out).run()
     return 0
 
 

@@ -292,7 +292,7 @@ def sniff_file_type(path: str) -> str:
             return "2bit"
         if big in (0xD2527095, 0x957052D2):
             return "hsx"
-        if big == 0xC4B47197:  # qdna
+        if big in (0xC4B47197, 0x9771B4C4, 0x9E6556F6, 0xF656659E):  # qdna
             return "qdna"
     if magic[:1] == b"@":
         return "fastq"
@@ -347,6 +347,10 @@ class SequenceFile:
             self._records = [_read_nib(self.filename)]
         elif self.file_type == "2bit":
             self._records = _read_2bit(self.filename)
+        elif self.file_type == "hsx":
+            self._records = _read_hsx(self.filename)
+        elif self.file_type == "qdna":
+            self._records = [_read_qdna(self.filename)]
         else:
             raise NotImplementedError(f"file type {self.file_type}")
         if self.spec.contig_of_interest:
@@ -363,6 +367,13 @@ class SequenceFile:
                 raise ValueError(
                     f"sequences not found in {self.filename}: {missing}")
             self._records = [by_name[n] for n in self._subset_names]
+        else:
+            return
+        if self.file_type == "hsx":
+            # hsx name lookups never touch the contig counter, so the
+            # reference reports contig 0 for them (load_hsx_sequence)
+            self._records = [(r[0], r[1], r[2], 0) + tuple(r[4:])
+                             for r in self._records]
 
     def rewind(self):
         self._cursor = 0
@@ -529,6 +540,95 @@ def _fasta_record(chunks, header, contig):
     data = b"".join(chunks)
     short = shorten_header(header) if header else ""
     return (data, header, short, contig)
+
+
+def _read_hsx(path: str):
+    """Read sequences via an .hsx index (reference load_hsx_sequence,
+    sequences.c; format spec in tools/hsx_file.py:7-77).  Sequences
+    come back in index (hash) order, exactly as the reference
+    enumerates them."""
+    from ..tools.hsx import read_hsx
+
+    ix = read_hsx(path)
+    file_cache: dict = {}
+    records = []
+    for contig, e in enumerate(ix.entries, start=1):
+        ftype = ix.files[e.file_num][0]
+        if ftype not in ("fa", "fasta"):
+            raise SystemExit(
+                f"FAILURE: hsx referencing {ftype} files is not supported")
+        fpath = ix.resolve_file(e.file_num)
+        if fpath not in file_cache:
+            with open(fpath, "rb") as f:
+                file_cache[fpath] = f.read()
+        data = file_cache[fpath]
+        pos = e.offset
+        if data[pos : pos + 1] == b">":
+            # offset points at the fasta header; skip it -- the name
+            # COMES FROM THE INDEX (reference load_hsx_sequence uses the
+            # index name, so the '>' never appears in output headers)
+            pos = data.find(b"\n", pos) + 1
+        header = e.name
+        chunks = []
+        got = 0
+        p = pos
+        while got < e.length and p < len(data):
+            nl = data.find(b"\n", p)
+            if nl < 0:
+                nl = len(data)
+            line = data[p:nl].rstrip(b"\r")
+            if line.startswith(b">"):
+                break
+            line = line.replace(b" ", b"").replace(b"\t", b"")
+            chunks.append(line)
+            got += len(line)
+            p = nl + 1
+        seq = b"".join(chunks)[: e.length]
+        if len(seq) != e.length:
+            raise SystemExit(
+                f'FAILURE: hsx index "{path}" length mismatch for'
+                f" {e.name} (expected {e.length}, got {len(seq)})")
+        short = shorten_header(header) if header else e.name
+        records.append((seq, header, short, contig))
+    return records
+
+
+def _read_qdna(path: str):
+    """Read a quantum-DNA file (reference load_qdna_sequence,
+    sequences.c:4630-4693): binary header + one byte per quantum
+    symbol.  Old-format (magic 9E6556F6) files are a bare symbol
+    stream."""
+    import struct
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    magic = struct.unpack(">I", raw[0:4])[0]
+    if magic == 0xC4B47197:
+        endian = ">"
+    elif magic == 0x9771B4C4:
+        endian = "<"
+    elif magic in (0x9E6556F6, 0xF656659E):
+        # version 0: data begins right after the magic
+        data = raw[4:]
+        header = f"{path}"
+        return (data, header, shorten_header(path, skip_path=True), 1)
+    else:
+        # reference: any binary file is accepted as a bare symbol stream
+        data = raw
+        return (data, path, shorten_header(path, skip_path=True), 1)
+    version = struct.unpack(endian + "I", raw[4:8])[0]
+    if (version >> 8) not in (1, 2):
+        raise SystemExit(
+            f"FAILURE: unsupported qdna version in {path} ({version:08X})")
+    seq_offset = struct.unpack(endian + "I", raw[12:16])[0]
+    length = struct.unpack(endian + "I", raw[20:24])[0]
+    if (version >> 8) == 2:
+        prop_offset = struct.unpack(endian + "I", raw[24:28])[0]
+        if prop_offset != 0:
+            raise SystemExit(
+                f"FAILURE: qdna named properties are not supported in {path}")
+    data = raw[seq_offset : seq_offset + length]
+    return (data, path, shorten_header(path, skip_path=True), 1)
 
 
 def _read_fastq(path: str):

@@ -25,6 +25,20 @@ class OutputDispatcher:
         self._prev_names = (None, None)
         self.seq1 = None
         self.seq2 = None
+        # job headers echo the FILE part of each sequence spec, with
+        # /contig and [bracket] parts stripped (reference keeps
+        # seqXFilename pre-stripped; see d-stanza of any /name run)
+        from ..io.sequence import parse_sequence_spec
+
+        def file_part(name):
+            if not name:
+                return name
+            try:
+                return parse_sequence_spec(name).filename
+            except Exception:
+                return name
+        self.name1 = file_part(config.seq1_filename)
+        self.name2 = file_part(config.seq2_filename)
         self._writer = None
         fmt = config.output_format
         # lav family (reference fmtLav/LavComment/LavScore/LavText)
@@ -137,7 +151,7 @@ class OutputDispatcher:
         if self._fmt == "lav":
             self.out.write(lav_mod.lav_job_header(
                 self.program_name,
-                cfg.seq1_filename, cfg.seq2_filename, cfg.args,
+                self.name1, self.name2, cfg.args,
                 cfg.scoring, cfg.hsp_threshold, cfg.gapped_threshold,
                 cfg.dynamic_masking,
                 with_extras=self._lav_extras,
@@ -153,7 +167,7 @@ class OutputDispatcher:
         elif self._fmt == "gfa":
             from . import gfa as gfa_mod
             self.out.write(gfa_mod.gfa_job_header(
-                self.program_name, cfg.seq1_filename, cfg.seq2_filename))
+                self.program_name, self.name1, self.name2))
             # reference print_options emits z-records after the header
             for line in self._options_lines():
                 self.out.write(gfa_mod.gfa_generic(line))
