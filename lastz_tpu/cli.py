@@ -21,6 +21,35 @@ class UsageError(Exception):
     pass
 
 
+def _unitized_int(s: str) -> int:
+    """reference string_to_unitized_int: optional K/M/G suffix in
+    units of 1,000."""
+    s = s.strip()
+    mult = 1
+    if s and s[-1] in "KkMmGg":
+        mult = {"k": 10**3, "m": 10**6, "g": 10**9}[s[-1].lower()]
+        s = s[:-1]
+    return int(float(s) * mult)
+
+
+def _name_spec_is_quantum(spec) -> bool:
+    """reference name_spec_is_quantum (lastz.c): .qdna file suffix or
+    a 'quantum' bracket action."""
+    if not spec:
+        return False
+    bracket = spec.find("[")
+    name = spec if bracket < 0 else spec[:bracket]
+    if name.endswith(".qdna"):
+        return True
+    if bracket < 0:
+        return False
+    actions = spec[bracket:]
+    for part in actions.strip("[]").split(","):
+        if part == "quantum" or part.startswith("quantum="):
+            return True
+    return False
+
+
 # user-selectable --format= names (reference lastz.c:6975-7482)
 KNOWN_FORMATS = {
     "gfa", "gfanoscore", "lav", "lav+", "lav+text", "text+lav", "lavscore",
@@ -43,8 +72,56 @@ def parse_threshold(text: str) -> ScoreThreshold:
     return ScoreThreshold("S", s=int(float(t)))
 
 
-def parse_options(argv: list[str]) -> Config:
-    cfg = Config()
+def _read_options_file(path: str) -> list:
+    """--include=<file>: whitespace-separated options, # comments."""
+    try:
+        f = open(path)
+    except OSError as e:
+        raise UsageError(
+            f'failed to open "{path}" for reading ({e.strerror})')
+    out = []
+    with f:
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            if line:
+                out.extend(line.split())
+    return out
+
+
+# precanned expansion arguments (reference expanders[], lastz.c:559-575);
+# [old (<=1.02.45), current] expansions per name
+_YASRA_EXPANDERS = {
+    "--yasra98": ["T=2 Z=20 --match=1,6 O=8 E=1 Y=20 K=22 L=30 --identity=98..100",
+                  "T=2 Z=20 --match=1,6 O=8 E=1 Y=20 K=22 L=30 --identity=98..100 --ambiguous=n --noytrim"],
+    "--yasra95": ["T=2 Z=20 --match=1,5 O=8 E=1 Y=20 K=22 L=30 --identity=95..100",
+                  "T=2 Z=20 --match=1,5 O=8 E=1 Y=20 K=22 L=30 --identity=95..100 --ambiguous=n --noytrim"],
+    "--yasra90": ["T=2 Z=20 --match=1,5 O=6 E=1 Y=20 K=22 L=30 --identity=90..100",
+                  "T=2 Z=20 --match=1,5 O=6 E=1 Y=20 K=22 L=30 --identity=90..100 --ambiguous=n --noytrim"],
+    "--yasra85": ["T=2      --match=1,2 O=4 E=1 Y=20 K=22 L=30 --identity=85..100",
+                  "T=2      --match=1,2 O=4 E=1 Y=20 K=22 L=30 --identity=85..100 --ambiguous=n --noytrim"],
+    "--yasra75": ["T=2      --match=1,1 O=3 E=1 Y=20 K=22 L=30 --identity=75..100",
+                  "T=2      --match=1,1 O=3 E=1 Y=20 K=22 L=30 --identity=75..100 --ambiguous=n --noytrim"],
+    "--yasra95short": ["T=2   --match=1,7 O=6 E=1 Y=14 K=10 L=14 --identity=95..100",
+                       "T=2   --match=1,7 O=6 E=1 Y=14 K=10 L=14 --identity=95..100 --ambiguous=n --noytrim"],
+    "--yasra85short": ["T=2   --match=1,3 O=4 E=1 Y=14 K=11 L=14 --identity=85..100",
+                       "T=2   --match=1,3 O=4 E=1 Y=14 K=11 L=14 --identity=85..100 --ambiguous=n --noytrim"],
+}
+
+
+def _lastz_version_le(v: str, bound: str) -> bool:
+    try:
+        parts = tuple(int(x) for x in v.split("."))
+        bparts = tuple(int(x) for x in bound.split("."))
+        return parts <= bparts
+    except ValueError:
+        raise UsageError(f"{v} is not a valid lastz version number")
+
+
+def parse_options(argv: list[str], cfg: Config | None = None,
+                  allow_include: bool = True) -> Config:
+    nested = cfg is not None
+    if cfg is None:
+        cfg = Config()
     positional = []
     have_with_trans = False
     have_gapped_thresh = False
@@ -232,6 +309,42 @@ def parse_options(argv: list[str]) -> Config:
             cfg.twin_max_gap = None
         elif arg == "--recoverseeds":
             cfg.basic_hit_type = HIT_RECOVER
+        elif arg.startswith("--filter=identity:"):
+            lo, _, hi = arg.split(":", 1)[1].partition("..")
+            cfg.min_identity = float(lo) / 100.0
+            cfg.max_identity = float(hi) / 100.0 if hi else 1.0
+            have_max_identity = True
+        elif arg.startswith("--filter=coverage:"):
+            lo, _, hi = arg.split(":", 1)[1].partition("..")
+            cfg.min_coverage = float(lo) / 100.0
+            cfg.max_coverage = float(hi) / 100.0 if hi else 1.0
+        elif arg.startswith("--filter=continuity:"):
+            lo, _, hi = arg.split(":", 1)[1].partition("..")
+            cfg.min_continuity = float(lo) / 100.0
+            cfg.max_continuity = float(hi) / 100.0 if hi else 1.0
+        elif arg.startswith("--filter=nmatch:") or arg.startswith("--matchcount="):
+            v = arg.split(":", 1)[1] if ":" in arg else val
+            if v.endswith("%"):
+                cfg.min_match_count_ratio = float(v[:-1]) / 100.0
+            else:
+                cfg.min_match_count = _unitized_int(v)
+                if cfg.min_match_count <= 0:
+                    raise UsageError("--filter=nmatch must be positive")
+        elif arg.startswith("--filter=nmismatch:"):
+            v = arg.split(":", 1)[1]
+            if not (v.startswith("..") or v.startswith("0..")):
+                raise UsageError("use --filter=nmismatch:0..<max>")
+            cfg.max_mismatch_count = _unitized_int(v.split("..", 1)[1])
+        elif arg.startswith("--filter=ngap:"):
+            v = arg.split(":", 1)[1]
+            if not (v.startswith("..") or v.startswith("0..")):
+                raise UsageError("use --filter=ngap:0..<max>")
+            cfg.max_separate_gaps_count = int(v.split("..", 1)[1])
+        elif arg.startswith("--filter=cgap:"):
+            v = arg.split(":", 1)[1]
+            if not (v.startswith("..") or v.startswith("0..")):
+                raise UsageError("use --filter=cgap:0..<max>")
+            cfg.max_gap_columns_count = int(v.split("..", 1)[1])
         elif arg.startswith("--filter="):
             parts = val.split(",")
             if len(parts) == 2:
@@ -284,12 +397,14 @@ def parse_options(argv: list[str]) -> Config:
             cfg.max_continuity = float(hi) / 100.0 if hi else 1.0
         elif arg.startswith("--format="):
             fmt = val
-            if fmt.startswith("general:"):
+            if fmt.startswith(("general:", "gen:")):
+                from .out.genpaf import parse_genpaf_keys
                 cfg.output_format = "general"
-                cfg.output_info = fmt[len("general:"):]
-            elif fmt.startswith("general-:"):
+                cfg.output_info = parse_genpaf_keys(fmt.split(":", 1)[1])
+            elif fmt.startswith(("general-:", "gen-:")):
+                from .out.genpaf import parse_genpaf_keys
                 cfg.output_format = "general-"
-                cfg.output_info = fmt[len("general-:"):]
+                cfg.output_info = parse_genpaf_keys(fmt.split(":", 1)[1])
             elif fmt in ("diff", "diffs", "difference", "differences"):
                 cfg.output_format = "differences"
             elif fmt in ("diff-", "diffs-", "difference-", "differences-"):
@@ -355,6 +470,13 @@ def parse_options(argv: list[str]) -> Config:
                 cfg.step = info["step"]
             if "seed" in info:
                 seed_string = info["seed"]
+            # ball score from the score file applies only if the
+            # command line didn't set one (lastz.c:9149-9155)
+            if cfg.ball_score < 0 and cfg.ball_score_factor < 0:
+                if "ball" in info:
+                    cfg.ball_score = info["ball"]
+                elif "ball_factor" in info:
+                    cfg.ball_score_factor = info["ball_factor"]
         elif arg.startswith("--match="):
             # --match=<reward>[,<penalty>]: simple match/mismatch scores
             import numpy as _np
@@ -436,6 +558,94 @@ def parse_options(argv: list[str]) -> Config:
                 mult = 1 << 30
                 t = t[:-1]
             cfg.traceback_mem = int(float(t) * mult)
+        elif arg.startswith("--include="):
+            # read options from a file (reference parse_options_file,
+            # lastz.c:7612); nested inclusion is not allowed
+            if not allow_include:
+                raise UsageError(f"nested inclusion is not allowed ({arg})")
+            parse_options(_read_options_file(val), cfg=cfg,
+                          allow_include=False)
+        elif arg.startswith("--yasra"):
+            # precanned expansion arguments (lastz.c:559-575)
+            exp = _YASRA_EXPANDERS.get(arg.split(":", 1)[0])
+            if exp is None:
+                raise UsageError(f"unknown option {arg}")
+            old = ":" in arg and _lastz_version_le(arg.split(":", 1)[1],
+                                                   "1.02.45")
+            parse_options(exp[0 if old else 1].split(),
+                          cfg=cfg, allow_include=False)
+        elif arg == "--tableonly" or arg.startswith("--tableonly="):
+            cfg.do_seed_search = False
+            kind = val or "table"
+            cfg.show_pos_table = {
+                "table": "table", "count": "counts",
+                "andcount": "withcounts", "distribution": "distribution",
+                "stop": "",
+            }.get(kind)
+            if cfg.show_pos_table is None:
+                raise UsageError(f"unknown option {arg}")
+        elif arg == "--showtable":
+            cfg.show_pos_table = "table"
+        elif arg == "--showtable=count":
+            cfg.show_pos_table = "counts"
+        elif arg.startswith("--verbosity="):
+            cfg.verbosity = max(0, min(10, int(val)))
+        elif arg == "v=0":
+            cfg.verbosity = 0
+        elif arg == "v=1":
+            cfg.verbosity = 10
+        elif arg.startswith("--progress="):
+            cfg.progress = int(val)
+        elif arg in ("--stats", "--stats=") or arg.startswith("--stats="):
+            # statistics collection is a compile-time feature the
+            # reference's release builds lack (lastz.c collect_stats)
+            print("--stats is not implemented in this build of the program",
+                  file=sys.stderr)
+        elif arg == "--nostats":
+            pass
+        elif arg.startswith("--queryhspbest="):
+            n = _unitized_int(val)
+            if n <= 0:
+                raise UsageError("--queryhspbest must be positive")
+            if cfg.search_limit != 0:
+                raise UsageError(
+                    f"can't use {arg} with --queryhsplimit")
+            cfg.num_best_hsps = n
+        elif arg.startswith("--querydepth="):
+            v = val
+            cfg.overly_paired_warn = True
+            cfg.overly_paired_keep = False
+            while ":" in v:
+                mode, v = v.split(":", 1)
+                if mode == "nowarn":
+                    cfg.overly_paired_warn = False
+                elif mode == "keep":
+                    cfg.overly_paired_keep = True
+                elif mode == "keep,nowarn":
+                    cfg.overly_paired_warn = False
+                    cfg.overly_paired_keep = True
+                elif mode == "discard":
+                    cfg.overly_paired_keep = False
+                else:
+                    raise UsageError(f"unknown option {arg}")
+            cfg.max_paired_depth = max(0.0, float(v))
+        elif arg.startswith("--maxpairedbases="):
+            cfg.max_paired_bases = _unitized_int(val)
+        elif arg.startswith("--seedqueue="):
+            cfg.seed_queue_size = int(val)
+        elif arg in ("--norecoverseeds", "--norecoverhits"):
+            cfg.basic_hit_type = HIT_SIMPLE
+        elif arg == "--allgappedbounds":
+            cfg.gapped_all_bounds = True
+        elif arg.startswith("--allocate:") or arg.startswith("--alloc:"):
+            pass  # preallocation hints; our arrays grow dynamically
+        elif arg.startswith("--ball="):
+            # quantum seeding threshold (lastz.c:6410-6426)
+            if val.endswith("%"):
+                cfg.ball_score = 0
+                cfg.ball_score_factor = float(val[:-1]) / 100.0
+            else:
+                cfg.ball_score = int(float(val))
         elif arg.startswith("--writecapsule="):
             if cfg.read_capsule:
                 raise UsageError(
@@ -474,6 +684,16 @@ def parse_options(argv: list[str]) -> Config:
         else:
             raise UsageError(f"unknown option {arg}")
 
+    if seed_string is not None:
+        cfg.seed_string = seed_string
+    if nested:
+        # options files / expanders contribute options only; the
+        # surrounding command line owns positionals and finalization
+        if positional:
+            raise UsageError(
+                "sequence files are not allowed inside included options")
+        return cfg
+
     if cfg.read_capsule:
         # the one positional (if any) is the query (lastz.c:7755-7770)
         if len(positional) >= 2:
@@ -505,8 +725,38 @@ def parse_options(argv: list[str]) -> Config:
             cfg.seq2_filename = positional[1]
     if cfg.self_compare and cfg.seq2_filename is None:
         cfg.seq2_filename = cfg.seq1_filename
-    if seed_string is not None:
-        cfg.seed_string = seed_string
+
+    # quantum DNA detection (reference name_spec_is_quantum, lastz.c)
+    cfg.target_is_quantum = _name_spec_is_quantum(cfg.seq1_filename)
+    cfg.query_is_quantum = _name_spec_is_quantum(cfg.seq2_filename)
+    if cfg.target_is_quantum or cfg.query_is_quantum:
+        if have_with_trans and cfg.with_trans != 0:
+            raise UsageError("can't use --transitions with quantum DNA")
+        cfg.with_trans = 0
+        if cfg.output_format.startswith(("axt", "waxt")):
+            raise UsageError("--axt doesn't support quantum DNA")
+        if cfg.output_format.startswith("maf"):
+            raise UsageError("--maf doesn't support quantum DNA")
+        if cfg.output_format in ("general", "general-") and cfg.output_info:
+            # text/nucleotide fields can't render quantum symbols
+            # (lastz.c:9496-9527)
+            for key, fname in (("T", "text1"), ("t", "text2")):
+                if key in cfg.output_info:
+                    raise UsageError(
+                        f"--format=general:{fname} doesn't support"
+                        " quantum DNA")
+            if cfg.query_is_quantum:
+                for key, fname in (("p", "nucs2"), ("q", "quals2")):
+                    if key in cfg.output_info:
+                        raise UsageError(
+                            f"--format=general:{fname} doesn't support"
+                            " quantum DNA")
+        if cfg.target_is_quantum:
+            raise UsageError(
+                "quantum DNA targets are not supported yet"
+                " (quantum queries are)")
+    elif cfg.ball_score >= 0 or cfg.ball_score_factor >= 0:
+        raise UsageError("--ball can't be used with DNA target and query")
 
     # reconstruct the args string as the reference does (all args with
     # trailing spaces, file names removed)

@@ -161,6 +161,18 @@ class Config:
 
     args: str = ""  # reconstructed command tail for job headers
     verbosity: int = 0
+    progress: int = 0          # --progress=<n>: report every nth query
+    # --tableonly/--showtable: '' | 'table' | 'counts' | 'withcounts'
+    # | 'distribution'
+    show_pos_table: str = ""
+    do_seed_search: bool = True
+    seed_queue_size: int = 256 * 1024  # --seedqueue (twin-hit queue)
+
+    # quantum DNA (reference quantum.c): --ball seeding threshold
+    query_is_quantum: bool = False
+    target_is_quantum: bool = False
+    ball_score: float = -1.0          # <0 => unset
+    ball_score_factor: float = -1.0   # <0 => unset ; else fraction of max
 
     # capsule: persisted index snapshot (--writecapsule/--targetcapsule)
     write_capsule: bool = False
@@ -181,8 +193,11 @@ class Config:
     def effective_x_drop(self) -> int:
         if self.x_drop != 0:
             return self.x_drop
-        a = ord("A")
-        return int(10 * self.scoring.sub[a, a])
+        # 10 * sub[rowChars[0]][colChars[0]] (lastz.c:9319-9321); for
+        # plain DNA this is sub['A']['A']
+        r = self.scoring.row_chars[0]
+        c = self.scoring.col_chars[0]
+        return int(10 * self.scoring.sub[r, c])
 
     def effective_y_drop(self) -> int:
         if self.y_drop != 0:

@@ -109,6 +109,9 @@ class ScoreSet:
     cols_are_dna: bool = True
     gap_open_set: bool = False
     gap_extend_set: bool = False
+    # quantum column alphabet: complement map from `A~T`-style score
+    # file labels (reference scoreset.qToComplement); None if absent
+    q_to_complement: np.ndarray | None = field(default=None, repr=False)
     # derived 4x4 view over upper-case ACGT, used by device kernels
     _dna4: np.ndarray | None = field(default=None, repr=False)
 
@@ -132,6 +135,7 @@ class ScoreSet:
             cols_are_dna=self.cols_are_dna,
             gap_open_set=self.gap_open_set,
             gap_extend_set=self.gap_extend_set,
+            q_to_complement=self.q_to_complement,
         )
 
 
@@ -269,16 +273,53 @@ def write_score_set(f, ss: ScoreSet, with_gap_scores: bool = True,
                 + "\n")
 
 
+def _parse_char_code(label: str):
+    """Parse a score-file row/column label: a single character or a
+    two-hex-digit code, with an optional ~complement suffix (reference
+    parse_char_code_common, dna_utilities.c:1374).  Returns (code,
+    comp_code_or_0)."""
+    def one(s):
+        if len(s) == 2 and all(ch in "0123456789abcdefABCDEF" for ch in s):
+            v = int(s, 16)
+            if v == 0:
+                raise ValueError(f"character code 00 not allowed: {s}")
+            return v
+        if len(s) == 1:
+            return ord(s)
+        raise ValueError(f"invalid character code: {s}")
+
+    if "~" in label:
+        a, b = label.split("~", 1)
+        return one(a), one(b)
+    return one(label), 0
+
+
+def _is_dna_alphabet(chars) -> bool:
+    """reference is_dna_alphabet (dna_utilities.c:1437)."""
+    s = set(chars)
+    acgt = {ord("A"), ord("C"), ord("G"), ord("T")}
+    if len(chars) == 4:
+        return s == acgt
+    if len(chars) == 5:
+        return s == acgt | {ord("N")}
+    if len(chars) == 8:
+        return s == acgt | {ord("a"), ord("c"), ord("g"), ord("t")}
+    return False
+
+
 def read_score_file(path: str) -> dict:
     """Parse a blastz/lastz score file (reference read_score_set,
-    dna_utilities.c:640+): leading `name=value` assignments, then a
-    column-header line and one score row per row character.
+    dna_utilities.c:657+): leading `name=value` assignments, then a
+    column-header line and one score row per row character.  Labels
+    may be single characters or two-hex-digit codes; column labels may
+    carry `~` complement pairing (quantum alphabets).
 
     Returns a dict with a 'scoring' ScoreSet plus any of the optional
     assignment values that were present (hsp_threshold, x_drop, ...).
     """
-    bad_score = -1000
+    bad_score = -1000  # blastz defaults (dna_utilities.c:692-693)
     fill_score = -100
+    bad_row = bad_col = -1
     gap_open = HOXD70_OPEN
     gap_extend = HOXD70_EXTEND
     extras: dict = {}
@@ -304,7 +345,17 @@ def read_score_file(path: str) -> dict:
             gap_extend = int(float(val))
             extras["gap_extend_set"] = True
         elif key in ("bad", "bad_score"):
-            bad_score = int(float(val))
+            # [<row>[:<col>]:]<score> (dna_utilities.c:753-782)
+            parts = val.split(":")
+            if len(parts) == 1:
+                bad_score = int(float(parts[0]))
+            elif len(parts) == 2:
+                bad_row = bad_col = _parse_char_code(parts[0])[0]
+                bad_score = int(float(parts[1]))
+            else:
+                bad_col = _parse_char_code(parts[0])[0] if parts[0] else -1
+                bad_row = _parse_char_code(parts[1])[0] if parts[1] else -1
+                bad_score = int(float(parts[2]))
         elif key in ("fill", "fill_score"):
             fill_score = int(float(val))
         elif key in ("hsp_threshold", "k"):
@@ -320,44 +371,116 @@ def read_score_file(path: str) -> dict:
         elif key in ("seed",):
             extras["seed"] = val
         elif key in ("ball",):
-            extras["ball"] = val
-        # unknown assignments ignored (bottleneck etc. arrive with
-        # quantum support)
+            # quantum seeding threshold: absolute score or % of max
+            if val.endswith("%"):
+                extras["ball_factor"] = float(val[:-1]) / 100.0
+            else:
+                extras["ball"] = int(float(val))
+        elif key in ("bottleneck",):
+            extras["bottleneck"] = val
 
     if ix >= len(lines):
         raise ValueError(f"score file {path} has no score matrix")
 
-    col_chars = lines[ix].split()
+    col_labels = lines[ix].split()
     ix += 1
-    ss = new_dna_score_set(
-        template=np.zeros((4, 4), dtype=np.int64),
-        bad_score=bad_score, fill_score=fill_score,
-        gap_open=gap_open, gap_extend=gap_extend)
-    # overwrite the DNA 4x4 (and any other single-char rows) from the file
+    col_chars = []
+    col_comps = {}
+    have_comps = None
+    for lab in col_labels:
+        c, comp = _parse_char_code(lab)
+        if have_comps is None:
+            have_comps = comp != 0
+        elif have_comps != (comp != 0):
+            raise ValueError(f"missing complement(s) in {path}")
+        col_chars.append(c)
+        if comp:
+            col_comps[c] = comp
+    if have_comps:
+        for c, comp in col_comps.items():
+            if comp not in col_comps or col_comps[comp] != c:
+                raise ValueError(
+                    f"complement pairing is not symmetric in {path}")
+
+    dtype = score_dtype()
+    sub = np.full((256, 256), fill_score, dtype=dtype)
+    row_chars = []
     row_seen = 0
+    num_fields = None
     while ix < len(lines):
         fields = lines[ix].split()
         ix += 1
-        if len(fields) == len(col_chars) + 1:
-            row_ch = fields[0]
+        if num_fields is None:
+            if len(fields) not in (len(col_chars), len(col_chars) + 1):
+                raise ValueError(f"wrong number of score columns in {path}")
+            num_fields = len(fields)
+        elif len(fields) != num_fields:
+            raise ValueError(
+                f"inconsistent number of score columns in {path}")
+        if num_fields == len(col_chars) + 1:
+            r = _parse_char_code(fields[0])[0]
             scores = fields[1:]
-        elif len(fields) == len(col_chars):
-            row_ch = col_chars[row_seen]
-            scores = fields
         else:
-            raise ValueError(f"bad score row in {path}: {fields}")
+            if row_seen >= len(col_chars):
+                raise ValueError(f"too many score rows in {path}")
+            r = col_chars[row_seen]
+            scores = fields
         row_seen += 1
-        r = ord(row_ch[0])
-        r_low = r + 32 if 65 <= r <= 90 else r
-        for cch, sval in zip(col_chars, scores):
-            c = ord(cch[0])
-            c_low = c + 32 if 65 <= c <= 90 else c
-            v = int(float(sval))
-            ss.sub[r, c] = v
-            ss.sub[r, c_low] = v
-            ss.sub[r_low, c] = v
-            ss.sub[r_low, c_low] = v
-    ss._dna4 = None
+        row_chars.append(r)
+        for c, sval in zip(col_chars, scores):
+            sub[r, c] = float(sval) if SCORE_TYPE == "D" else int(float(sval))
+
+    cols_are_dna = _is_dna_alphabet(col_chars)
+    rows_are_dna = _is_dna_alphabet(row_chars)
+
+    # case-fold DNA alphabets (dna_utilities.c:1176-1225)
+    if cols_are_dna:
+        if bad_col < 0:
+            bad_col = ord("X")
+        for c in list(col_chars):
+            if 65 <= c <= 90:
+                for r in row_chars:
+                    sub[r, c + 32] = sub[r, c]
+        for c in list(col_chars):
+            low = c + 32 if 65 <= c <= 90 else c
+            if low not in col_chars:
+                col_chars.append(low)
+    if rows_are_dna:
+        if bad_row < 0:
+            bad_row = ord("X")
+        for r in list(row_chars):
+            if 65 <= r <= 90:
+                sub[r + 32, :] = sub[r, :]
+        for r in list(row_chars):
+            low = r + 32 if 65 <= r <= 90 else r
+            if low not in row_chars:
+                row_chars.append(low)
+
+    if bad_col == -1:
+        bad_col = 0
+    if bad_row == -1:
+        bad_row = 0
+    sub[bad_row, :] = bad_score
+    sub[:, bad_col] = bad_score
+    vbad = very_bad_score()
+    sub[0, :] = vbad
+    sub[:, 0] = vbad
+
+    q_to_complement = None
+    if have_comps:
+        q_to_complement = np.arange(256, dtype=np.uint8)
+        for c, comp in col_comps.items():
+            q_to_complement[c] = comp
+
+    ss = ScoreSet(
+        sub=sub, gap_open=gap_open, gap_extend=gap_extend,
+        row_chars=bytes(row_chars), col_chars=bytes(col_chars),
+        bad_row=bad_row, bad_col=bad_col,
+        rows_are_dna=rows_are_dna, cols_are_dna=cols_are_dna,
+        gap_open_set=extras.get("gap_open_set", False),
+        gap_extend_set=extras.get("gap_extend_set", False),
+    )
+    ss.q_to_complement = q_to_complement
     extras["scoring"] = ss
     return extras
 

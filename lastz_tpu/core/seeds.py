@@ -188,26 +188,57 @@ def parse_seed(
         else:  # '0'/'x'/'X'
             pattern.append("0")
 
-    # assign packed destination bits: scan left->right, filling from the
-    # most significant end downward (mirrors seedBits construction which
-    # left-shifts as it scans)
-    bit_map: list[tuple[int, int]] = []
-    flip_bits: list[int] = []  # packed dst of each match high bit
-    dst = eff_weight
+    # assign packed destination bits with the reference's greedy
+    # masked-shift covering (seeds.c:540-551 + best_shift :1399): take
+    # whichever shift covers the most uncovered packed bits, repeat.
+    # This reproduces the reference's packed word VALUES, which are
+    # observable in --tableonly dumps.
+    seed_bits = 0  # unpacked-space mask of index bits
+    pair_low_srcs = []
     for i, kind in kept:
         low_src = bits_per * (length - 1 - i)
         if kind == "pair":
-            dst -= 2
-            bit_map.append((low_src, dst))  # low bit
-            bit_map.append((low_src + 1, dst + 1))  # high bit
-            flip_bits.append(dst + 1)
+            seed_bits |= 3 << low_src
+            pair_low_srcs.append(low_src)
         else:
-            dst -= 1
-            bit_map.append((low_src, dst))
-            # demoted match positions ('R' seeds) are not transition
-            # flip candidates in the index (their high bit is resolved
-            # separately, with with_trans mismatch budget)
-    assert dst == 0
+            seed_bits |= 1 << low_src
+
+    w_bits = (1 << eff_weight) - 1
+    # first masked-shift is always shift-zero: index bits already in
+    # the low `weight` positions stay put (seeds.c:578-583)
+    covered = seed_bits & w_bits
+    rem = seed_bits - covered
+    src_to_dst = {}
+    m = covered
+    while m:
+        low = m & -m
+        b = low.bit_length() - 1
+        src_to_dst[b] = b
+        m -= low
+    while covered != w_bits:
+        uncovered = (~covered) & w_bits
+        best_cov, best_shift = -1, -1
+        sb, shift = rem, 0
+        while sb:
+            cov = bin(sb & uncovered).count("1")
+            if cov > best_cov:
+                best_cov, best_shift = cov, shift
+            sb >>= 1
+            shift += 1
+        mask = (rem >> best_shift) & uncovered
+        covered += mask
+        rem -= mask << best_shift
+        m = mask
+        while m:
+            low = m & -m
+            dst_bit = low.bit_length() - 1
+            src_to_dst[dst_bit + best_shift] = dst_bit
+            m -= low
+
+    bit_map = sorted(((src, dst) for src, dst in src_to_dst.items()),
+                     key=lambda p: -p[0])
+    # packed dst of each match position's high bit => transition flips
+    flip_bits = [src_to_dst[s + 1] for s in pair_low_srcs]
 
     # transition flips enumerate from the least significant packed bit
     # upward (seeds.c:614-626, the non-maintainFlippedBitOrder branch)
@@ -249,3 +280,29 @@ def match_seed(word_len: int) -> str:
     if not (1 <= word_len <= 15):
         raise ValueError(f"{word_len} is not a valid word length")
     return "1" * word_len
+
+
+def packed_to_string(seed: Seed, word: int) -> str:
+    """Render a packed seed word as its unpacked base string, 'x' at
+    don't-care positions, R/Y at half-known (transition) positions
+    (reference seed_packed_to_string, seeds.c:1216)."""
+    unpacked_word = 0
+    unpacked_seed = 0
+    for src, dst in seed.bit_map:
+        unpacked_word |= ((word >> dst) & 1) << src
+        unpacked_seed |= 1 << src
+    bits_per = 1 if seed.is_halfweight else 2
+    mask = 1 if seed.is_halfweight else 3
+    out = []
+    for k in range(seed.length - 1, -1, -1):
+        wbits = (unpacked_word >> (bits_per * k)) & mask
+        sbits = (unpacked_seed >> (bits_per * k)) & mask
+        if sbits == 0:
+            out.append("x")
+        elif sbits == 1:
+            out.append("RY"[wbits] if wbits < 2 else "?")
+        elif sbits == 2:
+            out.append("?")
+        else:
+            out.append("ACGT"[wbits])
+    return "".join(out)

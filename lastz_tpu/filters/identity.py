@@ -70,3 +70,49 @@ def alignment_identity(v1, v2, a):
 def filter_aligns_by_identity(v1, v2, align_list, min_identity, max_identity):
     return [a for a in align_list
             if min_identity <= alignment_identity(v1, v2, a) <= max_identity]
+
+
+def filter_aligns_by_match_count(v1, v2, align_list, min_match_count):
+    """Drop alignments with fewer matched bases than the minimum
+    (reference filter_aligns_by_match_count, identity_dist.c:492)."""
+    out = []
+    for a in align_list:
+        numer, denom = alignment_identity_counts(v1, v2, a)
+        if denom == 0 or numer < min_match_count:
+            continue
+        out.append(a)
+    return out
+
+
+def filter_aligns_by_mismatch_count(v1, v2, align_list, max_mismatch_count):
+    """Drop alignments with more mismatched bases than the maximum
+    (reference filter_aligns_by_mismatch_count, identity_dist.c:639)."""
+    out = []
+    for a in align_list:
+        numer, denom = alignment_identity_counts(v1, v2, a)
+        if denom == 0 or denom - numer > max_mismatch_count:
+            continue
+        out.append(a)
+    return out
+
+
+def filter_segments_by_match_count(v1, v2, table, min_match_count):
+    kept = []
+    for seg in table.segments:
+        numer, denom = segment_identity_counts(
+            v1, seg.pos1, v2, seg.pos2, seg.length)
+        if denom == 0 or numer < min_match_count:
+            continue
+        kept.append(seg)
+    table.segments = kept
+
+
+def filter_segments_by_mismatch_count(v1, v2, table, max_mismatch_count):
+    kept = []
+    for seg in table.segments:
+        numer, denom = segment_identity_counts(
+            v1, seg.pos1, v2, seg.pos2, seg.length)
+        if denom == 0 or denom - numer > max_mismatch_count:
+            continue
+        kept.append(seg)
+    table.segments = kept

@@ -204,3 +204,33 @@ def limit_position_table(pt: PositionTable, max_count: int, keep_fraction: float
     new_counts = np.bincount(new_words, minlength=pt.num_words)
     pt.csr_start = np.concatenate([[0], np.cumsum(new_counts)]).astype(np.int64)
     return len(over)
+
+
+def dump_position_table(out, pt: PositionTable, seed,
+                        show_positions: bool, show_counts: bool):
+    """reference dump_position_table (pos_table.c:1504): one line per
+    occupied word, '%0*X/<seedstring>:' then counts and/or positions
+    (positions most-recent first, comma separated)."""
+    from ..core.seeds import packed_to_string
+
+    hex_width = (seed.weight + 3) // 4
+    occupied = np.nonzero(np.diff(pt.csr_start))[0]
+    for w in occupied.tolist():
+        positions = pt.positions_for(w)
+        if len(positions) == 0:
+            continue
+        out.write("%0*X/%s:" % (hex_width, w, packed_to_string(seed, w)))
+        if show_counts:
+            out.write(" %d" % len(positions))
+        if show_positions:
+            out.write(" " + ",".join(str(int(p)) for p in positions))
+        out.write("\n")
+
+
+def position_table_count_distribution(pt: PositionTable):
+    """(count, occurrences) pairs, ascending (reference
+    position_table_count_distribution, pos_table.c)."""
+    counts = np.diff(pt.csr_start)
+    counts = counts[counts > 0]
+    values, occurrences = np.unique(counts, return_counts=True)
+    return list(zip(values.tolist(), occurrences.tolist()))

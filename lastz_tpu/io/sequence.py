@@ -69,18 +69,25 @@ class Sequence:
     def is_partitioned(self) -> bool:
         return bool(self.partitions)
 
-    def rev_comp(self):
+    def rev_comp(self, comp_map=None):
         """Reverse-complement in place (reference rev_comp_sequence).
 
         Partitioned sequences are reverse-complemented one partition at
         a time, keeping the separator layout (observable in minus-
-        strand coordinates, sequences.c rev_comp_sequence)."""
+        strand coordinates, sequences.c rev_comp_sequence).  Quantum
+        sequences pass the score file's qToComplement as comp_map."""
+        if self.file_type == "qdna" and comp_map is None:
+            raise SystemExit(
+                f"FAILURE: quantum DNA cannot be complemented"
+                f" ({self.filename})\n(the score file lacks complements)")
+        if comp_map is None:
+            comp_map = NUC_TO_COMPLEMENT
         if self.partitions:
             for part in self.partitions:
                 lo, hi = part.sep_before + 1, part.sep_after
-                self.v[lo:hi] = NUC_TO_COMPLEMENT[self.v[lo:hi][::-1]]
+                self.v[lo:hi] = comp_map[self.v[lo:hi][::-1]]
         else:
-            self.v = NUC_TO_COMPLEMENT[self.v[::-1]].copy()
+            self.v = comp_map[self.v[::-1]].copy()
         if self.vq is not None:
             self.vq = self.vq[::-1].copy()
         self.rev_comp_flags ^= RCF_REVCOMP
@@ -271,6 +278,8 @@ def parse_sequence_spec(name: str) -> SequenceSpec:
                 spec.subsample_k, spec.subsample_n = int(k), int(n)
             elif low in ("fasta", "fastq", "nib", "2bit", "hsx", "csfasta", "qdna"):
                 spec.file_type = low
+            elif low == "quantum":
+                spec.file_type = "qdna"
             else:
                 # range like "51..200" handled above; unknown action
                 raise ValueError(f"unknown sequence action: {action}")
@@ -628,7 +637,8 @@ def _read_qdna(path: str):
             raise SystemExit(
                 f"FAILURE: qdna named properties are not supported in {path}")
     data = raw[seq_offset : seq_offset + length]
-    return (data, path, shorten_header(path, skip_path=True), 1)
+    header = f"{path}:1-{length}"
+    return (data, header, shorten_header(path, skip_path=True), 1)
 
 
 def _read_fastq(path: str):

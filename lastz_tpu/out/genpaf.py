@@ -48,6 +48,60 @@ KEY_NAMES = {
 }
 
 
+# canonical field names + aliases -> key characters (reference
+# genpafName[]/genpafAliases[], genpaf.h:149-251)
+NAME_TO_KEY = {
+    "name1": "N", "number1": "O", "strand1": "D", "size1": "S",
+    "start1": "B", "zstart1": "Z", "end1": "E", "length1": "L",
+    "align1": "A", "text1": "T", "qalign1": "F",
+    "name2": "n", "number2": "o", "strand2": "d", "size2": "s",
+    "start2": "b", "zstart2": "z", "start2+": "<", "zstart2+": ">",
+    "end2": "e", "end2+": ",", "length2": "l", "align2": "a",
+    "text2": "t", "qalign2": "f",
+    "nmatch": "u", "nmismatch": "v", "npair": "w", "ncolumn": "W",
+    "ngap": "y", "cgap": "x",
+    "cigar": "&", "cigar-": "@", "cigarx": "_", "cigarx-": "^",
+    "cigarx1": '"', "cigarx1-": "'",
+    "diagonal": "/", "shingle": "\\", "score": "#",
+    "identity": "I", "idfrac": "k", "id%": "i", "blastid%": "m",
+    "coverage": "C", "covfrac": "7", "cov%": "6",
+    "continuity": "c", "confrac": "9", "con%": "8", "gaprate": "G",
+    "nucs1": "J", "quals1": "K", "nucs2": "p", "quals2": "q",
+    "number": "[", "znumber": "]", "chore": "*",
+    "entropy1": "H", "entropy2": "h",
+    "hspid": "(", "phash": "4", "ahash": "5",
+    "NA": "X", "~": "~",
+    # aliases (genpafAliases[])
+    "n1": "N", "s1": "B", "z1": "Z", "e1": "E", "l1": "L", "a1": "A",
+    "t1": "T", "n2": "n", "s2": "b", "z2": "z", "s2+": "<", "z2+": ">",
+    "e2": "e", "e2+": ",", "l2": "l", "a2": "a", "t2": "t",
+    "d": "/", "diag": "/", "s": "#", "id": "I", "ident": "I",
+    "cov": "C", "con": "c", "gap": "G",
+}
+
+
+def parse_genpaf_keys(names: str) -> str:
+    """Convert a comma-separated field-name list to key characters
+    (reference parse_genpaf_keys, genpaf.c:1948).  An empty field is a
+    line break ('!')."""
+    keys = []
+    for field in names.split(","):
+        if field == "":
+            keys.append("!")
+            continue
+        k = NAME_TO_KEY.get(field)
+        if k is None and field.startswith("diff"):
+            # diff<4 chars>: text-diff with custom marker characters
+            keys.append("=")
+            continue
+        if k is None:
+            raise SystemExit(
+                f'FAILURE: unrecognized field name (for --format=general):'
+                f' "{field}"')
+        keys.append(k)
+    return "".join(keys)
+
+
 def genpaf_job_header(keys: str | None) -> str:
     keys = keys or STANDARD_KEYS
     out = []

@@ -18,8 +18,10 @@ RCF_LONG_SUFFIX = ["", "~", "~ (reverse complement)", " (reverse complement)"]
 
 
 def format_score_matrix(scoring) -> str:
-    """4-column score matrix block as in the LAV d stanza
-    (reference private_print_score_matrix, dna_utilities.c:1996)."""
+    """Score matrix block as in the LAV d stanza (reference
+    private_print_score_matrix, dna_utilities.c:1996).  Quantum
+    alphabets print hex column/row labels; pure-DNA matrices hide the
+    row labels (blastz compatibility)."""
     from ..core.scoring import SCORE_TYPE
     width = 13 if SCORE_TYPE == "D" else 4
 
@@ -28,14 +30,34 @@ def format_score_matrix(scoring) -> str:
             return f"{float(v):.6e}"
         return str(int(v))
 
+    def printable(ch):
+        return 33 <= ch <= 126  # isprint && !isspace
+
+    if scoring.cols_are_dna:
+        cols = [c for c in scoring.col_chars if 65 <= c <= 90]
+    else:
+        cols = list(scoring.col_chars)
+    if scoring.rows_are_dna:
+        rows = [r for r in scoring.row_chars if 65 <= r <= 90]
+    else:
+        rows = list(scoring.row_chars)
+
+    rows_as_hex = any(not printable(r) for r in rows)
+    cols_as_hex = any(not printable(c) for c in cols)
+    rows_hidden = not rows_as_hex and not cols_as_hex
+
+    def label(ch, as_hex):
+        return f"{ch:02X}" if as_hex else chr(ch)
+
     lines = []
-    cols = [c for c in scoring.col_chars if 65 <= c <= 90]
-    rows = [r for r in scoring.row_chars if 65 <= r <= 90]
-    head = " " + "".join(f" {chr(c):>{width}}" for c in cols)
-    lines.append(head)
+    lead = " " if rows_hidden else ("    " if rows_as_hex else "   ")
+    lines.append(lead + "".join(
+        f" {label(c, cols_as_hex):>{width}}" for c in cols))
     for r in rows:
-        row = " " + "".join(
-            f" {cell(scoring.sub[r, c]):>{width}}" for c in cols)
+        row = "  " if rows_as_hex else " "
+        if not rows_hidden:
+            row += f"{label(r, rows_as_hex):>2}"
+        row += "".join(f" {cell(scoring.sub[r, c]):>{width}}" for c in cols)
         lines.append(row)
     return "\n".join(lines)
 

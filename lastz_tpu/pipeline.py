@@ -102,6 +102,10 @@ class Pipeline:
                                            collector=collector)
         self.anchors: Optional[SegmentTable] = None
         self.secondary_anchors: Optional[SegmentTable] = None
+        # the hit-reporter choice is fixed at setup time, BEFORE any
+        # per-query ratio filters are resolved (lastz.c:2773)
+        self._mode_cache = None
+        self._mode_cache = self._reporter_mode_uncached()
 
     # -- configuration finalization (lastz.c:8900-9400) --------------------
 
@@ -132,6 +136,27 @@ class Pipeline:
         if cfg.twin_min_gap is not None:
             cfg.twin_min_span = 2 * cfg.seed.length + cfg.twin_min_gap
             cfg.twin_max_span = 2 * cfg.seed.length + cfg.twin_max_gap
+
+        # quantum scoring sanity (lastz.c:9459-9474)
+        if cfg.query_is_quantum and cfg.scoring.cols_are_dna:
+            raise SystemExit(
+                "FAILURE: query is quantum DNA, but column scores are not")
+        if (not cfg.query_is_quantum and not cfg.scoring.cols_are_dna
+                and not cfg.infer_scores):
+            raise SystemExit(
+                "FAILURE: column scores are for quantum DNA,"
+                " but query is not")
+
+        # quantum seeding threshold default: 75% of the max word score
+        # (lastz.c:9476-9493; defaultBallScoreFactor)
+        if cfg.query_is_quantum and cfg.ball_score <= 0:
+            factor = (cfg.ball_score_factor
+                      if cfg.ball_score_factor >= 0 else 0.75)
+            max_score = max(
+                float(cfg.scoring.sub[r, c])
+                for r in cfg.scoring.row_chars
+                for c in cfg.scoring.col_chars)
+            cfg.ball_score = int(factor * max_score * (cfg.seed.weight // 2))
 
         if cfg.gf_extend == GFEX_NO_EXTEND:
             cfg.x_drop = 0
@@ -201,6 +226,30 @@ class Pipeline:
         self.target = target
         self.pt = pt
 
+        if cfg.show_pos_table:
+            # --tableonly/--showtable (lastz.c:1325-1360)
+            from .index.postable import (
+                dump_position_table, position_table_count_distribution)
+            name1 = self.dispatcher.name1
+            if cfg.show_pos_table == "distribution":
+                self.out.write(
+                    "seed-word counts distribution table for %s:\n" % name1)
+                for count, occ in position_table_count_distribution(pt):
+                    self.out.write(f"{count} {occ}\n")
+            else:
+                kind = {"table": "positions", "counts": "counts",
+                        "withcounts": "counts and positions"}[
+                    cfg.show_pos_table]
+                self.out.write("seed-word %s table for %s:\n"
+                               % (kind, name1))
+                dump_position_table(
+                    self.out, pt, cfg.seed,
+                    show_positions=cfg.show_pos_table in (
+                        "table", "withcounts"),
+                    show_counts=cfg.show_pos_table in (
+                        "counts", "withcounts"))
+                self.out.write("\n")
+
         if cfg.write_capsule:
             # write the index snapshot and quit (lastz.c:1361-1376)
             from .index.capsule import write_capsule_file, unitize
@@ -210,6 +259,9 @@ class Pipeline:
                 % (unitize(cap_size, by_thousands=True),
                    cfg.capsule_filename))
             return
+
+        if not cfg.do_seed_search:
+            return  # --tableonly: quit after dumping (lastz.c:1390)
 
         self.targ_census = None
         if cfg.dynamic_masking > 0 or cfg.report_census:
@@ -233,16 +285,29 @@ class Pipeline:
         if collect_from_both:
             collect_separately = not (hsps_are_adaptive or cfg.num_best_hsps > 0)
 
+        num_queries = 0
+        progress_clock = None
         while True:
             query = query_file.load()
             if query is None:
                 break
             if len(query.v) == 0:
                 continue
+            num_queries += 1
+            if cfg.progress and (cfg.progress == 1
+                                 or num_queries % cfg.progress == 1):
+                # --progress=<n> (lastz.c dbgQueryProgress)
+                import time
+                now = time.monotonic()
+                dt = 0.0 if progress_clock is None else now - progress_clock
+                progress_clock = now
+                sys.stderr.write(
+                    "(%.3fs) processing query %d: %s\n"
+                    % (dt, num_queries, query.name_for_output()))
             disp.set_sequences(target, query)
             disp.init_for_query()
             if cfg.which_strand < 0:
-                query.rev_comp()
+                self._rev_comp_query(query)
 
             self._run_query(target, pt, query,
                             collect_from_both, collect_separately)
@@ -264,6 +329,16 @@ class Pipeline:
             cen.mask_thresh = saved
         disp.job_footer()
 
+
+    def _rev_comp_query(self, query):
+        """Reverse-complement the query, with the score file's
+        qToComplement map for quantum queries (lastz.c passes
+        scoring->qToComplement to rev_comp_sequence)."""
+        comp = None
+        if query.file_type == "qdna":
+            comp = self.cfg.scoring.q_to_complement
+        query.rev_comp(comp)
+
     def _resolve_score_thresholds(self, target: Sequence):
         for th in (self.cfg.hsp_threshold, self.cfg.gapped_threshold):
             if th.t == "P":
@@ -277,6 +352,12 @@ class Pipeline:
         cfg = self.cfg
         disp = self.dispatcher
 
+        if cfg.min_match_count_ratio != 0:
+            # per-query resolution of --filter=nmatch:<pct>% (lastz.c:1520)
+            import math
+            cfg.min_match_count = int(
+                math.ceil(query.true_len * cfg.min_match_count_ratio))
+
         ok = self._start_one_strand(target, pt, query, empty_anchors=True)
         if not ok:
             return
@@ -285,7 +366,7 @@ class Pipeline:
             self._finish_one_strand(target, pt, query)
 
         if cfg.which_strand > 0:
-            query.rev_comp()
+            self._rev_comp_query(query)
             disp.set_sequences(target, query)
             prev_anchor_count = 0
             if collect_separately and self.anchors is not None:
@@ -305,7 +386,7 @@ class Pipeline:
             self._finish_one_strand(target, pt, query)
             if collect_from_both:
                 self._swap_anchor_sets()
-                query.rev_comp()
+                self._rev_comp_query(query)
                 disp.set_sequences(target, query)
 
         if collect_from_both:
@@ -315,7 +396,18 @@ class Pipeline:
     # -- strand processing ----------------------------------------------------
 
     def _reporter_mode(self) -> str:
-        """Choose immediate reporting vs collection (set_up_hit_processor)."""
+        """Choose immediate reporting vs collection (set_up_hit_processor).
+
+        Decided ONCE, like the reference (lastz.c:2773): a match-count
+        filter given as a ratio has minMatchCount==0 at setup time, so
+        it does NOT flip the mode -- ungapped ratio filtering is
+        silently inert in the reference, and stays inert here."""
+        if getattr(self, "_mode_cache", None) is not None:
+            return self._mode_cache
+        self._mode_cache = self._reporter_mode_uncached()
+        return self._mode_cache
+
+    def _reporter_mode_uncached(self) -> str:
         cfg = self.cfg
         merge_anchors = cfg.basic_hit_type == HIT_RECOVER or cfg.twin_min_span > 0
         if (cfg.hsp_threshold.t == "S" and cfg.search_limit == 0
@@ -428,8 +520,12 @@ class Pipeline:
             twin_min_span=cfg.twin_min_span,
             twin_max_span=cfg.twin_max_span,
             anchors=self.anchors,
+            seed_queue_size=cfg.seed_queue_size,
         )
-        engine.search(0, len(query.v))
+        if cfg.query_is_quantum:
+            engine.search_quantum(cfg.ball_score, 0, len(query.v))
+        else:
+            engine.search(0, len(query.v))
 
         if (cfg.search_limit > 0 and not cfg.search_limit_keep
                 and self.anchors is not None
@@ -527,6 +623,14 @@ class Pipeline:
             from .filters.coverage import filter_segments_by_coverage
             filter_segments_by_coverage(
                 target, query, anchors, cfg.min_coverage, cfg.max_coverage)
+        if cfg.min_match_count > 0:
+            from .filters.identity import filter_segments_by_match_count
+            filter_segments_by_match_count(
+                target.v, query.v, anchors, cfg.min_match_count)
+        if cfg.max_mismatch_count >= 0:
+            from .filters.identity import filter_segments_by_mismatch_count
+            filter_segments_by_mismatch_count(
+                target.v, query.v, anchors, cfg.max_mismatch_count)
 
     def _filter_aligns(self, target, query, align_list):
         cfg = self.cfg
@@ -545,6 +649,22 @@ class Pipeline:
             from .filters.continuity import filter_aligns_by_continuity
             align_list = filter_aligns_by_continuity(
                 align_list, cfg.min_continuity, cfg.max_continuity)
+        if cfg.min_match_count > 0:
+            from .filters.identity import filter_aligns_by_match_count
+            align_list = filter_aligns_by_match_count(
+                target.v, query.v, align_list, cfg.min_match_count)
+        if cfg.max_mismatch_count >= 0:
+            from .filters.identity import filter_aligns_by_mismatch_count
+            align_list = filter_aligns_by_mismatch_count(
+                target.v, query.v, align_list, cfg.max_mismatch_count)
+        if cfg.max_separate_gaps_count >= 0:
+            from .filters.continuity import filter_aligns_by_num_gaps
+            align_list = filter_aligns_by_num_gaps(
+                align_list, cfg.max_separate_gaps_count)
+        if cfg.max_gap_columns_count >= 0:
+            from .filters.continuity import filter_aligns_by_num_gap_columns
+            align_list = filter_aligns_by_num_gap_columns(
+                align_list, cfg.max_gap_columns_count)
         return align_list
 
     def _make_gappily_reporter(self, target, query):
@@ -605,12 +725,38 @@ class Pipeline:
         return reporter
 
     def _segment_passes_filters(self, target, query, pos1, pos2, length):
+        """reference report_filtered_hsps (lastz.c:3905)."""
         cfg = self.cfg
+        from .filters.identity import segment_identity_counts
         if cfg.min_identity > 0 or cfg.max_identity < 1:
-            from .filters.identity import _identity_of_segment
-            ident, _ = _identity_of_segment(
+            numer, denom = segment_identity_counts(
                 target.v, pos1, query.v, pos2, length)
+            ident = numer / denom if denom else 0.0
             if not (cfg.min_identity <= ident <= cfg.max_identity):
+                return False
+        if cfg.min_coverage > 0 or cfg.max_coverage < 1:
+            from .filters.coverage import segment_coverage
+
+            class _S:
+                pass
+            seg = _S()
+            seg.pos1, seg.pos2, seg.length = pos1, pos2, length
+            numer, denom = segment_coverage(target, query, seg)
+            cov = numer / denom if denom else 0.0
+            if not (cfg.min_coverage <= cov <= cfg.max_coverage):
+                return False
+        if cfg.min_match_count > 0:
+            numer, denom = segment_identity_counts(
+                target.v, pos1, query.v, pos2, length)
+            if denom == 0 or numer < cfg.min_match_count:
+                return False
+        if cfg.max_mismatch_count >= 0:
+            # the reference passes minMatchCount here by mistake
+            # (lastz.c:3987, filter_segment_by_mismatch_count called
+            # with currParams->minMatchCount) -- replicated
+            numer, denom = segment_identity_counts(
+                target.v, pos1, query.v, pos2, length)
+            if denom == 0 or denom - numer > cfg.min_match_count:
                 return False
         return True
 

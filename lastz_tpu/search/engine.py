@@ -96,6 +96,7 @@ class SeedSearchEngine:
         twin_min_span: int = 0,
         twin_max_span: int = 0,
         anchors=None,  # segment table, for adaptive-threshold entropy rule
+        seed_queue_size: int = 256 * 1024,  # --seedqueue (diag_hash.h:106)
     ):
         self.seq1 = seq1_v
         self.pt = pt
@@ -112,6 +113,8 @@ class SeedSearchEngine:
         self.twin_min_span = twin_min_span
         self.twin_max_span = twin_max_span
         self.anchors = anchors
+        if seed_queue_size > 0:
+            self.SEED_HIT_QUEUE_SIZE = seed_queue_size
 
         self.diag_end = np.full(DIAG_HASH_SIZE, HASH_INACTIVE, dtype=np.int64)
         self.diag_start = np.zeros(DIAG_HASH_SIZE, dtype=np.int64)
@@ -185,6 +188,70 @@ class SeedSearchEngine:
                         bases_hit += self._probe(p1, pos2)
                         for j in range(i + 1, nf):
                             bases_hit += self._probe(p1 ^ flips[j], pos2)
+            if self.search_limit > 0 and self.search_to_go < 0:
+                self.limit_exceeded = True
+                return bases_hit
+        return bases_hit
+
+    def search_quantum(self, ball_score, start: int = 0, end: int = 0) -> int:
+        """Quantum-query seed search (reference quantum_seed_hit_search,
+        quantum.c:128): for each query position, enumerate the 'ball'
+        of DNA words scoring >= ball_score against the quantum word
+        (branch-and-bound, here as pruned per-level numpy expansion in
+        the same ascending packed order as the reference's DFS), and
+        probe the position table for each."""
+        seed = self.seed
+        if seed.type != "S" or seed.with_trans != 0:
+            raise SystemExit(
+                "FAILURE: quantum DNA requires a strict seed without"
+                " transitions")
+        if end == 0:
+            end = len(self.seq2)
+        L = seed.length
+        if end - start < L:
+            return 0
+        w = seed.weight // 2  # number of match positions
+        # packed-base -> window-offset map, from the seed's bit map
+        # (equivalent to the reference's seed_shuffle_list, seeds.c:1107)
+        offsets = [None] * w
+        for src, dst in seed.bit_map:
+            if dst % 2 == 0:
+                offsets[dst // 2] = L - 1 - src // 2
+        if any(o is None for o in offsets):
+            raise SystemExit(
+                "FAILURE: quantum seeding couldn't derive the seed's"
+                " match-position layout")
+        # DFS levels assign the packed word MSB-first
+        level_offsets = [offsets[w - 1 - i] for i in range(w)]
+
+        sub = self._sub
+        sym_codes = np.frombuffer(b"ACGT", dtype=np.uint8).astype(np.int64)
+        four = np.arange(4, dtype=np.int64)
+        v2 = self.seq2
+        bases_hit = 0
+        for qpos_end in range(start + L, end + 1):
+            wstart = qpos_end - L
+            lvl_scores = [sub[sym_codes, int(v2[wstart + off])]
+                          for off in level_offsets]
+            best = [ls.max() for ls in lvl_scores]
+            if sum(best) < ball_score:
+                continue
+            min_needed = [0] * w
+            min_needed[w - 1] = ball_score
+            for i in range(w - 1, 0, -1):
+                min_needed[i - 1] = min_needed[i] - best[i]
+            packed = np.zeros(1, dtype=np.int64)
+            scores = np.zeros(1, dtype=sub.dtype)
+            for i in range(w):
+                packed = (packed[:, None] * 4 + four).ravel()
+                scores = (scores[:, None] + lvl_scores[i]).ravel()
+                keep = scores >= min_needed[i]
+                packed = packed[keep]
+                scores = scores[keep]
+                if len(packed) == 0:
+                    break
+            for word in packed.tolist():
+                bases_hit += self._probe(int(word), qpos_end)
             if self.search_limit > 0 and self.search_to_go < 0:
                 self.limit_exceeded = True
                 return bases_hit

@@ -1,0 +1,100 @@
+"""CLI surface extras: --tableonly/--showtable dumps, --include option
+files, --yasra expanders, --progress, --queryhspbest conflicts."""
+
+import io
+import os
+import tempfile
+
+import pytest
+
+from lastz_tpu.cli import parse_options, UsageError
+from lastz_tpu.pipeline import Pipeline
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+G = os.path.join(HERE, "golden")
+TD = "/root/reference/test_data"
+
+
+def run(args):
+    cfg = parse_options(args)
+    buf = io.StringIO()
+    Pipeline(cfg, buf).run()
+    return buf.getvalue()
+
+
+def norm(text):
+    return text.replace(f"{TD}/", "").replace("test_data/", "")
+
+
+TABLE_CASES = [
+    ("tableonly_w8_count.txt", ["--tableonly=count", "W=8"]),
+    ("tableonly_w8_andcount.txt", ["--tableonly=andcount", "W=8"]),
+    ("tableonly_dist.txt", ["--tableonly=distribution"]),
+    ("tableonly_ow_count.txt",
+     ["--tableonly=count", "--seed=111111111111111", "--word=24"]),
+]
+
+
+@pytest.mark.parametrize("golden,args", TABLE_CASES,
+                         ids=[c[0] for c in TABLE_CASES])
+def test_tableonly(golden, args):
+    got = run([f"{TD}/pseudocat.fa"] + args)
+    with open(os.path.join(G, golden)) as f:
+        want = f.read()
+    assert norm(got) == norm(want)
+
+
+def test_include_file():
+    with tempfile.NamedTemporaryFile("w", suffix=".opts",
+                                     delete=False) as f:
+        f.write("# options file\n--nogapped W=8\nT=0\n")
+        path = f.name
+    try:
+        cfg = parse_options(
+            [f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa",
+             f"--include={path}"])
+        assert cfg.gapped_extend is False
+        assert cfg.with_trans == 0
+    finally:
+        os.unlink(path)
+
+
+def test_nested_include_rejected():
+    with tempfile.NamedTemporaryFile("w", suffix=".opts",
+                                     delete=False) as f:
+        f.write(f"--include={f.name}\n")
+        path = f.name
+    try:
+        with pytest.raises(UsageError):
+            parse_options([f"{TD}/pseudocat.fa", f"--include={path}"])
+    finally:
+        os.unlink(path)
+
+
+def test_yasra_expander():
+    cfg = parse_options([f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa",
+                         "--yasra90"])
+    assert cfg.step == 20
+    assert cfg.with_trans == 0
+    assert cfg.min_identity == 0.90
+    assert cfg.y_drop_untrimmed is True
+    assert cfg.n_is_ambiguous is True
+    assert cfg.scoring.gap_open == 6
+    # old-version expander lacks the ambiguity/noytrim suffix
+    cfg_old = parse_options([f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa",
+                             "--yasra90:1.02.40"])
+    assert cfg_old.n_is_ambiguous is False
+
+
+def test_queryhspbest_conflicts_with_hsplimit():
+    with pytest.raises(UsageError):
+        parse_options([f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa",
+                       "--queryhsplimit=5", "--queryhspbest=5"])
+
+
+def test_progress_goes_to_stderr(capsys):
+    run([f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa", "--nogapped",
+         "--progress=1", "W=12", "--notransition"])
+    err = capsys.readouterr().err
+    assert "processing query 1: pig1" in err
+    assert "processing query 3: pig3" in err
