@@ -185,9 +185,11 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             cfg.gapped_extend = False
         elif arg.startswith("K="):
             cfg.hsp_threshold = parse_threshold(val)
+            cfg._have_hsp = True
         elif arg.startswith("L="):
             cfg.gapped_threshold = parse_threshold(val)
             have_gapped_thresh = True
+            cfg._have_gapped = True
         elif arg.startswith("H="):
             cfg.inner_threshold = int(float(val))
         elif arg.startswith("O="):
@@ -196,8 +198,10 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             _set_gap(cfg, extend=int(val))
         elif arg.startswith("X="):
             cfg.x_drop = int(val)
+            cfg._have_x = True
         elif arg.startswith("Y="):
             cfg.y_drop = int(val)
+            cfg._have_y = True
         elif arg.startswith("M="):
             cfg.dynamic_masking = int(val)
             _fit_census_kind(cfg)
@@ -259,15 +263,19 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             cfg.gapped_extend = False
         elif arg.startswith("--xdrop="):
             cfg.x_drop = int(val)
+            cfg._have_x = True
         elif arg.startswith("--ydrop="):
             cfg.y_drop = int(val)
+            cfg._have_y = True
         elif arg == "--noytrim":
             cfg.y_drop_untrimmed = True
         elif arg.startswith("--hspthresh=") or arg.startswith("--hspthreshold="):
             cfg.hsp_threshold = parse_threshold(val)
+            cfg._have_hsp = True
         elif arg.startswith("--gappedthresh=") or arg.startswith("--gappedthreshold="):
             cfg.gapped_threshold = parse_threshold(val)
             have_gapped_thresh = True
+            cfg._have_gapped = True
         elif arg == "--entropy":
             cfg.entropic_hsp = True
         elif arg == "--noentropy":
@@ -286,6 +294,7 @@ def parse_options(argv: list[str], cfg: Config | None = None,
         elif arg.startswith("--exact="):
             cfg.gf_extend = GFEX_EXACT
             cfg.hsp_threshold = ScoreThreshold("S", int(val))
+            cfg._have_hsp = True
             cfg.entropic_hsp = False
         elif arg.startswith("--mismatch="):
             parts = val.split(",")
@@ -454,6 +463,7 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             cfg.segments_filename = val  # alias (reference synonym)
         elif arg.startswith("--scores=") or arg.startswith("Q="):
             from .core.scoring import read_score_file
+            cfg._have_score_file = True
             info = read_score_file(val)
             cfg.scoring = info["scoring"]
             if "x_drop" in info:
@@ -478,18 +488,14 @@ def parse_options(argv: list[str], cfg: Config | None = None,
                 elif "ball_factor" in info:
                     cfg.ball_score_factor = info["ball_factor"]
         elif arg.startswith("--match="):
-            # --match=<reward>[,<penalty>]: simple match/mismatch scores
-            import numpy as _np
+            # --match=<reward>[,<penalty>]: unit scoring matrix; many
+            # defaults derive from it at end of parse (lastz.c:9169-9236)
             parts = val.split(",")
-            reward = int(parts[0])
-            penalty = int(parts[1]) if len(parts) > 1 else reward
-            from .core.scoring import new_dna_score_set
-            tmpl = _np.full((4, 4), -penalty, dtype=_np.int64)
-            _np.fill_diagonal(tmpl, reward)
-            gap_open = cfg.scoring.gap_open if cfg.scoring else 400
-            gap_extend = cfg.scoring.gap_extend if cfg.scoring else 30
-            cfg.scoring = new_dna_score_set(
-                template=tmpl, gap_open=gap_open, gap_extend=gap_extend)
+            cfg._unit_match = int(parts[0])
+            cfg._unit_mismatch = -(int(parts[1]) if len(parts) > 1
+                                   else int(parts[0]))
+            if cfg._unit_match <= 0:
+                raise UsageError("match reward must be positive")
         elif arg.startswith("--gap="):
             if "," in val:
                 o, e = val.split(",")
@@ -693,6 +699,47 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             raise UsageError(
                 "sequence files are not allowed inside included options")
         return cfg
+
+    # --match=<m>,<mm> unit scores: derive thresholds/drops relative to
+    # the match/mismatch scores (lastz.c:9169-9236); a score file wins
+    if getattr(cfg, "_unit_match", None) is not None \
+            and not getattr(cfg, "_have_score_file", False):
+        import math
+
+        import numpy as _np
+
+        from .core.scoring import new_dna_score_set
+        um = cfg._unit_match
+        umm = cfg._unit_mismatch  # negative
+        ceil = (math.ceil if cfg.score_type == "I" else (lambda x: x))
+        scratch = int(ceil(30.0 * um))  # unitScores_thresh
+        gap_open = (cfg.scoring.gap_open
+                    if cfg.scoring is not None and cfg.scoring.gap_open_set
+                    else int(ceil(3.25 * -umm)))      # unitScores_open
+        gap_extend = (cfg.scoring.gap_extend
+                      if cfg.scoring is not None
+                      and cfg.scoring.gap_extend_set
+                      else int(ceil(0.24375 * -umm)))  # unitScores_extend
+        if not getattr(cfg, "_have_hsp", False):
+            cfg.hsp_threshold = ScoreThreshold("S", s=scratch)
+        if (not getattr(cfg, "_have_gapped", False)
+                and cfg.gf_extend == GFEX_EXACT):
+            cfg.gapped_threshold = ScoreThreshold("S", s=scratch)
+        if not getattr(cfg, "_have_x", False) and not cfg.infer_scores:
+            cfg.x_drop = int(ceil(10.0 * math.sqrt(-umm)))
+        if not getattr(cfg, "_have_y", False) and not cfg.infer_scores:
+            cfg.y_drop = 2 * cfg.x_drop
+        tmpl = _np.full((4, 4), umm, dtype=_np.int64)
+        _np.fill_diagonal(tmpl, um)
+        had_open = cfg.scoring is not None and cfg.scoring.gap_open_set
+        had_extend = cfg.scoring is not None and cfg.scoring.gap_extend_set
+        cfg.scoring = new_dna_score_set(
+            template=tmpl,
+            bad_score=int(-10.0 * -umm),   # unitScores_X
+            fill_score=int(-1.0 * -umm),   # unitScores_fill
+            gap_open=gap_open, gap_extend=gap_extend)
+        cfg.scoring.gap_open_set = had_open
+        cfg.scoring.gap_extend_set = had_extend
 
     if cfg.read_capsule:
         # the one positional (if any) is the query (lastz.c:7755-7770)

@@ -658,11 +658,13 @@ def _parse_fastq_bytes(data: bytes):
             continue
         if not lines[i].startswith(b"@"):
             raise ValueError(f"bad fastq record at line {i+1}")
-        header = lines[i].decode("latin-1")
+        # the '@' is NOT part of the name (reference fastq loader;
+        # lav h-stanzas show fastq headers without it)
+        header = lines[i][1:].decode("latin-1")
         data = lines[i + 1].strip()
         quals = lines[i + 3].strip() if i + 3 < len(lines) else b""
         contig += 1
-        short = shorten_header(">" + header[1:])
+        short = shorten_header(">" + header)
         records.append((bytes(data), header, short, contig, bytes(quals)))
         i += 4
     return records
