@@ -62,6 +62,51 @@ KNOWN_FORMATS = {
 }
 
 
+HELP_TEXT = """\
+lastz_tpu -- TPU-native local pairwise DNA aligner (LASTZ-compatible)
+usage: lastz_tpu target [query] [options]
+
+sequence specifiers (target/query):
+  file[.fa|.fastq|.nib|.2bit|.hsx|.qdna], file/contig, file[actions]
+  actions: multiple, subset=<names>, unmask, revcomp, backward,
+           nmask=/xmask=/softmask=<intervals>, nickname=<name>,
+           nameparse=<type>, separator=<ch>, quantum, <start>..<end>
+
+seeding:        --seed=12of19|14of22|match<N>|<pattern>  --step=<N>
+                --[no]transition[=2]  W=|Z=|T=  --word=<bits>
+                --twins=[<min>..]<max>  --notwins  --recoverseeds
+                --seedqueue=<N>  --maxwordcount=<N|pct%>
+gf-extension:   --gfextend/--nogfextend  --exact=<N>  --mismatch=<N,L>
+                --xdrop=<N> (X=)  --hspthresh=<score|top<pct>%> (K=)
+                --entropy/--noentropy  --filter=<T,M>
+chaining:       --chain  --nochain  --chain=<diag,anti> (G=/R=)
+gapped:         --gapped/--nogapped  --ydrop=<N> (Y=)  --noytrim
+                --gappedthresh=<score> (L=)  --allgappedbounds
+                --anyornone  --queryhsplimit=<N>  --queryhspbest=<N>
+                --querydepth=<N>  --maxpairedbases=<N>
+interpolation:  --inner=<score> (H=)
+scoring:        --scores=<file> (Q=)  --match=<R[,P]>  --gap=<[O,]E>
+                --ambiguous=n|iupac[,P]  --ball=<score|pct%>
+                --infer[=<ctl>]  --inferonly[=<ctl>]  --infscores[=<f>]
+filtering:      --identity/--coverage/--continuity=<min>[..<max>]
+                --filter=identity|coverage|continuity:<range>
+                --filter=nmatch:<N|pct%>  --filter=nmismatch:0..<N>
+                --filter=ngap:0..<N>  --filter=cgap:0..<N>
+masking:        --masking=<N> (M=)  --census[16|32][=<file>]
+strands/self:   --strand=both|plus|minus  --self  --[no]mirror
+                --notrivial
+output:         --format=lav|lav+|axt[+]|maf[+|-]|sam|softsam|cigar|
+                  gfa|paf|blastn|general[-]:<fields>|text|diffs|
+                  rdotplot|comp|identity|istats|deseed|none
+                --output=<file>  --rdotplot=/--axt=/--maf=<file>
+                --markend  --action:markmismatches  --readgroup=<tags>
+index/capsule:  --writecapsule=<file>  --targetcapsule=<file>
+                --tableonly[=count|andcount|distribution]  --showtable
+misc:           --include=<file>  --yasra<N>[short]  --progress=<N>
+                --verbosity=<N>  --allocate:*  --scoretype=double
+                --version  --help"""
+
+
 def parse_threshold(text: str) -> ScoreThreshold:
     """Parse K=/L= values: plain score, '<n>%', or 'top<n>%'."""
     t = text.strip()
@@ -652,6 +697,8 @@ def parse_options(argv: list[str], cfg: Config | None = None,
                 cfg.ball_score_factor = float(val[:-1]) / 100.0
             else:
                 cfg.ball_score = int(float(val))
+        elif arg.startswith("--chores="):
+            cfg.chores_filename = val
         elif arg.startswith("--writecapsule="):
             if cfg.read_capsule:
                 raise UsageError(
@@ -684,6 +731,9 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             args_parts.pop()
         elif arg == "--version":
             print("lastz_tpu 0.1.0")
+            sys.exit(0)
+        elif arg == "--help" or arg.startswith("--help="):
+            print(HELP_TEXT)
             sys.exit(0)
         elif arg.startswith("--"):
             raise UsageError(f"unknown option {arg}")
@@ -772,6 +822,13 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             cfg.seq2_filename = positional[1]
     if cfg.self_compare and cfg.seq2_filename is None:
         cfg.seq2_filename = cfg.seq1_filename
+
+    if cfg.chores_filename or (cfg.seq2_filename
+                               and "chores=" in cfg.seq2_filename):
+        if cfg.infer_scores:
+            raise UsageError("can't use [chores] with --infer[only]")
+        if cfg.segments_filename:
+            raise UsageError("can't use [chores] with --segments")
 
     # quantum DNA detection (reference name_spec_is_quantum, lastz.c)
     cfg.target_is_quantum = _name_spec_is_quantum(cfg.seq1_filename)

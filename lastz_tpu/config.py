@@ -157,6 +157,7 @@ class Config:
     inner_window: int = 20000
 
     anchors_filename: Optional[str] = None
+    chores_filename: Optional[str] = None  # --chores= / [chores=] action
     segments_filename: Optional[str] = None  # --segments= input
 
     args: str = ""  # reconstructed command tail for job headers

@@ -47,6 +47,108 @@ class Partition:
 
 
 @dataclass
+class Chore:
+    """One alignment chore (reference sequences.h:210-233): restrict
+    the pipeline to a (target interval, query interval, strand)."""
+
+    num: int = 1                 # 1-based index among chores on this query
+    t_name: str = ""             # "" = wildcard
+    t_subrange: bool = False
+    t_start: int = 0             # origin-1
+    t_end: int = 0               # inclusive end (stored origin-1 closed)
+    q_name: str = ""
+    q_subrange: bool = False
+    q_start: int = 0
+    q_end: int = 0
+    q_strand: int = 1            # 0: + only, <0: - only, >0: both
+    id_tag: str = ""
+    # resolved (current-orientation, 0-based half-open) intervals
+    target_interval: tuple = (0, 0)
+    query_interval: tuple = (0, 0)
+
+
+def parse_chores_file(path: str):
+    """Parse an alignment-chores file (reference read_chore,
+    sequences.c:5562+): <name1> <start1> <end1> <name2>
+    [<start2> <end2>] [<strand2>] [id=<tag>], '*' wildcards, origin-1
+    closed intervals, # comments."""
+    chores = []
+    try:
+        f = open(path)
+    except OSError as e:
+        raise SystemExit(
+            f'FAILURE: failed to open "{path}" for reading ({e.strerror})')
+    with f:
+        for line_num, raw in enumerate(f, 1):
+            line = raw.split("#", 1)[0].strip() if (" #" in raw or
+                raw.lstrip().startswith("#")) else raw.strip()
+            if not line:
+                continue
+            fields = line.split()
+            if len(fields) < 4:
+                raise SystemExit(
+                    f"FAILURE: not enough fields in chore"
+                    f" ({path}:{line_num}): {line}")
+            ch = Chore()
+            ch.t_name = "" if fields[0] == "*" else fields[0]
+            ix = 3
+            if fields[1] != "*":
+                ch.t_subrange = True
+                ch.t_start = int(fields[1])
+                if ch.t_start == 0:
+                    raise SystemExit(
+                        f"FAILURE: bad chore target start"
+                        f" ({path}:{line_num})")
+            if fields[2] != "*":
+                if not ch.t_subrange:
+                    raise SystemExit(
+                        f"FAILURE: bad chore target interval"
+                        f" ({path}:{line_num})")
+                ch.t_end = int(fields[2])
+                if ch.t_end <= ch.t_start - 1:
+                    raise SystemExit(
+                        f"FAILURE: bad chore target interval"
+                        f" ({path}:{line_num})")
+            elif ch.t_subrange:
+                raise SystemExit(
+                    f"FAILURE: bad chore target end ({path}:{line_num})")
+            ch.q_name = fields[3]
+            ix = 4
+            if (ix < len(fields) and fields[ix] not in ("+", "-")
+                    and not fields[ix].startswith("id=")):
+                if ix + 1 >= len(fields):
+                    raise SystemExit(
+                        f"FAILURE: missing chore query end"
+                        f" ({path}:{line_num})")
+                qs, qe = fields[ix], fields[ix + 1]
+                ix += 2
+                if qs != "*":
+                    ch.q_subrange = True
+                    ch.q_start = int(qs)
+                if qe != "*":
+                    if not ch.q_subrange:
+                        raise SystemExit(
+                            f"FAILURE: bad chore query interval"
+                            f" ({path}:{line_num})")
+                    ch.q_end = int(qe)
+                elif ch.q_subrange:
+                    raise SystemExit(
+                        f"FAILURE: bad chore query end ({path}:{line_num})")
+            if ix < len(fields) and fields[ix] in ("+", "-"):
+                ch.q_strand = 0 if fields[ix] == "+" else -1
+                ix += 1
+            if ix < len(fields) and fields[ix].startswith("id="):
+                ch.id_tag = fields[ix][3:]
+                ix += 1
+            if ix < len(fields):
+                raise SystemExit(
+                    f"FAILURE: extra chore fields ({path}:{line_num}):"
+                    f" {line}")
+            chores.append(ch)
+    return chores
+
+
+@dataclass
 class Sequence:
     v: np.ndarray  # uint8 ASCII; NUL separators if partitioned
     filename: str
@@ -60,6 +162,7 @@ class Sequence:
     use_full_names: bool = False
     partitions: list = field(default_factory=list)  # list[Partition]
     vq: Optional[np.ndarray] = None  # quality values (fastq)
+    chore: Optional["Chore"] = None
 
     @property
     def length(self) -> int:
@@ -186,6 +289,7 @@ class SequenceSpec:
     use_full_names: bool = False
     subsample_k: int = 0
     subsample_n: int = 0
+    chores_filename: Optional[str] = None
     file_type: Optional[str] = None
 
 
@@ -273,6 +377,8 @@ def parse_sequence_spec(name: str) -> SequenceSpec:
                     spec.use_full_names = True
                 elif val.startswith("tag:"):
                     spec.name_trigger = val[4:]
+            elif low.startswith("chores="):
+                spec.chores_filename = action.split("=", 1)[1]
             elif low.startswith("subsample="):
                 k, n = action.split("=", 1)[1].split("/")
                 spec.subsample_k, spec.subsample_n = int(k), int(n)
@@ -305,13 +411,16 @@ def sniff_file_type(path: str) -> str:
             return "qdna"
     if magic[:1] == b"@":
         return "fastq"
+    if path.endswith(".csfasta"):
+        return "csfasta"
     return "fasta"
 
 
 class SequenceFile:
     """Iterates records of a sequence file (reference open_sequence_file)."""
 
-    def __init__(self, name: str, default_type: str = "fasta"):
+    def __init__(self, name: str, default_type: str = "fasta",
+                 chores_filename: str | None = None):
         if name is None or name == "-":
             # query from stdin (reference: "(stdin)")
             import sys
@@ -324,6 +433,10 @@ class SequenceFile:
             self._records = None
             self._cursor = 0
             self._subset_names = None
+            self._chores = None
+            self._chore_ix = 0
+            self._chore_num = 0
+            self._chore_rec = None
             return
         self._stdin_data = None
         self.spec = parse_sequence_spec(name)
@@ -333,6 +446,13 @@ class SequenceFile:
         self._records = None  # lazily parsed list
         self._cursor = 0
         self._subset_names = None
+        self._chores = None
+        self._chore_ix = 0
+        self._chore_num = 0
+        self._chore_rec = None
+        chf = chores_filename or self.spec.chores_filename
+        if chf:
+            self._chores = parse_chores_file(chf)
         if self.spec.names_filename and not self.spec.do_partition:
             with open(self.spec.names_filename) as f:
                 self._subset_names = [ln.strip() for ln in f if ln.strip()]
@@ -360,6 +480,11 @@ class SequenceFile:
             self._records = _read_hsx(self.filename)
         elif self.file_type == "qdna":
             self._records = [_read_qdna(self.filename)]
+        elif self.file_type == "csfasta":
+            # the reference bails out identically (sequences.c csfasta
+            # support is a stub behind this message)
+            raise SystemExit(
+                "FAILURE: sorry, color space is not fully implemented yet")
         else:
             raise NotImplementedError(f"file type {self.file_type}")
         if self.spec.contig_of_interest:
@@ -387,10 +512,18 @@ class SequenceFile:
     def rewind(self):
         self._cursor = 0
         self.contig_index = 0
+        self._chore_ix = 0
+        self._chore_num = 0
+        self._chore_rec = None
 
     def load(self) -> Optional[Sequence]:
-        """Load next record (reference load_sequence); None at EOF."""
+        """Load next record (reference load_sequence); None at EOF.
+        With a chores file, one record is returned PER CHORE (the
+        underlying sequence advances when the chore names a new
+        query; names must appear in file order)."""
         self._load_records()
+        if self._chores is not None:
+            return self._load_chore()
         if self.spec.do_partition:
             return self._load_partitioned()
         while self._cursor < len(self._records):
@@ -399,6 +532,34 @@ class SequenceFile:
             seq = self._materialize(*rec)
             return seq
         return None
+
+    def _load_chore(self) -> Optional[Sequence]:
+        import dataclasses
+        if self._chore_ix >= len(self._chores):
+            return None
+        ch = self._chores[self._chore_ix]
+        self._chore_ix += 1
+        if self._chore_rec is not None and self._chore_rec[2] == ch.q_name:
+            self._chore_num += 1
+        else:
+            # advance (in order) to the record the chore names
+            rec = None
+            while self._cursor < len(self._records):
+                cand = self._records[self._cursor]
+                self._cursor += 1
+                if cand[2] == ch.q_name:
+                    rec = cand
+                    break
+            if rec is None:
+                raise SystemExit(
+                    f"FAILURE: chores file query name {ch.q_name} does"
+                    f" not exist in {self.filename}\n(or chore queries"
+                    f" are out of order)")
+            self._chore_rec = rec
+            self._chore_num = 1
+        seq = self._materialize(*self._chore_rec)
+        seq.chore = dataclasses.replace(ch, num=self._chore_num)
+        return seq
 
     def _materialize(self, data, header, short, contig, quals=None) -> Sequence:
         true_len = len(data)

@@ -422,6 +422,11 @@ def genpaf_align(cfg, seq1, seq2, a, keys=None, as_match=False) -> str:
                                         paf_order=True))
         elif k == "=":
             out.append(_text_diff(seq1.v, seq2.v, a))
+        elif k == "*":
+            # chore id tag (reference genpafChoreId)
+            chore = getattr(seq2, "chore", None)
+            out.append(chore.id_tag if chore is not None and chore.id_tag
+                       else "NA")
         else:
             out.append("NA")
     out.append("\n")

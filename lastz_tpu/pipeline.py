@@ -93,6 +93,95 @@ def _trim_head(script, n):
         n -= take
 
 
+def _resolve_chore_target(chore, target):
+    """reference resolve_chore_target (lastz.c:2503): map the chore's
+    origin-1 closed target interval into current 0-based half-open
+    coordinates, validating the name."""
+    wildcard = chore.t_name == ""
+    if not target.is_partitioned:
+        t_header = target.name_for_output()
+        if not wildcard and chore.t_name != t_header:
+            raise SystemExit(
+                f"FAILURE: chore target name mismatch: {chore.t_name}"
+                f" is not {t_header}")
+        if not chore.t_subrange:
+            return (0, len(target.v))
+        seq_start = target.start_loc - 1
+        seq_end = seq_start + len(target.v)
+        if chore.t_start - 1 < seq_start or chore.t_end > seq_end:
+            raise SystemExit(
+                f"FAILURE: chore target interval out of range"
+                f" ({chore.t_start} {chore.t_end})")
+        return (chore.t_start - 1 - seq_start, chore.t_end - seq_start)
+    if wildcard:
+        raise SystemExit(
+            "FAILURE: chore target name wildcard can't be used with a"
+            " partitioned target")
+    parts = [p for p in target.partitions if p.header == chore.t_name]
+    if not parts:
+        raise SystemExit(
+            f"FAILURE: chore target {chore.t_name} does not exist in"
+            f" target file")
+    part = parts[0]
+    offset = part.sep_before + 1
+    if not chore.t_subrange:
+        return (offset, parts[-1].sep_after)
+    seq_start = part.start_loc - 1
+    return (offset + chore.t_start - 1 - seq_start,
+            offset + chore.t_end - seq_start)
+
+
+def _resolve_chore_query(query, chore, strand):
+    """reference resolve_chore_query (lastz.c:2616): the chore's query
+    interval in the CURRENT orientation's coordinates ('-' flips)."""
+    if not query.is_partitioned:
+        if not chore.q_subrange:
+            return (0, len(query.v))
+        seq_start = query.start_loc - 1
+        n = len(query.v)
+        seq_end = seq_start + n
+        q_start = chore.q_start - 1
+        q_end = chore.q_end
+        if q_start < seq_start or q_end > seq_end:
+            raise SystemExit(
+                f"FAILURE: chore query interval out of range on"
+                f" {chore.q_name} ({chore.q_start} {chore.q_end})")
+        if strand != "-":
+            return (q_start - seq_start, q_end - seq_start)
+        return (seq_end - q_end, seq_end - q_start)
+    parts = [p for p in query.partitions if p.header == chore.q_name]
+    if not parts:
+        raise SystemExit(
+            f"FAILURE: chore query {chore.q_name} does not exist in"
+            f" query file")
+    part = parts[0]
+    offset = part.sep_before + 1
+    q_len = parts[-1].sep_after - offset
+    if not chore.q_subrange:
+        return (offset, offset + q_len)
+    seq_start = part.start_loc - 1
+    seq_end = seq_start + q_len
+    if strand != "-":
+        return (offset + chore.q_start - 1 - seq_start,
+                offset + chore.q_end - seq_start)
+    return (offset + seq_end - chore.q_end,
+            offset + seq_end - (chore.q_start - 1))
+
+
+def _fence_interval(v, interval):
+    """reference fence_sequence_interval (sequences.c:7789): NUL the
+    characters just outside [s, e); returns restore info."""
+    s, e = interval
+    saved = []
+    if s >= 1:
+        saved.append((s - 1, int(v[s - 1])))
+        v[s - 1] = 0
+    if e < len(v):
+        saved.append((e, int(v[e])))
+        v[e] = 0
+    return saved
+
+
 class Pipeline:
     def __init__(self, cfg: Config, out=None, collector=None):
         self.cfg = cfg
@@ -270,7 +359,8 @@ class Pipeline:
                 len(target.v), cfg.census_kind or "B", cfg.dynamic_masking)
 
         if cfg.seq2_filename:
-            query_file = SequenceFile(cfg.seq2_filename)
+            query_file = SequenceFile(cfg.seq2_filename,
+                                      chores_filename=cfg.chores_filename)
         elif cfg.self_compare:
             query_file = SequenceFile(cfg.seq1_filename)
         else:
@@ -305,8 +395,9 @@ class Pipeline:
                     "(%.3fs) processing query %d: %s\n"
                     % (dt, num_queries, query.name_for_output()))
             disp.set_sequences(target, query)
-            disp.init_for_query()
-            if cfg.which_strand < 0:
+            if query.chore is None or query.chore.num == 1:
+                disp.init_for_query()
+            if cfg.which_strand < 0 and query.chore is None:
                 self._rev_comp_query(query)
 
             self._run_query(target, pt, query,
@@ -358,12 +449,36 @@ class Pipeline:
             cfg.min_match_count = int(
                 math.ceil(query.true_len * cfg.min_match_count_ratio))
 
-        ok = self._start_one_strand(target, pt, query, empty_anchors=True)
-        if not ok:
+        # alignment chores: resolve the restriction intervals and the
+        # per-chore strand selection (lastz.c:1496-1630)
+        chore = query.chore
+        self._chore = chore
+        skip_plus = skip_minus = False
+        if chore is not None:
+            chore.target_interval = _resolve_chore_target(chore, target)
+            chore.query_interval = _resolve_chore_query(query, chore, "+")
+            skip_plus = chore.q_strand < 0
+            skip_minus = chore.q_strand == 0
+
+        if not skip_plus:
+            ok = self._start_one_strand(target, pt, query,
+                                        empty_anchors=True)
+            if not ok:
+                return
+
+            if not collect_from_both:
+                self._finish_one_strand(target, pt, query)
+        else:
+            self.anchors = SegmentTable(
+                coverage_limit=cfg.hsp_threshold.c
+                if cfg.hsp_threshold.t == "C" else 0)
+
+        if skip_minus:
+            self._chore = None
             return
 
-        if not collect_from_both:
-            self._finish_one_strand(target, pt, query)
+        if chore is not None:
+            chore.query_interval = _resolve_chore_query(query, chore, "-")
 
         if cfg.which_strand > 0:
             self._rev_comp_query(query)
@@ -392,6 +507,7 @@ class Pipeline:
         if collect_from_both:
             disp.init_for_strand()
             self._finish_one_strand(target, pt, query)
+        self._chore = None
 
     # -- strand processing ----------------------------------------------------
 
@@ -433,6 +549,7 @@ class Pipeline:
         zero = 0
         if th.t == "S" and th.s > 0:
             zero = th.s
+        chore = getattr(self, "_chore", None)
         return HitProcessorParams(
             gf_extend=cfg.gf_extend,
             scoring=cfg.masked_scoring,
@@ -444,6 +561,9 @@ class Pipeline:
             min_matches=cfg.min_matches,
             max_transversions=cfg.max_transversions,
             filter_pattern=(cfg.seed.pattern if cfg.filter_cares_only else None),
+            pos_filter=chore is not None,
+            target_interval=(chore.target_interval if chore else (0, 0)),
+            query_interval=(chore.query_interval if chore else (0, 0)),
         )
 
     def _start_one_strand(self, target, pt, query, empty_anchors=True,
@@ -522,10 +642,26 @@ class Pipeline:
             anchors=self.anchors,
             seed_queue_size=cfg.seed_queue_size,
         )
-        if cfg.query_is_quantum:
-            engine.search_quantum(cfg.ball_score, 0, len(query.v))
-        else:
-            engine.search(0, len(query.v))
+        chore = getattr(self, "_chore", None)
+        fences = []
+        if chore is not None:
+            # fence the chore intervals for the duration of the search
+            # (lastz.c:3030-3031; removed again at :3171)
+            fences.append((target.v,
+                           _fence_interval(target.v,
+                                           chore.target_interval)))
+            fences.append((query.v,
+                           _fence_interval(query.v,
+                                           chore.query_interval)))
+        try:
+            if cfg.query_is_quantum:
+                engine.search_quantum(cfg.ball_score, 0, len(query.v))
+            else:
+                engine.search(0, len(query.v))
+        finally:
+            for v, saved in fences:
+                for pos, ch in saved:
+                    v[pos] = ch
 
         if (cfg.search_limit > 0 and not cfg.search_limit_keep
                 and self.anchors is not None

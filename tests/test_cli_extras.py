@@ -98,3 +98,51 @@ def test_progress_goes_to_stderr(capsys):
     err = capsys.readouterr().err
     assert "processing query 1: pig1" in err
     assert "processing query 3: pig3" in err
+
+
+CHORES_FMT = ("--format=general:chore,name2,strand2,zstart1,end1,"
+              "zstart2+,end2+,score")
+
+
+def test_chores_general():
+    got = run([f"{TD}/pseudocat.fa",
+               f"{TD}/pseudopig.2bit[chores={G}/chores.txt]", CHORES_FMT])
+    with open(os.path.join(G, "chores.general")) as f:
+        want = f.read()
+    assert norm(got) == norm(want)
+
+
+def test_chores_lav():
+    got = run([f"{TD}/pseudocat.fa",
+               f"{TD}/pseudopig.2bit[chores={G}/chores.txt]"])
+    with open(os.path.join(G, "chores.lav")) as f:
+        want = f.read()
+
+    def strip(t):
+        return "\n".join(l for l in norm(t).split("\n")
+                         if not l.lstrip().startswith('"lastz'))
+    assert strip(got) == strip(want)
+
+
+def test_chores_option_form_and_conflicts():
+    got = run([f"{TD}/pseudocat.fa", f"{TD}/pseudopig.2bit",
+               f"--chores={G}/chores.txt",
+               "--format=general:chore,score"])
+    assert got.splitlines()[1].startswith("AAA\t")
+    with pytest.raises(UsageError):
+        parse_options([f"{TD}/pseudocat.fa", f"{TD}/pseudopig.2bit",
+                       f"--chores={G}/chores.txt", "--inferonly"])
+
+
+def test_chores_bad_target_name():
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".chores",
+                                     delete=False) as f:
+        f.write("dog 1 100 pig1 id=X\n")
+        path = f.name
+    try:
+        with pytest.raises(SystemExit):
+            run([f"{TD}/pseudocat.fa",
+                 f"{TD}/pseudopig.2bit[chores={path}]"])
+    finally:
+        os.unlink(path)
