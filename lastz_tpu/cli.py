@@ -24,12 +24,17 @@ class UsageError(Exception):
 def _unitized_int(s: str) -> int:
     """reference string_to_unitized_int: optional K/M/G suffix in
     units of 1,000."""
+    orig = s
     s = s.strip()
     mult = 1
     if s and s[-1] in "KkMmGg":
         mult = {"k": 10**3, "m": 10**6, "g": 10**9}[s[-1].lower()]
         s = s[:-1]
-    return int(float(s) * mult)
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        # string_to_unitized_int → suicidef (utilities.c:746)
+        raise SystemExit('FAILURE: "%s" is not an integer' % orig)
 
 
 def _name_spec_is_quantum(spec) -> bool:
@@ -585,13 +590,59 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             cfg.search_limit = 1
             cfg.search_limit_warn = False
             cfg.search_limit_keep = False
-        elif arg.startswith("--limitperquery=") or arg.startswith("--queryhsplimit="):
-            v = val
-            if v.endswith("+"):
-                cfg.search_limit_keep = True
-                v = v[:-1]
+        elif arg.startswith("--limitperquery=") or arg.startswith("--stopafter="):
+            # (lastz.c:5975-5986) sets hspImmediate, unlike --queryhsplimit
+            n = int(val)
+            if n <= 0:
+                raise SystemExit(
+                    "FAILURE: limit for --limitperquery must be positive")
             cfg.hsp_immediate = True
-            cfg.search_limit = int(v)
+            cfg.search_limit = n
+            cfg.search_limit_warn = False
+            cfg.search_limit_keep = False
+        elif (arg.startswith("--queryhsplimit=")
+              or arg.startswith("--queryhsplimit+=")):
+            # --queryhsplimit[+]=[[no]warn:]<n> (lastz.c:5988-6048);
+            # unlike --limitperquery this does NOT set hspImmediate; the
+            # '+'/keep forms report alignments up to the limit instead of
+            # discarding the whole query
+            # exact prefix cascade: note the reference parses the keep:
+            # (non-plus) form from the first '=' — so "--queryhsplimit=
+            # keep:<n>" actually FAILS with '"keep:<n>" is not an integer'
+            if (arg.startswith("--queryhsplimit=keep,nowarn:")
+                    or arg.startswith("--queryhsplimit+=nowarn:")):
+                cfg.search_limit_warn = False
+                cfg.search_limit_keep = True
+                v = arg.split(":", 1)[1]
+            elif arg.startswith("--queryhsplimit+=warn:"):
+                cfg.search_limit_warn = True
+                cfg.search_limit_keep = True
+                v = arg.split(":", 1)[1]
+            elif (arg.startswith("--queryhsplimit=keep:")
+                    or arg.startswith("--queryhsplimit+=")):
+                cfg.search_limit_warn = True
+                cfg.search_limit_keep = True
+                v = arg.split("=", 1)[1]
+            elif arg.startswith("--queryhsplimit=nowarn:"):
+                cfg.search_limit_warn = False
+                cfg.search_limit_keep = False
+                v = arg.split(":", 1)[1]
+            elif arg.startswith("--queryhsplimit=warn:"):
+                cfg.search_limit_warn = True
+                cfg.search_limit_keep = False
+                v = arg.split(":", 1)[1]
+            else:
+                cfg.search_limit_warn = True
+                cfg.search_limit_keep = False
+                v = arg.split("=", 1)[1]
+            n = _unitized_int(v)
+            if n <= 0:
+                raise SystemExit(
+                    "FAILURE: --queryhsplimit must be positive")
+            cfg.search_limit = n
+            if cfg.num_best_hsps != 0:
+                raise UsageError(
+                    f"can't use {arg} with --queryhspbest")
         elif arg == "--markmismatches" or arg == "--action:markmismatches":
             cfg.sam_mark_mismatches = True
         elif arg.startswith("--readgroup="):

@@ -32,15 +32,15 @@ class ScoreThreshold:
         return ScoreThreshold(self.t, self.s, self.c, self.p)
 
     def to_string(self) -> str:
-        # reference score_thresh_to_string
+        # reference score_thresh_to_string (dna_utilities.c:2292)
         if self.t == "S":
             from .core.scoring import score_str
             return score_str(self.s)
         if self.t == "C":
-            return f"{self.c}c"
+            return f"top{self.c}"
         if self.t == "P":
-            return f"top{self.p:.9g}%"
-        return "?"
+            return f"top{100 * self.p:.1f}%"
+        return "(unrecognized)"
 
 
 GFEX_NO_EXTEND = 0

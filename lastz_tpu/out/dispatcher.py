@@ -246,6 +246,18 @@ class OutputDispatcher:
         elif self._fmt == "gfa":
             from . import gfa as gfa_mod
             self.out.write(gfa_mod.gfa_header(self.seq1, self.seq2))
+        elif self._fmt == "blastn":
+            # print_blast_header (genpaf.c:252-278): per-strand comment
+            # block naming the query and database (blastn- omits it)
+            name2 = self.seq2.name_for_output() or "query"
+            self.out.write("# %s %s\n" % (self.program_name, self.cfg.args))
+            self.out.write("# Query: %s\n" % name2)
+            self.out.write("# Database: %s\n"
+                           % (self.seq1.filename or ""))
+            self.out.write(
+                "# Fields: query id, subject id, % identity,"
+                " alignment length, mismatches, gap opens, q. start,"
+                " q. end, s. start, s. end, evalue, bit score\n")
         elif self._name_header:
             # rdotplot: a name pair line whenever the names change
             # (output.c fmtGenpafNameHeader)

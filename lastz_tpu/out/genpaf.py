@@ -12,6 +12,7 @@ import math
 import numpy as np
 
 from ..core.encoding import NUC_TO_BITS, NUC_TO_COMPLEMENT
+from ..core.scoring import score_str
 from .axt import _names_and_coords, _gapped_texts
 
 STANDARD_KEYS = "#NDSZEndszeIC"
@@ -179,13 +180,34 @@ def _coverage(seq1, seq2, a):
     return a.end2 + 1 - a.beg2, q_len
 
 
+def _sequence_entropy(v, pos, length):
+    """reference sequence_entropy (sequences.c:9730-9780): base-composition
+    entropy over v[pos:pos+length], N counted as 1/4 of each base; other
+    characters ignored; -1 when nothing countable."""
+    if length <= 0:
+        return -1.0
+    window = np.frombuffer(bytes(v[pos:pos + length]).upper(), dtype=np.uint8)
+    counts = np.bincount(window, minlength=256)
+    n = int(counts[ord("N")])
+    acgt = [4 * int(counts[ord(c)]) + n for c in "ACGT"]
+    denom = sum(acgt)
+    if denom == 0:
+        return -1.0
+    log_denom = math.log2(denom)
+    s = sum(c * (math.log2(c) - log_denom) for c in acgt if c > 0)
+    return -s / denom
+
+
 def blastz_score_to_ncbi_bits(s):
-    return s * 0.028358 + 4.352784
+    # reference dna_utilities.c:2340-2344 (via UCSC blastOut.c)
+    return s * 0.0205
 
 
 def blastz_score_to_ncbi_expectation(s):
-    bits = blastz_score_to_ncbi_bits(s)
-    return 3.0e9 * 3.0e9 * (2.0 ** -bits)
+    # reference dna_utilities.c:2346-2352
+    import math
+    bits = s * 0.0205
+    return 3.0e9 * math.exp(-bits * math.log(2))
 
 
 def genpaf_align(cfg, seq1, seq2, a, keys=None, as_match=False) -> str:
@@ -410,7 +432,8 @@ def genpaf_align(cfg, seq1, seq2, a, keys=None, as_match=False) -> str:
         elif k == "{":
             out.append("255")
         elif k == "|":
-            out.append(f"AS:i:{-a.score}")
+            # genpaf.c:1296-1300: the raw lastz score, not negated
+            out.append("AS:i:" + score_str(a.score))
         elif k == "}":
             from .cigar import cigarx_text
             out.append("cg:Z:" + cigarx_text(
@@ -422,6 +445,30 @@ def genpaf_align(cfg, seq1, seq2, a, keys=None, as_match=False) -> str:
                                         paf_order=True))
         elif k == "=":
             out.append(_text_diff(seq1.v, seq2.v, a))
+        elif k == "G":
+            # gap rate (genpaf.c:1200-1204): bases-in-gaps over aligned
+            # columns, as fraction then percent
+            gap_numer = con_denom - con_numer
+            gap_denom = con_numer
+            out.append(f"{gap_numer}/{gap_denom}")
+            out.append(f"\t{100.0 * gap_numer / gap_denom:.1f}%"
+                       if gap_denom else "\tNA")
+        elif k in ("H", "h"):
+            # entropy of the target/query side (genpaf.c:1268-1277); note
+            # the reference passes the ORIGIN-1 beg as an origin-0 offset
+            # for gapped alignments, shifting the window by one (and one
+            # short), while the match printer (genpaf.c:1871-1880) uses
+            # the true origin-0 start and full length
+            if k == "H":
+                v, b, ln = seq1.v, beg1, height
+            else:
+                v, b, ln = seq2.v, beg2, width
+            if as_match:
+                e = _sequence_entropy(v, b - 1, ln)
+            else:
+                e = _sequence_entropy(v, b, ln - 1)
+            e = float(np.float32(e))  # reference stores in a C float
+            out.append(f"{e:.3f}" if e >= 0 else "NA")
         elif k == "*":
             # chore id tag (reference genpafChoreId)
             chore = getattr(seq2, "chore", None)

@@ -195,6 +195,10 @@ class Pipeline:
         # per-query ratio filters are resolved (lastz.c:2773)
         self._mode_cache = None
         self._mode_cache = self._reporter_mode_uncached()
+        # seed_search_dbgSearchLimitExceeded / firstReport
+        # (seed_search.c:3797,3801)
+        self._search_limit_exceeded = 0
+        self._limit_warned_once = False
 
     # -- configuration finalization (lastz.c:8900-9400) --------------------
 
@@ -418,6 +422,19 @@ class Pipeline:
                 with open(cfg.census_filename, "w") as f:
                     cen.print_census(f, target, "\t")
             cen.mask_thresh = saved
+
+        # end-of-job search-limit summary (lastz.c:1777-1793); suppressed
+        # for the gappily reporter only when warnings are off, and worded
+        # differently when the limit applied to gapped alignments
+        gappily = cfg.hsp_immediate and cfg.gapped_extend
+        if (self._search_limit_exceeded > 0
+                and (cfg.search_limit_warn or not gappily)):
+            n = self._search_limit_exceeded
+            head = ("1 query exceeded the" if n == 1
+                    else "%d queries exceeded the" % n)
+            tail = (" limit of qualifying alignments\n" if gappily
+                    else " HSP limit\n")
+            sys.stderr.write(head + tail)
         disp.job_footer()
 
 
@@ -642,6 +659,7 @@ class Pipeline:
             anchors=self.anchors,
             seed_queue_size=cfg.seed_queue_size,
         )
+        engine.on_limit_exceeded = self._make_limit_warner(query)
         chore = getattr(self, "_chore", None)
         fences = []
         if chore is not None:
@@ -668,6 +686,24 @@ class Pipeline:
                 and len(self.anchors) + prev_anchor_count > cfg.search_limit):
             return False
         return True
+
+    def _make_limit_warner(self, query):
+        """warn_for_search_limit (seed_search.c:3795-3813): tell the user
+        this query exceeded the HSP limit; the count is kept even when the
+        warning itself is suppressed (nowarn)."""
+        def warn():
+            self._search_limit_exceeded += 1
+            if not self.cfg.search_limit_warn:
+                return
+            sys.stderr.write(
+                'WARNING. Query "%s" contains more than %s HSPs.\n'
+                % (query.name_for_output(), f"{self.cfg.search_limit:,}"))
+            if not self._limit_warned_once:
+                sys.stderr.write(
+                    "All HSPs for this query are discarded and the query"
+                    " is not processed further.\n")
+                self._limit_warned_once = True
+        return warn
 
     def _finish_one_strand(self, target, pt, query):
         cfg = self.cfg

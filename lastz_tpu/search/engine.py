@@ -97,6 +97,7 @@ class SeedSearchEngine:
         twin_max_span: int = 0,
         anchors=None,  # segment table, for adaptive-threshold entropy rule
         seed_queue_size: int = 256 * 1024,  # --seedqueue (diag_hash.h:106)
+        on_limit_exceeded: Optional[Callable[[], None]] = None,
     ):
         self.seq1 = seq1_v
         self.pt = pt
@@ -121,6 +122,7 @@ class SeedSearchEngine:
         self.diag_actual = np.zeros(DIAG_HASH_SIZE, dtype=np.int64)
         self._unblocked_left = False
         self.limit_exceeded = False
+        self.on_limit_exceeded = on_limit_exceeded
 
         # hot lookups
         self._sub = params.scoring.sub if params.scoring is not None else None
@@ -189,7 +191,10 @@ class SeedSearchEngine:
                         for j in range(i + 1, nf):
                             bases_hit += self._probe(p1 ^ flips[j], pos2)
             if self.search_limit > 0 and self.search_to_go < 0:
+                # warn_for_search_limit (seed_search.c:551,3795)
                 self.limit_exceeded = True
+                if self.on_limit_exceeded is not None:
+                    self.on_limit_exceeded()
                 return bases_hit
         return bases_hit
 
@@ -254,6 +259,8 @@ class SeedSearchEngine:
                 bases_hit += self._probe(int(word), qpos_end)
             if self.search_limit > 0 and self.search_to_go < 0:
                 self.limit_exceeded = True
+                if self.on_limit_exceeded is not None:
+                    self.on_limit_exceeded()
                 return bases_hit
         return bases_hit
 

@@ -62,6 +62,12 @@ CASES = [
     ("r2_sformatelavptextsnogapped.out",
      ["--format=lav+text", "--nogapped"]),
     ("r2_sformateaxtpsnogapped.out", ["--format=axt+", "--nogapped"]),
+    ("blastn_noheader.txt", ["--format=blastn-"]),
+    ("paf.txt", ["--format=paf"]),
+    ("entropy_fields.txt",
+     ["--format=general:entropy1,entropy2,gaprate,score"]),
+    ("entropy_fields_ungapped.txt",
+     ["--format=general:entropy1,entropy2,gaprate", "--nogapped"]),
 ]
 
 
