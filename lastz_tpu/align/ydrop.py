@@ -1033,10 +1033,24 @@ def _upper(seg):
     return out
 
 
+def count_paired_bases(mp) -> int:
+    """reference count_paired_bases (gapped_extend.c:5693-5705): total
+    bases in the alignment's diagonal segments."""
+    n = 0
+    bp = mp.first_seg
+    while bp is not None:
+        if bp.type == DIAG_SEG:
+            n += bp.e1 + 1 - bp.b1
+        bp = bp.next_seg
+    return n
+
+
 def gapped_extend(target, query, scoring, anchors: SegmentTable,
                   inhibit_trivial=False, y_drop=9400, trim_to_peak=True,
                   score_thresh=None, traceback_mem=80 * 1024 * 1024,
-                  all_bounds=False):
+                  all_bounds=False, max_paired_bases=0,
+                  overly_paired_warn=False, overly_paired_keep=False,
+                  on_overly_paired=None):
     """reference gapped_extend (gapped_extend.c:1012), unpartitioned path.
 
     Returns list of Alignment in increasing-start order.
@@ -1061,6 +1075,7 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
         msps.append(g)
 
     obi = oed = None
+    paired_bases = 0
 
     # trivial self-alignment
     trivial_mp = None
@@ -1121,6 +1136,17 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
 
         align_left_right(obi, mp)
         obi, oed = insert_align(mp, obi, oed)
+
+        # paired-bases limit (gapped_extend.c:1444-1459): stop processing
+        # HSPs; without 'keep', discard everything for this query/strand
+        if max_paired_bases > 0:
+            paired_bases += count_paired_bases(mp)
+            if paired_bases > max_paired_bases:
+                if overly_paired_warn and on_overly_paired is not None:
+                    on_overly_paired()
+                if not overly_paired_keep:
+                    return []
+                break
 
     # collect qualifying alignments in obi order
     out = []

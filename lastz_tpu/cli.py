@@ -59,7 +59,7 @@ def _name_spec_is_quantum(spec) -> bool:
 KNOWN_FORMATS = {
     "gfa", "gfanoscore", "lav", "lav+", "lav+text", "text+lav", "lavscore",
     "axt", "axt+", "axt:size2", "waxt", "maf", "maf+", "maf-",
-    "sam", "sam-", "softsam", "softsam-", "hardsam", "hardsam-",
+    "sam", "sam-", "softsam", "softsam-",
     "cigar", "general", "general-", "segments", "mapping",
     "paf", "paf:wfmash", "blastn", "blastn-",
     "text", "ztext", "comp", "identity", "deseed", "none",
@@ -88,7 +88,7 @@ chaining:       --chain  --nochain  --chain=<diag,anti> (G=/R=)
 gapped:         --gapped/--nogapped  --ydrop=<N> (Y=)  --noytrim
                 --gappedthresh=<score> (L=)  --allgappedbounds
                 --anyornone  --queryhsplimit=<N>  --queryhspbest=<N>
-                --querydepth=<N>  --maxpairedbases=<N>
+                --querydepth=<N>  --debug=gapped:pairedbases=<N>
 interpolation:  --inner=<score> (H=)
 scoring:        --scores=<file> (Q=)  --match=<R[,P]>  --gap=<[O,]E>
                 --ambiguous=n|iupac[,P]  --ball=<score|pct%>
@@ -104,7 +104,7 @@ output:         --format=lav|lav+|axt[+]|maf[+|-]|sam|softsam|cigar|
                   gfa|paf|blastn|general[-]:<fields>|text|diffs|
                   rdotplot|comp|identity|istats|deseed|none
                 --output=<file>  --rdotplot=/--axt=/--maf=<file>
-                --markend  --action:markmismatches  --readgroup=<tags>
+                --markend  --readgroup=<tags>
 index/capsule:  --writecapsule=<file>  --targetcapsule=<file>
                 --tableonly[=count|andcount|distribution]  --showtable
 misc:           --include=<file>  --yasra<N>[short]  --progress=<N>
@@ -414,6 +414,33 @@ def parse_options(argv: list[str], cfg: Config | None = None,
         elif arg.startswith("--masking="):
             cfg.dynamic_masking = int(val)
             _fit_census_kind(cfg)
+        elif (arg.startswith("--outputmasking=")
+              or arg.startswith("--outputmasking:dynamic=")):
+            # masked-interval report files (lastz.c:6585-6617)
+            if cfg.masking_filename is not None:
+                raise UsageError(
+                    f'Duplicated or conflicting option "{arg}"')
+            cfg.masking_filename = arg.split("=", 1)[1]
+            cfg.masking_3fields = False
+        elif (arg.startswith("--outputmasking+=")
+              or arg.startswith("--outputmasking+:dynamic=")):
+            if cfg.masking_filename is not None:
+                raise UsageError(
+                    f'Duplicated or conflicting option "{arg}"')
+            cfg.masking_filename = arg.split("=", 1)[1]
+            cfg.masking_3fields = True
+        elif arg.startswith("--outputmasking:soft="):
+            if cfg.soft_masked_filename is not None:
+                raise UsageError(
+                    f'Duplicated or conflicting option "{arg}"')
+            cfg.soft_masked_filename = arg.split("=", 1)[1]
+            cfg.soft_masked_3fields = False
+        elif arg.startswith("--outputmasking+:soft="):
+            if cfg.soft_masked_filename is not None:
+                raise UsageError(
+                    f'Duplicated or conflicting option "{arg}"')
+            cfg.soft_masked_filename = arg.split("=", 1)[1]
+            cfg.soft_masked_3fields = True
         elif arg == "--census" or arg == "--census=on":
             cfg.report_census = True
             if not cfg.census_kind:
@@ -491,6 +518,17 @@ def parse_options(argv: list[str], cfg: Config | None = None,
                     have_max_identity = True
                 elif not have_max_identity:
                     cfg.max_identity = 0.70
+            elif fmt.lower().replace("+eqx", "") in (
+                    "sam", "sam-", "softsam", "softsam-"):
+                # plain --format=sam is HARD-masked; +eqx turns on =/X
+                # cigar runs (lastz.c:7170-7260)
+                base = fmt.lower()
+                if "+eqx" in base:
+                    cfg.sam_mark_mismatches = True
+                    base = base.replace("+eqx", "")
+                if base in ("sam", "sam-"):
+                    base = "hard" + base
+                cfg.output_format = base
             elif fmt in KNOWN_FORMATS:
                 cfg.output_format = fmt
             else:
@@ -505,8 +543,19 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             cfg.output_format = "maf"
         elif arg == "--maf-":
             cfg.output_format = "maf-"
-        elif arg == "--sam":
-            cfg.output_format = "sam"
+        elif (arg.lower().startswith("--sam")
+              or arg.lower().startswith("--softsam")) and arg.lower()[2:] \
+                .replace("+eqx", "") in ("sam", "sam-",
+                                         "softsam", "softsam-"):
+            # bare shorthands --sam[+eqx][-] / --softsam[+eqx][-]
+            # (lastz.c:7168-7250); mixed case is NOT accepted upstream
+            # but all-lower/all-upper are
+            low = arg[2:].lower()
+            if "+eqx" in low:
+                cfg.sam_mark_mismatches = True
+                low = low.replace("+eqx", "")
+            cfg.output_format = ("hard" + low if low in ("sam", "sam-")
+                                 else low)
         elif arg.startswith("--segments="):
             cfg.segments_filename = val
         elif arg.startswith("--anchors="):
@@ -643,8 +692,6 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             if cfg.num_best_hsps != 0:
                 raise UsageError(
                     f"can't use {arg} with --queryhspbest")
-        elif arg == "--markmismatches" or arg == "--action:markmismatches":
-            cfg.sam_mark_mismatches = True
         elif arg.startswith("--readgroup="):
             cfg.read_group = val
         elif arg.startswith("--allocate:traceback=") or arg.startswith("--traceback="):
@@ -731,8 +778,15 @@ def parse_options(argv: list[str], cfg: Config | None = None,
                 else:
                     raise UsageError(f"unknown option {arg}")
             cfg.max_paired_depth = max(0.0, float(v))
-        elif arg.startswith("--maxpairedbases="):
-            cfg.max_paired_bases = _unitized_int(val)
+        elif arg.startswith("--debug=gapped:pairedbases=keep:"):
+            # (lastz.c:8145-8162)
+            cfg.overly_paired_warn = True
+            cfg.overly_paired_keep = True
+            cfg.max_paired_bases = _unitized_int(arg.rsplit(":", 1)[1])
+        elif arg.startswith("--debug=gapped:pairedbases="):
+            cfg.overly_paired_warn = True
+            cfg.overly_paired_keep = False
+            cfg.max_paired_bases = _unitized_int(arg.split("=", 2)[2])
         elif arg.startswith("--seedqueue="):
             cfg.seed_queue_size = int(val)
         elif arg in ("--norecoverseeds", "--norecoverhits"):
@@ -873,6 +927,10 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             cfg.seq2_filename = positional[1]
     if cfg.self_compare and cfg.seq2_filename is None:
         cfg.seq2_filename = cfg.seq1_filename
+
+    if cfg.masking_filename is not None and cfg.dynamic_masking == 0:
+        # lastz.c:8866-8870
+        raise UsageError("--outputmasking requires --masking")
 
     if cfg.chores_filename or (cfg.seq2_filename
                                and "chores=" in cfg.seq2_filename):

@@ -124,6 +124,12 @@ class Config:
     census_kind: str = ""          # '', 'B', 'W', or 'L'
     census_filename: str | None = None
     report_census: bool = False
+    # --outputmasking[+][:dynamic]= / --outputmasking[+]:soft=
+    # (lastz.c:405-406,6585-6617)
+    masking_filename: Optional[str] = None
+    masking_3fields: bool = False
+    soft_masked_filename: Optional[str] = None
+    soft_masked_3fields: bool = False
 
     min_identity: float = 0.0
     max_identity: float = 1.0

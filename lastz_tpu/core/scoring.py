@@ -112,6 +112,11 @@ class ScoreSet:
     # quantum column alphabet: complement map from `A~T`-style score
     # file labels (reference scoreset.qToComplement); None if absent
     q_to_complement: np.ndarray | None = field(default=None, repr=False)
+    # quantum row (target) alphabet: the 4-symbol bottleneck alphabet and
+    # the map from each row char to its closest bottleneck 2-bit code(s)
+    # (reference scoreset.bottleneck/qToBest, dna_utilities.c:1253-1345)
+    bottleneck: bytes | None = field(default=None, repr=False)
+    q_to_best: dict | None = field(default=None, repr=False)
     # derived 4x4 view over upper-case ACGT, used by device kernels
     _dna4: np.ndarray | None = field(default=None, repr=False)
 
@@ -136,6 +141,9 @@ class ScoreSet:
             gap_open_set=self.gap_open_set,
             gap_extend_set=self.gap_extend_set,
             q_to_complement=self.q_to_complement,
+            bottleneck=self.bottleneck,
+            q_to_best=(dict(self.q_to_best)
+                       if self.q_to_best is not None else None),
         )
 
 
@@ -481,8 +489,88 @@ def read_score_file(path: str) -> dict:
         gap_extend_set=extras.get("gap_extend_set", False),
     )
     ss.q_to_complement = q_to_complement
+    _resolve_bottleneck(ss, extras.pop("bottleneck", None), path)
     extras["scoring"] = ss
     return extras
+
+
+def _parse_bottleneck(s: str):
+    """reference parse_bottleneck (dna_utilities.c:1475-1510): four
+    symbols separated by whitespace; adjacent characters are only legal
+    as a two-digit hex code.  Returns the 4 char codes or None."""
+    out = []
+    i = 0
+    for _ in range(4):
+        if i >= len(s):
+            return None
+        cc = s[i]
+        i += 1
+        follower = s[i] if i < len(s) else ""
+        if follower and not follower.isspace():
+            i += 1
+            if cc in "0123456789abcdefABCDEF" \
+                    and follower in "0123456789abcdefABCDEF":
+                code = int(cc + follower, 16)
+            else:
+                return None
+            if code == 0:
+                return None
+            out.append(code)
+        else:
+            out.append(ord(cc))
+        while i < len(s) and s[i].isspace():
+            i += 1
+    if i < len(s):
+        return None
+    return out
+
+
+def _resolve_bottleneck(ss: ScoreSet, bottleneck_str, name):
+    """Validate/default the bottleneck alphabet and derive qToBest
+    (reference read_score_set, dna_utilities.c:1253-1345)."""
+    ss.bottleneck = None
+    ss.q_to_best = None
+    bn = None
+    if bottleneck_str is not None:
+        bn = _parse_bottleneck(bottleneck_str)
+        if bn is None:
+            raise SystemExit(
+                "FAILURE: invalid bottleneck alphabet, bottleneck=%s"
+                % bottleneck_str)
+    if bn is not None and ss.rows_are_dna:
+        raise SystemExit(
+            "FAILURE: invalid bottleneck alphabet (%s in %s), rows are DNA"
+            % (bottleneck_str, name))
+    if bn is not None and ss.cols_are_dna and bytes(bn) != b"ACGT":
+        raise SystemExit(
+            "FAILURE: invalid bottleneck alphabet (%s in %s), columns"
+            " are DNA" % (bottleneck_str, name))
+    if bn is None and not ss.rows_are_dna and ss.cols_are_dna:
+        bn = [ord(c) for c in "ACGT"]
+    if bn is None and not ss.rows_are_dna and not ss.cols_are_dna:
+        raise SystemExit(
+            "FAILURE: missing bottleneck alphabet (in %s)" % name)
+    if bn is None:
+        return
+    for c in bn:
+        if c not in ss.col_chars:
+            raise SystemExit(
+                "FAILURE: invalid bottleneck alphabet (%s in %s), not"
+                " contained in column alphabet" % (bottleneck_str, name))
+    ss.bottleneck = bytes(bn)
+    q_to_best = {}
+    for r in ss.row_chars:
+        best_bits = []
+        best = None
+        for bits in range(4):
+            this = ss.sub[r, bn[bits]]
+            if best is None or this > best:
+                best_bits = [bits]
+                best = this
+            elif this == best:
+                best_bits.append(bits)
+        q_to_best[r] = best_bits
+    ss.q_to_best = q_to_best
 
 
 def ambiguate_n(ss: ScoreSet, n_vs_n: int, n_vs_non_n: int):

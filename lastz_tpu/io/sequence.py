@@ -163,6 +163,7 @@ class Sequence:
     partitions: list = field(default_factory=list)  # list[Partition]
     vq: Optional[np.ndarray] = None  # quality values (fastq)
     chore: Optional["Chore"] = None
+    separator: Optional[str] = None  # [separator=] action (partitioned)
 
     @property
     def length(self) -> int:
@@ -380,8 +381,18 @@ def parse_sequence_spec(name: str) -> SequenceSpec:
             elif low.startswith("chores="):
                 spec.chores_filename = action.split("=", 1)[1]
             elif low.startswith("subsample="):
-                k, n = action.split("=", 1)[1].split("/")
-                spec.subsample_k, spec.subsample_n = int(k), int(n)
+                # k must be >= 1 and n >= k (sequences.c:8309-8333)
+                sval = action.split("=", 1)[1]
+                try:
+                    k_s, n_s = sval.split("/")
+                    k, n = int(k_s), int(n_s)
+                except ValueError:
+                    k, n = 0, -1
+                if k < 1 or n < k:
+                    raise SystemExit(
+                        'FAILURE: (for %s) bad subsample "%s"'
+                        % (spec.filename, sval))
+                spec.subsample_k, spec.subsample_n = k, n
             elif low in ("fasta", "fastq", "nib", "2bit", "hsx", "csfasta", "qdna"):
                 spec.file_type = low
             elif low == "quantum":
@@ -487,6 +498,12 @@ class SequenceFile:
                 "FAILURE: sorry, color space is not fully implemented yet")
         else:
             raise NotImplementedError(f"file type {self.file_type}")
+        if self.spec.subsample_n > 1:
+            # [subsample=k/n] (sequences.c:1075-1081,1884-1918): keep
+            # records k, k+n, k+2n, ... (origin-1), both for sequential
+            # reads and for [multi] partitioned loads
+            k, n = self.spec.subsample_k, self.spec.subsample_n
+            self._records = self._records[k - 1::n]
         if self.spec.contig_of_interest:
             want = self.spec.contig_of_interest
             recs = [r for r in self._records if r[2] == want]
@@ -642,10 +659,14 @@ class SequenceFile:
                     continue
                 data = data[s - 1 : e]
                 start_loc = s
+            # the reference's partition pool stores parsed names, not
+            # the raw '>' header lines (sequences.c separate_sequence)
+            disp_name = (header.lstrip(">").strip()
+                         if self.spec.use_full_names else short)
             parts.append(Partition(
                 sep_before=pos - 1,
                 sep_after=pos + len(data),
-                header=header,
+                header=disp_name,
                 true_len=true_len,
                 start_loc=start_loc,
                 contig=contig,
@@ -663,6 +684,7 @@ class SequenceFile:
             true_len=len(v),
             file_type=self.file_type,
             partitions=parts,
+            separator=self.spec.separator,
         )
         return seq
 

@@ -326,6 +326,15 @@ class OutputDispatcher:
         elif self._fmt == "istats":
             self._infstats.from_match(self.seq1, pos1,
                                       self.seq2, pos2, length)
+        elif self._fmt in ("sam", "softsam", "hardsam",
+                           "sam-", "softsam-", "hardsam-"):
+            from . import sam as sam_mod
+            if not getattr(self, "_sam_sq_printed", True):
+                self.out.write(sam_mod.sam_sq_header(self.seq1))
+                self._sam_sq_printed = True
+            self.out.write(sam_mod.sam_match(
+                self.cfg, self.seq1, pos1, self.seq2, pos2, length,
+                hard="hard" in self._fmt))
         elif self._genpaf_keys is not None:
             from . import genpaf as gp_mod
             self.out.write(gp_mod.genpaf_match(

@@ -40,6 +40,19 @@ def _lower_text(seg):
     return out.tobytes().decode("latin-1")
 
 
+def sam_match(cfg, seq1, pos1, seq2, pos2, length, hard=False) -> str:
+    """One ungapped HSP as a SAM record (reference print_sam_match,
+    sam.c:524-660): identical to the gapped record with a single M run."""
+    from ..align.edit_script import EditScript, Alignment
+
+    script = EditScript()
+    script.add("S", length)
+    a = Alignment(beg1=pos1 + 1, beg2=pos2 + 1,
+                  end1=pos1 + length, end2=pos2 + length,
+                  script=script, score=0)
+    return sam_align(cfg, seq1, seq2, a, hard=hard)
+
+
 def sam_align(cfg, seq1, seq2, a, hard=False) -> str:
     """One SAM record (reference print_sam_align)."""
     beg1, beg2 = a.beg1, a.beg2

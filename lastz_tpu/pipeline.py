@@ -182,6 +182,43 @@ def _fence_interval(v, interval):
     return saved
 
 
+def _lowercase_intervals(v):
+    """reference report_masked_intervals (masking.c:529-566) with
+    maskChar=-1: yield (beg, end) origin-1 inclusive runs of lowercase
+    characters."""
+    low = (v >= ord("a")) & (v <= ord("z"))
+    if not low.any():
+        return
+    edges = np.flatnonzero(np.diff(low.astype(np.int8)))
+    starts = list(edges[~low[edges]] + 1)
+    ends = list(edges[low[edges]] + 1)
+    if low[0]:
+        starts.insert(0, 0)
+    if low[-1]:
+        ends.append(len(v))
+    for s, e in zip(starts, ends):
+        yield (s + 1, e)
+
+
+def _masking_interval_line(target, beg, end, three_fields):
+    """print_masking_interval[_3] (masking.c:570-660): origin-1
+    inclusive interval, optionally prefixed by the sequence name."""
+    if not three_fields:
+        beg += target.start_loc - 1
+        end += target.start_loc - 1
+        return f"{beg} {end}\n"
+    if target.is_partitioned:
+        part = target.lookup_partition(beg - 1)
+        name = part.header
+        offset = part.sep_before + 1
+    else:
+        name = target.name_for_output() or "seq1"
+        offset = 0
+    beg += target.start_loc - offset - 1
+    end += target.start_loc - offset - 1
+    return f"{name} {beg} {end}\n"
+
+
 class Pipeline:
     def __init__(self, cfg: Config, out=None, collector=None):
         self.cfg = cfg
@@ -199,6 +236,7 @@ class Pipeline:
         # (seed_search.c:3797,3801)
         self._search_limit_exceeded = 0
         self._limit_warned_once = False
+        self._paired_warned_once = False
 
     # -- configuration finalization (lastz.c:8900-9400) --------------------
 
@@ -305,6 +343,20 @@ class Pipeline:
             if target is None:
                 raise ValueError(f"no sequence in {cfg.seq1_filename}")
 
+        # multi-sequence targets can't use positional masking reports
+        # (lastz.c:1128-1144)
+        if target.is_partitioned:
+            bad = ("multiple action (forced by separator action)"
+                   if target.separator else "multiple action")
+            if cfg.masking_filename is not None:
+                raise ValueError(
+                    f"{bad} cannot be used with --outputmasking")
+            if (cfg.soft_masked_filename is not None
+                    and not cfg.soft_masked_3fields):
+                raise ValueError(
+                    f"{bad} cannot be used with --outputmasking:soft\n"
+                    "consider using --outputmasking+:soft instead")
+
         # resolve adaptive ('P') thresholds now that target length is known
         self._resolve_score_thresholds(target)
 
@@ -370,6 +422,27 @@ class Pipeline:
         else:
             query_file = SequenceFile(None)  # query from stdin
 
+        # partitioned target/query vs output format (lastz.c:1103-1126):
+        # gfa and lav can't express out-of-order partitioned output
+        q_spec = getattr(query_file, "spec", None)
+        if target.is_partitioned or (q_spec is not None
+                                     and q_spec.do_partition):
+            bad = "multiple action"
+            if target.separator and (q_spec is not None
+                                     and q_spec.separator):
+                bad = "multiple action (forced by separator action)"
+            if cfg.do_seed_search and not cfg.infer_only:
+                fmt = cfg.output_format
+                if fmt in ("gfa", "gfanoscore"):
+                    raise ValueError(f"{bad} cannot be used with --gfa")
+                if fmt in ("lav", "lav+", "lavscore", "lav+text"):
+                    raise ValueError(
+                        f"{bad} cannot be used with --lav\n"
+                        "(lav has requirements on the order of alignments"
+                        " that would require additional\n"
+                        " computation;  use \"--help=formats\" to see other"
+                        " options for output)")
+
         disp.job_header()
 
         hsps_are_adaptive = cfg.hsp_threshold.t != "S"
@@ -406,6 +479,22 @@ class Pipeline:
 
             self._run_query(target, pt, query,
                             collect_from_both, collect_separately)
+
+        # --outputmasking files (lastz.c:1731-1759): written before the
+        # m-stanza; the dynamic file reports census runs over threshold,
+        # the soft file reports lowercase runs in the (possibly
+        # dynamically masked) target
+        if cfg.masking_filename is not None:
+            with open(cfg.masking_filename, "w") as f:
+                if self.targ_census is not None:
+                    for beg, end in self.targ_census.masked_intervals():
+                        f.write(_masking_interval_line(
+                            target, beg, end, cfg.masking_3fields))
+        if cfg.soft_masked_filename is not None:
+            with open(cfg.soft_masked_filename, "w") as f:
+                for beg, end in _lowercase_intervals(target.v):
+                    f.write(_masking_interval_line(
+                        target, beg, end, cfg.soft_masked_3fields))
 
         # end-of-job m-stanza (reference lastz.c:1761 prints it always
         # for lav, with the census intervals when masking was active)
@@ -705,6 +794,30 @@ class Pipeline:
                 self._limit_warned_once = True
         return warn
 
+    def _make_paired_warner(self, query, max_paired):
+        """warn_for_paired_bases_limit (gapped_extend.c:5725-5754)."""
+        def warn():
+            name2 = ("seq2" if query.is_partitioned
+                     else query.name_for_output())
+            strand = "-" if query.rev_comp_flags & 2 else "+"
+            sys.stderr.write(
+                "WARNING. Query %s (%c strand) contains more than %s"
+                " paired bases.\n"
+                % (name2, ord(strand), f"{max_paired:,}"))
+            if not self._paired_warned_once:
+                if self.cfg.overly_paired_keep:
+                    sys.stderr.write(
+                        "Any gapped alignments already found for this"
+                        " query/strand are reported but the\n"
+                        "query/strand is not processed further.\n")
+                else:
+                    sys.stderr.write(
+                        "All gapped alignments for this query/strand are"
+                        " discarded and the query/strand\n"
+                        "is not processed further.\n")
+                self._paired_warned_once = True
+        return warn
+
     def _finish_one_strand(self, target, pt, query):
         cfg = self.cfg
         disp = self.dispatcher
@@ -758,6 +871,13 @@ class Pipeline:
             gapped_threshold = cfg.gapped_threshold
             if gapped_threshold.t != "S" and hsps_are_adaptive:
                 gapped_threshold = ScoreThreshold("S", low_anchor_score)
+            # paired-bases cap: fixed count, or depth x query length
+            # (lastz.c:3413-3417)
+            max_paired = cfg.max_paired_bases
+            if max_paired == 0 and cfg.max_paired_depth > 0.0:
+                import math
+                max_paired = int(
+                    math.ceil(cfg.max_paired_depth * len(query.v)))
             align_list = gapped_extend(
                 target, query, cfg.scoring, anchors,
                 inhibit_trivial=cfg.inhibit_trivial,
@@ -765,6 +885,11 @@ class Pipeline:
                 trim_to_peak=not cfg.y_drop_untrimmed,
                 score_thresh=gapped_threshold,
                 traceback_mem=cfg.traceback_mem,
+                max_paired_bases=max_paired,
+                overly_paired_warn=cfg.overly_paired_warn,
+                overly_paired_keep=cfg.overly_paired_keep,
+                on_overly_paired=self._make_paired_warner(
+                    query, max_paired),
             )
             align_list = self._filter_aligns(target, query, align_list)
             if align_list and cfg.inner_threshold > 0:

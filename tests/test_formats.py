@@ -68,6 +68,7 @@ CASES = [
      ["--format=general:entropy1,entropy2,gaprate,score"]),
     ("entropy_fields_ungapped.txt",
      ["--format=general:entropy1,entropy2,gaprate", "--nogapped"]),
+    ("sam_eqx_ungapped.txt", ["--format=sam+eqx", "--nogapped"]),
 ]
 
 

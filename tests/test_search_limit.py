@@ -56,6 +56,15 @@ def test_queryhsplimit_nowarn_is_silent_but_counts(capsys):
     assert "queries exceeded the HSP limit" in err
 
 
+def test_querydepth_discards_strand(capsys):
+    # paired-bases cap (gapped_extend.c:1444-1459): minus strands of all
+    # three pigs blow the 0.05x depth cap and are discarded with warnings
+    got = run([f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa",
+               "--querydepth=0.05"])
+    assert norm(got) == norm(golden("querydepth005.lav"))
+    assert capsys.readouterr().err == golden("querydepth005.err")
+
+
 def test_queryhsplimit_parsing():
     base = [f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa"]
     cfg = parse_options(base + ["--queryhsplimit=1K"])
