@@ -964,12 +964,61 @@ def parse_options(argv: list[str], cfg: Config | None = None,
                         raise UsageError(
                             f"--format=general:{fname} doesn't support"
                             " quantum DNA")
-        if cfg.target_is_quantum:
-            raise UsageError(
-                "quantum DNA targets are not supported yet"
-                " (quantum queries are)")
+        # (lastz.c:8652-8667)
+        if cfg.infer_scores:
+            raise SystemExit(
+                "FAILURE: scoring inference cannot be performed with"
+                " quantum DNA")
+        if cfg.min_identity > 0 or cfg.max_identity < 1:
+            raise SystemExit(
+                "FAILURE: identity filtering cannot be used with"
+                " quantum DNA")
+        if cfg.min_match_count_ratio != 0 or cfg.min_match_count > 0:
+            raise SystemExit(
+                "FAILURE: match count filtering cannot be used with"
+                " quantum DNA")
+        if cfg.max_mismatch_count > 0:
+            raise SystemExit(
+                "FAILURE: mismatch count filtering cannot be used with"
+                " quantum DNA")
+        if cfg.output_format == "identity":
+            raise SystemExit(
+                "FAILURE: --format=identity cannot be used with"
+                " quantum DNA")
     elif cfg.ball_score >= 0 or cfg.ball_score_factor >= 0:
         raise UsageError("--ball can't be used with DNA target and query")
+
+    # search-limit conflicts (lastz.c:8883-8924)
+    if cfg.hsp_immediate:
+        if cfg.infer_scores:
+            raise UsageError("can't use --anyornone with --infer[only]")
+        if cfg.inner_threshold > 0:
+            raise UsageError("can't use --anyornone with --inner")
+        if cfg.segments_filename is not None:
+            raise UsageError("can't use --anyornone with --segments")
+        if cfg.hsp_threshold.t != "S":
+            raise UsageError(
+                "can't use --anyornone with adaptive hsp score threshold")
+        if cfg.chain:
+            raise UsageError("can't use --anyornone with --chain")
+    if cfg.search_limit > 0:
+        if cfg.infer_scores:
+            raise UsageError(
+                "can't use --anyornone or --queryhsplimit with"
+                " --infer[only]")
+        if cfg.inner_threshold > 0:
+            raise UsageError(
+                "can't use --anyornone or --queryhsplimit with --inner")
+        if cfg.segments_filename is not None:
+            raise UsageError(
+                "can't use --anyornone or --queryhsplimit with --segments")
+        if cfg.hsp_threshold.t != "S":
+            raise UsageError(
+                "can't use --anyornone or --queryhsplimit with adaptive"
+                " hsp score threshold")
+        if cfg.target_is_quantum or cfg.query_is_quantum:
+            raise UsageError(
+                "can't use --anyornone or --queryhsplimit with quantum dna")
 
     # reconstruct the args string as the reference does (all args with
     # trailing spaces, file names removed)
@@ -1031,6 +1080,14 @@ def main(argv=None):
             # user-facing input errors (missing contigs, bad subranges,
             # malformed files) exit like the reference's suicide()
             print(f"FAILURE: {e}", file=sys.stderr)
+            return 1
+        except OSError as e:
+            # reference fopen_or_die (utilities.c)
+            name = getattr(e, "filename", None)
+            if name is None:
+                raise
+            print(f'FAILURE: fopen_or_die failed to open "{name}"'
+                  f' for "rb"', file=sys.stderr)
             return 1
     finally:
         if close:

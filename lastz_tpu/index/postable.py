@@ -171,6 +171,73 @@ def build_seed_position_table(
     )
 
 
+def build_quantum_seed_position_table(
+    seq_v: np.ndarray,
+    start: int,
+    end: int,
+    scoring,
+    seed: Seed,
+    step: int = 1,
+) -> PositionTable:
+    """Position table over a quantum target (reference
+    build_quantum_seed_position_table, pos_table.c:235-283): each quantum
+    character maps to its closest bottleneck 2-bit code via qToBest; ties
+    rotate by absolute position (record_seed_positions_quantum,
+    pos_table.c:93 — index is one past the char, `(s - seq->v)`)."""
+    if step < 1:
+        raise ValueError("step must be >= 1")
+    if end == 0:
+        end = len(seq_v)
+    if end <= start:
+        raise ValueError("interval is void")
+    if seed.type != "S":
+        raise SystemExit(
+            "(internal error in build_quantum_seed_position_table:"
+            " strict seeds only)")
+    q_to_best = scoring.q_to_best or {}
+    adj_start = start - (start % step)
+
+    codes = np.full(end - start, -1, dtype=np.int64)
+    window = seq_v[start:end]
+    for ch, bits in q_to_best.items():
+        if not bits:
+            continue
+        idx = np.flatnonzero(window == ch)
+        if len(bits) == 1:
+            codes[idx] = bits[0]
+        else:
+            # absolute position of the char + 1, modulo the tie count
+            codes[idx] = np.asarray(bits, dtype=np.int64)[
+                (idx + start + 1) % len(bits)]
+
+    L = seed.length
+    words, valid = _window_words(codes, L, 2)
+    end_pos = start + L + np.arange(len(words), dtype=np.int64)
+    on_step = (end_pos % step) == 0
+    sel = valid & on_step
+    words = words[sel]
+    end_pos = end_pos[sel]
+
+    packed = seed.pack(words)
+    stored = ((end_pos - adj_start) // step).astype(np.uint32)
+
+    num_words = 1 << seed.weight
+    order = np.argsort(packed, kind="stable")
+    counts = np.bincount(packed[order], minlength=num_words)
+    csr_start = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+    return PositionTable(
+        seed=seed,
+        step=step,
+        start=start,
+        end=end,
+        adj_start=adj_start,
+        csr_start=csr_start,
+        csr_pos=stored[order],
+        csr_resolve=None,
+    )
+
+
 def limit_position_table(pt: PositionTable, max_count: int, keep_fraction: float = 0.0):
     """Drop words occurring more than max_count times (reference
     limit_position_table / --maxwordcount, pos_table.c:1763-2052).

@@ -466,6 +466,10 @@ def read_inference_control_file(path: str, izcfg: Config, ic: InferControl):
                     th = ScoreThreshold(
                         "S", s=float(val[: -len("*worst_substitution")]))
                     ratio = RATIO_MIN_SUB
+                elif not is_hsp and val == "hsp_threshold":
+                    # gapped_threshold = hsp_threshold (lastz.c:10162);
+                    # NB upstream does NOT copy the is-ratio flag
+                    th = izcfg.hsp_threshold.copy()
                 else:
                     th = ScoreThreshold("S", s=float(val))
                 if is_hsp:

@@ -32,7 +32,8 @@ class OutputDispatcher:
 
         def file_part(name):
             if not name:
-                return name
+                # query read from stdin (reference prints "(stdin)")
+                return "(stdin)"
             try:
                 return parse_sequence_spec(name).filename
             except Exception:

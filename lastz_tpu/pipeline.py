@@ -268,19 +268,32 @@ class Pipeline:
             cfg.twin_min_span = 2 * cfg.seed.length + cfg.twin_min_gap
             cfg.twin_max_span = 2 * cfg.seed.length + cfg.twin_max_gap
 
-        # quantum scoring sanity (lastz.c:9459-9474)
-        if cfg.query_is_quantum and cfg.scoring.cols_are_dna:
-            raise SystemExit(
-                "FAILURE: query is quantum DNA, but column scores are not")
-        if (not cfg.query_is_quantum and not cfg.scoring.cols_are_dna
-                and not cfg.infer_scores):
-            raise SystemExit(
-                "FAILURE: column scores are for quantum DNA,"
-                " but query is not")
+        # quantum scoring sanity (lastz.c:9457-9475); note the column
+        # check only applies when a seed search will actually run
+        if not cfg.infer_scores:
+            if not cfg.target_is_quantum \
+                    and not cfg.masked_scoring.rows_are_dna:
+                raise SystemExit(
+                    "FAILURE: row scores are for quantum DNA,"
+                    " but target is not")
+            if (cfg.do_seed_search and not cfg.query_is_quantum
+                    and not cfg.masked_scoring.cols_are_dna):
+                raise SystemExit(
+                    "FAILURE: column scores are for quantum DNA,"
+                    " but query is not")
+            if cfg.target_is_quantum and cfg.masked_scoring.rows_are_dna:
+                raise SystemExit(
+                    "FAILURE: target is quantum DNA,"
+                    " but row scores are not")
+            if cfg.query_is_quantum and cfg.masked_scoring.cols_are_dna:
+                raise SystemExit(
+                    "FAILURE: query is quantum DNA,"
+                    " but column scores are not")
 
         # quantum seeding threshold default: 75% of the max word score
         # (lastz.c:9476-9493; defaultBallScoreFactor)
-        if cfg.query_is_quantum and cfg.ball_score <= 0:
+        if (cfg.query_is_quantum or cfg.target_is_quantum) \
+                and cfg.ball_score <= 0:
             factor = (cfg.ball_score_factor
                       if cfg.ball_score_factor >= 0 else 0.75)
             max_score = max(
@@ -361,9 +374,20 @@ class Pipeline:
         self._resolve_score_thresholds(target)
 
         if pt is None:
-            pt = build_seed_position_table(
-                target.v, 0, len(target.v), UPPER_NUC_TO_BITS, cfg.seed,
-                cfg.step)
+            if cfg.target_is_quantum:
+                # (lastz.c:812,1225-1229)
+                if target.file_type != "qdna":
+                    raise ValueError(
+                        f"{target.filename} does not contain quantum DNA")
+                from .index.postable import (
+                    build_quantum_seed_position_table)
+                pt = build_quantum_seed_position_table(
+                    target.v, 0, len(target.v), cfg.masked_scoring,
+                    cfg.seed, cfg.step)
+            else:
+                pt = build_seed_position_table(
+                    target.v, 0, len(target.v), UPPER_NUC_TO_BITS,
+                    cfg.seed, cfg.step)
             if cfg.word_count_limit > 0 or cfg.word_count_keep > 0:
                 from .index.postable import limit_position_table
                 limit_position_table(pt, cfg.word_count_limit,

@@ -230,7 +230,15 @@ class SeedSearchEngine:
         level_offsets = [offsets[w - 1 - i] for i in range(w)]
 
         sub = self._sub
-        sym_codes = np.frombuffer(b"ACGT", dtype=np.uint8).astype(np.int64)
+        # ball citizens are DNA for DNA rows, else bottleneck symbols
+        # (quantum.c:184-185)
+        ss = self.hp.scoring
+        if ss is not None and not ss.rows_are_dna and ss.bottleneck:
+            sym_codes = np.frombuffer(
+                ss.bottleneck, dtype=np.uint8).astype(np.int64)
+        else:
+            sym_codes = np.frombuffer(
+                b"ACGT", dtype=np.uint8).astype(np.int64)
         four = np.arange(4, dtype=np.int64)
         v2 = self.seq2
         bases_hit = 0

@@ -55,6 +55,47 @@ def test_quantum_golden(golden, qdna, scores, extra):
     assert normalize(got) == normalize(want)
 
 
+def test_quantum_target_general():
+    # quantum TARGET (rows quantum, cols DNA): position table built via
+    # bottleneck/qToBest (pos_table.c:235)
+    got = run([f"{Q}/q1.qdna", f"{TD}/pseudocat.fa",
+               f"--scores={Q}/qtscores.txt", "--seed=match8",
+               "--format=general:name1,name2,zstart1,end1,zstart2,end2,"
+               "score,strand2"])
+    with open(os.path.join(Q, "qtarget.general")) as f:
+        want = f.read()
+    assert normalize(got) == normalize(want)
+
+
+def test_quantum_target_and_query():
+    # both quantum: explicit bottleneck= line, quantum ball seeding
+    got = run([f"{Q}/q1.qdna", f"{Q}/q2.qdna",
+               f"--scores={Q}/qqscores.txt", "--seed=match8",
+               "--ball=600", "--nogapped",
+               "--format=general:zstart1,end1,zstart2,end2,score,strand2"])
+    with open(os.path.join(Q, "qq.general")) as f:
+        want = f.read()
+    assert normalize(got) == normalize(want)
+
+
+def test_quantum_target_tableonly():
+    got = run([f"{Q}/q1.qdna", f"--scores={Q}/qtscores.txt",
+               "--seed=match8", "--tableonly=count"])
+    with open(os.path.join(Q, "qtarget_table.txt")) as f:
+        want = f.read()
+    got40 = "\n".join(normalize(got).split("\n")[:40])
+    assert got40 == normalize(want).rstrip("\n")
+
+
+def test_quantum_score_orientation_errors():
+    with pytest.raises(SystemExit, match="row scores are for quantum"):
+        run([f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa",
+             f"--scores={Q}/qtscores.txt"])
+    with pytest.raises(SystemExit, match="column scores are for quantum"):
+        run([f"{Q}/q1.qdna", f"{TD}/pseudopig.fa",
+             f"--scores={Q}/qscores.txt", "--seed=match8"])
+
+
 def test_ball_requires_quantum():
     with pytest.raises(Exception):
         parse_options([f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa",
