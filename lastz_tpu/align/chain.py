@@ -6,10 +6,12 @@ diagDiff * diagPen + numSubs * antiPen, where overlap (negative
 numSubs) is instead credited at scale * sub[A][A] per base
 (reference chain_connect_penalty, lastz.c:3687).
 
-The reference accelerates best-predecessor queries with a k-d tree;
-the result is the maximum over all strictly-preceding segments, which
-is what we compute here with a vectorized DP (O(n^2) worst case but
-numpy-fast for realistic HSP counts).
+The reference accelerates best-predecessor queries with a k-d tree
+(chain.c:647,920); the same structure is implemented in
+native/chain_kd.cpp and used whenever the native library is available,
+with a vectorized numpy DP (O(n^2)) as the no-compiler fallback.  Both
+paths produce identical results, including tie-breaking (equal-scoring
+predecessors resolve to the smallest index in pos1-sorted order).
 """
 
 from __future__ import annotations
@@ -43,6 +45,21 @@ def reduce_to_chain(anchors, diag_pen: int, anti_pen: int, scoring) -> int:
     chain_score = np.zeros(n, dtype=np.float64)
     back = np.full(n, -1, dtype=np.int64)
 
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+        p_i64 = ctypes.POINTER(ctypes.c_int64)
+        p_f64 = ctypes.POINTER(ctypes.c_double)
+        lib.chain_reduce(
+            n,
+            pos1.ctypes.data_as(p_i64), pos2.ctypes.data_as(p_i64),
+            length.ctypes.data_as(p_i64), score.ctypes.data_as(p_f64),
+            float(CHAIN_SCALE), float(diag_pen), float(anti_pen),
+            float(CHAIN_SCALE * sub_aa), float(BEST_POSSIBLE),
+            chain_score.ctypes.data_as(p_f64), back.ctypes.data_as(p_i64))
+        return _finish_chain(anchors, segs, chain_score, back)
+
     for i in range(n):
         pred = (pos1 < pos1[i]) & (pos2 < pos2[i])
         pred[i:] = False
@@ -70,6 +87,11 @@ def reduce_to_chain(anchors, diag_pen: int, anti_pen: int, scoring) -> int:
         chain_score[i] = score[i] * CHAIN_SCALE + contrib
         back[i] = best_j
 
+    return _finish_chain(anchors, segs, chain_score, back)
+
+
+def _finish_chain(anchors, segs, chain_score, back):
+    n = len(segs)
     best = 0.0
     best_end = -1
     for i in range(n):

@@ -334,6 +334,16 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             cfg.self_compare = True
             cfg.cloned_query = True
             cfg.inhibit_trivial = True
+        elif arg.startswith("--band=") or arg.startswith("--bandwidth="):
+            # lastz.c:7818-7827
+            band = _unitized_int(val)
+            if band <= 0:
+                raise SystemExit("FAILURE: --band width must be positive")
+            if band > 100 * 1000:  # maxBandWidth, lastz.h:40
+                raise SystemExit(
+                    "FAILURE: --band width (%s) cannot be more than %s"
+                    % (f"{band:,}", f"{100 * 1000:,}"))
+            cfg.band_width = band
         elif arg == "--mirror":
             cfg.mirror_hsp = True
         elif arg == "--nomirror":
@@ -942,6 +952,22 @@ def parse_options(argv: list[str], cfg: Config | None = None,
     # quantum DNA detection (reference name_spec_is_quantum, lastz.c)
     cfg.target_is_quantum = _name_spec_is_quantum(cfg.seq1_filename)
     cfg.query_is_quantum = _name_spec_is_quantum(cfg.seq2_filename)
+
+    # --band= sanity checks (lastz.c:8757-8777)
+    if cfg.band_width != 0:
+        if not cfg.self_compare:
+            raise UsageError("--band=<width> requires --self")
+        if cfg.which_strand != 0:
+            raise UsageError("--band=<width> requires --strand=plus")
+        if cfg.target_is_quantum or cfg.query_is_quantum:
+            raise UsageError("--band=<width> cannot be used with quantum DNA")
+        if cfg.infer_scores:
+            raise UsageError(
+                "--band=<width> cannot be used with scoring inference")
+        if cfg.segments_filename is not None:
+            sys.stderr.write(
+                "WARNING. --band=<width> is ignored when --segments is"
+                " specified\n")
     if cfg.target_is_quantum or cfg.query_is_quantum:
         if have_with_trans and cfg.with_trans != 0:
             raise UsageError("can't use --transitions with quantum DNA")

@@ -174,6 +174,7 @@ class Config:
     show_pos_table: str = ""
     do_seed_search: bool = True
     seed_queue_size: int = 256 * 1024  # --seedqueue (twin-hit queue)
+    band_width: int = 0  # --band= (0 => no band restriction, lastz.c:420)
 
     # quantum DNA (reference quantum.c): --ball seeding threshold
     query_is_quantum: bool = False

@@ -16,7 +16,10 @@ import tempfile
 _LIB = None
 _TRIED = False
 
-_SRC = os.path.join(os.path.dirname(__file__), "ydrop_row.cpp")
+_SRCS = [
+    os.path.join(os.path.dirname(__file__), "ydrop_row.cpp"),
+    os.path.join(os.path.dirname(__file__), "chain_kd.cpp"),
+]
 
 
 class RowResult(ctypes.Structure):
@@ -35,9 +38,11 @@ class RowResult(ctypes.Structure):
 
 
 def _build_lib() -> str | None:
-    with open(_SRC, "rb") as f:
-        src = f.read()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    h = hashlib.sha256()
+    for src_path in _SRCS:
+        with open(src_path, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:16]
     cache_dir = os.environ.get(
         "LASTZ_TPU_CACHE",
         os.path.join(tempfile.gettempdir(), "lastz_tpu_native"))
@@ -46,7 +51,7 @@ def _build_lib() -> str | None:
     if os.path.exists(lib_path):
         return lib_path
     tmp = lib_path + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", *_SRCS, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except Exception:
@@ -96,6 +101,16 @@ def get_lib():
         p_u8, p_u8, p_i64,
         i64, i64, i64, i64, i64,
         p_i64, p_i64, p_i64, p_i64, p_i64,
+    ]
+    f64 = ctypes.c_double
+    p_f64 = ctypes.POINTER(ctypes.c_double)
+    lib.chain_reduce.restype = None
+    lib.chain_reduce.argtypes = [
+        i64,                       # n
+        p_i64, p_i64, p_i64,       # pos1, pos2, length
+        p_f64,                     # score
+        f64, f64, f64, f64, f64,   # scale, diagPen, antiPen, subPen, clip
+        p_f64, p_i64,              # chain_score_out, back_out
     ]
     _LIB = lib
     return _LIB

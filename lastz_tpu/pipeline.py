@@ -771,6 +771,7 @@ class Pipeline:
             twin_max_span=cfg.twin_max_span,
             anchors=self.anchors,
             seed_queue_size=cfg.seed_queue_size,
+            band_width=cfg.band_width,
         )
         engine.on_limit_exceeded = self._make_limit_warner(query)
         chore = getattr(self, "_chore", None)
@@ -998,7 +999,10 @@ class Pipeline:
         disp = self.dispatcher
         aligner = YDropAligner(target.v, query.v, cfg.scoring, cfg.y_drop,
                                not cfg.y_drop_untrimmed, cfg.traceback_mem)
-        seen_hashes: list = []
+        # alignment-hash dedup under search limits; a set, like the
+        # reference's alignment_hash table (edit_script.c), so the
+        # membership test is O(1) rather than a list scan
+        seen_hashes: set = set()
 
         def reporter(pos1, pos2, length, s):
             p1 = pos1 - length
@@ -1037,9 +1041,9 @@ class Pipeline:
                 if h in seen_hashes:
                     return 0
                 if len(seen_hashes) >= cfg.search_limit:
-                    seen_hashes.append(h)
+                    seen_hashes.add(h)
                     return 1
-                seen_hashes.append(h)
+                seen_hashes.add(h)
             disp.print_align_list(alist)
             return 1
 

@@ -98,6 +98,7 @@ class SeedSearchEngine:
         anchors=None,  # segment table, for adaptive-threshold entropy rule
         seed_queue_size: int = 256 * 1024,  # --seedqueue (diag_hash.h:106)
         on_limit_exceeded: Optional[Callable[[], None]] = None,
+        band_width: int = 0,  # --band= (seed_search.c:845,907)
     ):
         self.seq1 = seq1_v
         self.pt = pt
@@ -111,6 +112,7 @@ class SeedSearchEngine:
         self.search_limit = search_limit
         self.search_to_go = search_limit
         self.hit_mode = hit_mode
+        self.band_width = band_width
         self.twin_min_span = twin_min_span
         self.twin_max_span = twin_max_span
         self.anchors = anchors
@@ -283,12 +285,15 @@ class SeedSearchEngine:
         step = pt.step
         csr = pt.csr_pos
         alive = pt.alive
+        band = self.band_width
         for i in range(hi - 1, lo - 1, -1):
             if alive is not None and not alive[i]:
                 continue
             pos1 = adj + step * int(csr[i])
             if self.self_compare and self._below_diagonal(pos1, pos2):
                 continue
+            if (self.same_strand and band > 0 and pos2 - pos1 > band):
+                continue  # seed hit too far from main diagonal
             bases_hit += self._process(pos1, pos2, self.seed.length)
         return bases_hit
 
@@ -311,12 +316,15 @@ class SeedSearchEngine:
         ok = mism <= trans_allowed
         if pt.alive is not None:
             ok = ok & pt.alive[lo:hi]
+        band = self.band_width
         for k in range(hi - 1 - lo, -1, -1):
             if not ok[k]:
                 continue
             pos1 = adj + step * int(csr[lo + k])
             if self.self_compare and self._below_diagonal(pos1, pos2):
                 continue
+            if (self.same_strand and band > 0 and pos2 - pos1 > band):
+                continue  # seed hit too far from main diagonal
             bases_hit += self._process(pos1, pos2, L)
         return bases_hit
 

@@ -146,3 +146,50 @@ def test_chores_bad_target_name():
                  f"{TD}/pseudopig.2bit[chores={path}]"])
     finally:
         os.unlink(path)
+
+
+# -- --band= (lastz.c:7818-7827, 8757-8777; seed_search.c:845) ---------------
+
+
+def test_band_requires_self_and_plus():
+    with pytest.raises(UsageError, match=r"--band=<width> requires --self"):
+        parse_options([f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa",
+                       "--band=100"])
+    with pytest.raises(UsageError,
+                       match=r"--band=<width> requires --strand=plus"):
+        parse_options([f"{TD}/pseudocat.fa", "--self", "--band=100"])
+    with pytest.raises(SystemExit, match="must be positive"):
+        parse_options([f"{TD}/pseudocat.fa", "--self", "--band=0"])
+    with pytest.raises(SystemExit, match="cannot be more than"):
+        parse_options([f"{TD}/pseudocat.fa", "--self", "--band=101k"])
+
+
+def test_band_restricts_hits(tmp_path):
+    """All HSPs from a banded self-alignment stay within the band;
+    an unbanded run of the same input reaches farther."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    far = "".join("ACGT"[i] for i in rng.integers(0, 4, 3000))
+    near = "".join("ACGT"[i] for i in rng.integers(0, 4, 1500))
+    mid = "".join("ACGT"[i] for i in rng.integers(0, 4, 300))
+    seq = far + near + mid + near + "".join(
+        "ACGT"[i] for i in rng.integers(0, 4, 2000)) + far
+    fa = tmp_path / "selfrep.fa"
+    fa.write_text(">rep\n" + seq + "\n")
+    base = [str(fa), "--self", "--strand=plus", "--nogapped",
+            "--format=general:start1,start2,end1,end2"]
+    wide = run(base)
+    narrow = run(base + ["--band=2000"])
+
+    def offsets(text):
+        out = []
+        for line in text.splitlines():
+            if line.startswith("#") or not line.strip():
+                continue
+            s1, s2, e1, e2 = map(int, line.split()[:4])
+            out.append(s2 - s1)
+        return out
+
+    assert any(abs(d) > 2000 for d in offsets(wide))
+    assert offsets(narrow)
+    assert all(abs(d) <= 2000 + 64 for d in offsets(narrow))
