@@ -1,0 +1,418 @@
+"""Exact batched one-sided y-drop DP with traceback (device path).
+
+This is the production gapped-extension kernel: a bit-exact
+re-expression of the reference's ydrop_one_sided_align row sweep
+(gapped_extend.c:3388-3860) as a fixed-width JAX program that runs
+batched on TPU (and on CPU for tests).  For every anchor it reproduces
+the host engine's (align/ydrop.py one_sided) results EXACTLY for the
+unconstrained case (no L/R bounding segments, no active-segment
+masking): same scores, same end cells, same per-cell traceback link
+bytes, same y-drop band walk (LY/RY), same truncation semantics.
+
+The reference's inner loop is sequential within a row: the insertion
+state I is a left-to-right chain, and the y-drop prune threshold
+(best_score) can rise mid-row.  Both are recovered with fixed-shape
+parallel ops:
+
+  * the I chain is a "decayed prefix max with resets": each unpruned
+    substitution cell seeds C-gapOpen, gap cells decay by gapExtend,
+    pruned cells reset to -inf.  In a decay-compensated domain this is
+    an associative scan with operator
+        (s1,r1) x (s2,r2) = (s2 if r2 else max(s1,s2), r1|r2).
+  * prune decisions and branch classification (can/cannot improve C)
+    form an acyclic left-to-right dependency; Jacobi iteration over
+    the (pruned, gap_branch) masks converges to the sequential
+    fixpoint (cells of dependency depth d are final after d rounds;
+    typical rows converge in 2-3 rounds).  Unconverged rows (cap hit)
+    are flagged and the anchor falls back to the host engine.
+
+Per-anchor outputs: best score + end cell (+ boundary variant for
+--noytrim), rows used, band extent, status flags, per-row window
+starts (LY) and the (rows x width) traceback link-byte matrix, from
+which the host recovers the edit script with the reference's gap-
+extension-preferring walk (gapped_extend.c:3845-3860).
+
+Width/rows are static per call; anchors whose band walks off the
+static window report OVERFLOW and are re-extended by the host engine
+(exactness is never sacrificed).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.scoring import NEG_INFINITY_SCORE
+
+C_FROM_C = 0
+C_FROM_I = 1
+C_FROM_D = 2
+I_EXTEND = 4
+D_EXTEND = 8
+CID_BITS = 3
+
+NEG = np.int32(NEG_INFINITY_SCORE)  # -1932735283, reference negInfinity
+SENT32 = np.int32(-(1 << 30))       # "no candidate" sentinel (row maxima)
+# i-chain identity: below every reachable value (min real value is
+# negInfinity + veryBadScore - gapOE ~ -2.0401e9) yet far enough from
+# INT32_MIN that the decay compensation (<= (W+1)*gapE, the glue caps
+# gapE) never wraps; the reference itself computes in 32-bit scores
+ISENT = np.int32(-2_080_000_000)
+MAX_COMP_GAP_E = 60_000             # glue-enforced cap on gapExtend
+
+# status flags
+ST_OK = 0
+ST_WIDTH_OVERFLOW = 1   # band wider than the static window
+ST_ROW_OVERFLOW = 2     # more rows than the static row budget
+ST_UNCONVERGED = 4      # prune fixpoint cap hit (pathological row)
+ST_TRUNCATED = 8        # traceback arena exhausted (reference semantic)
+
+_FIXPOINT_CAP = 64
+
+
+def _scan_combine(a, b):
+    s1, r1 = a
+    s2, r2 = b
+    return jnp.where(r2, s2, jnp.maximum(s1, s2)), r1 | r2
+
+
+def _i_chain(c_sub, pruned, gap, active, k_iota, gap_e, gap_oe):
+    """Insertion-state chain values entering each lane, plus the
+    inclusive scan for the exit value.  Seeds are unpruned
+    substitution cells (C-gapOE); gap-branch cells decay the chain by
+    gapE without reseeding (no back-to-back gaps); pruned cells reset
+    the chain to negInfinity exactly (host ydrop.py:443,469,516-520).
+    Computed in a decay-compensated int32 domain (value + (k+1)*gapE);
+    see the ISENT note above for why this cannot wrap.
+    """
+    is_seed = active & ~pruned & ~gap
+    reset = pruned & active
+    comp = (k_iota + 1) * gap_e
+    elem_s = jnp.where(
+        reset, NEG + comp,
+        jnp.where(is_seed, c_sub - gap_oe + comp, ISENT))
+    s_scan, _ = jax.lax.associative_scan(_scan_combine, (elem_s, reset))
+    s_excl = jnp.concatenate(
+        [jnp.full((1,), NEG, jnp.int32), s_scan[:-1]])
+    i_vec = s_excl - k_iota * gap_e
+    return i_vec, s_scan
+
+
+def _one_sided(a_win, b_win, M, N, sub, gap_e, gap_oe, y_drop,
+               *, width: int, rows: int, trim_to_peak: bool,
+               tb_cap: int):
+    """Single-anchor one-sided extension; vmapped by the caller.
+
+    a_win: (rows,) int32 char codes for DP rows 1..rows (A[row] in the
+           reference's coordinates; pre-reversed for the left pass)
+    b_win: (b_cap,) int32 char codes for DP cols 1..b_cap
+    M, N:  int32 true extension limits (may exceed the windows)
+    sub:   (256, 256) int32 substitution table
+    """
+    W = width
+    b_cap = b_win.shape[0]
+    k_iota = jax.lax.iota(jnp.int32, W)
+
+    if gap_e != 0:
+        y_drop_tail = int(y_drop) // int(gap_e) + 6
+    else:
+        y_drop_tail = 500 * 1000
+
+    b_pad = jnp.concatenate([b_win, jnp.zeros((W + 2,), jnp.int32)])
+
+    # ---- first row (gapped_extend.c:3550-3582) ----
+    # C(0,0)=0; C(0,j) = -gapOE-(j-1)*gapE while C(0,j-1) >= -yDrop
+    c0 = jnp.where(k_iota == 0, 0,
+                   -gap_oe - (k_iota - 1) * gap_e).astype(jnp.int32)
+    c0_prev = jnp.where(k_iota <= 1, 0,
+                        -gap_oe - (k_iota - 2) * gap_e).astype(jnp.int32)
+    writable = (k_iota >= 1) & (k_iota <= N) & (c0_prev >= -y_drop)
+    RY0 = 1 + jnp.sum(writable.astype(jnp.int32))
+    in0 = k_iota < RY0
+    CC = jnp.where(in0, c0, NEG)
+    DD = jnp.where(in0, c0 - gap_oe, NEG)
+
+    tb_buf = jnp.zeros((rows + 1, W), jnp.uint8)
+    row0 = jnp.where(in0 & (k_iota >= 1), np.uint8(C_FROM_I),
+                     np.uint8(0)).astype(jnp.uint8)
+    tb_buf = tb_buf.at[0].set(row0)
+    ly_buf = jnp.zeros((rows + 1,), jnp.int32)
+
+    init_over = RY0 > W  # yDropTail wider than the static window
+
+    def cond(st):
+        return ~st["done"]
+
+    def body(st):
+        CC, DD = st["CC"], st["DD"]
+        LY, RY, row = st["LY"], st["RY"], st["row"]
+        best = st["best"]
+
+        # truncation check (gapped_extend.c:3621-3660): break BEFORE
+        # the row when the traceback arena would overflow
+        tb_needed = jnp.maximum(RY - LY, 0) + y_drop_tail
+        trunc = st["tbp"] + tb_needed >= tb_cap
+
+        ly_buf = st["ly_buf"].at[row].set(LY)
+
+        a_char = a_win[jnp.minimum(row - 1, rows - 1)]
+        sub_row = sub[a_char]
+        # b chars for cols LY+1 .. LY+W (c_sub inputs for lanes 1..W)
+        bs = jax.lax.dynamic_slice(b_pad, (LY,), (W,))
+        s_vals = sub_row[bs]
+
+        K = RY - LY
+        active = k_iota < K
+        d = jnp.where(active, DD, NEG)
+        c_sub = jnp.concatenate(
+            [jnp.full((1,), NEG, jnp.int32), CC[:-1] + s_vals[:-1]])
+        c_sub = jnp.where(active & (k_iota >= 1), c_sub, NEG)
+
+        def fix_cond(fs):
+            return fs[2] & (fs[3] < _FIXPOINT_CAP)
+
+        def fix_body(fs):
+            pruned, gap, _, it = fs
+            i_vec, _ = _i_chain(c_sub, pruned, gap, active, k_iota,
+                                gap_e, gap_oe)
+            gap_new = active & ((d > c_sub) | (i_vec > c_sub))
+            cand = jnp.maximum(jnp.maximum(c_sub, d), i_vec)
+            # running best within the row (exclusive prefix max over
+            # unpruned substitution cells; best only updates there)
+            c_best = jnp.where(active & ~pruned & ~gap, c_sub, SENT32)
+            pmax = jax.lax.associative_scan(jnp.maximum, c_best)
+            pmax_excl = jnp.concatenate(
+                [jnp.full((1,), SENT32, jnp.int32), pmax[:-1]])
+            best_before = jnp.maximum(best, pmax_excl)
+            pruned_new = active & (cand < best_before - y_drop)
+            changed = jnp.any((pruned_new != pruned) | (gap_new != gap))
+            return pruned_new, gap_new, changed, it + 1
+
+        pruned0 = jnp.zeros((W,), bool)
+        pruned, gap, _, iters = jax.lax.while_loop(
+            fix_cond, fix_body,
+            (pruned0, pruned0, jnp.bool_(True), jnp.int32(0)))
+        unconverged = iters >= _FIXPOINT_CAP
+
+        # final values from the converged masks
+        i_vec, s_incl = _i_chain(c_sub, pruned, gap, active, k_iota,
+                                 gap_e, gap_oe)
+        c_val = jnp.where(gap, jnp.maximum(d, i_vec), c_sub)
+
+        # links (gapped_extend.c notes 5-9; host ydrop.py:453-533)
+        c_open = c_sub - gap_oe
+        d_dec = d - gap_e
+        i_dec = i_vec - gap_e
+        link_gap = jnp.where(
+            d >= i_vec, np.int32(C_FROM_D | I_EXTEND | D_EXTEND),
+            np.int32(C_FROM_I | I_EXTEND | D_EXTEND))
+        link_sub = (np.int32(C_FROM_C)
+                    | jnp.where(c_open > d_dec, 0,
+                                np.int32(D_EXTEND))
+                    | jnp.where(c_open > i_dec, 0,
+                                np.int32(I_EXTEND)))
+        link = jnp.where(pruned | ~active, 0,
+                         jnp.where(gap, link_gap, link_sub))
+
+        CC_cur = jnp.where(pruned | ~active, NEG, c_val)
+        DD_next = jnp.where(
+            pruned | ~active, NEG,
+            jnp.where(gap, d_dec, jnp.maximum(c_open, d_dec)))
+
+        # best / end / boundary updates: left-to-right replay via
+        # last-attaining-cell selection (host ydrop.py:499-507)
+        elig = active & ~pruned & ~gap
+        c_e = jnp.where(elig, c_sub, SENT32)
+        row_max = jnp.max(c_e)
+        fires_best = jnp.any(elig) & (row_max >= best)
+        k_best = jnp.max(jnp.where(elig & (c_e == row_max), k_iota, -1))
+
+        if not trim_to_peak:
+            col_abs = LY + k_iota
+            at_b = elig & ((row == M) | (col_abs == N))
+            c_b = jnp.where(at_b, c_sub, SENT32)
+            b_max = jnp.max(c_b)
+            fires_b = jnp.any(at_b) & (b_max >= st["bscore"])
+            k_b = jnp.max(jnp.where(at_b & (c_b == b_max), k_iota, -1))
+        else:
+            fires_b = jnp.bool_(False)
+            b_max = SENT32 * jnp.int32(1)
+            k_b = jnp.int32(-1)
+
+        # the later-executed update wins (boundary runs after best
+        # within a cell, so >= on the lane index)
+        use_b = fires_b & (~fires_best | (k_b >= k_best))
+        use_best = fires_best & ~use_b
+        end1 = jnp.where(use_b | use_best, row, st["end1"])
+        end2 = jnp.where(use_b, LY + k_b,
+                         jnp.where(use_best, LY + k_best, st["end2"]))
+        bflag = jnp.where(use_b, True,
+                          jnp.where(use_best, False, st["bflag"]))
+        best = jnp.where(fires_best, row_max, best)
+        bscore = jnp.where(fires_b, b_max, st["bscore"])
+
+        # LY advance over the leading pruned run; np_col
+        notpr = active & ~pruned
+        any_live = jnp.any(notpr)
+        n_lead = jnp.where(any_live,
+                           jnp.argmax(notpr).astype(jnp.int32), K)
+        LY_new = LY + n_lead
+        np_k = jnp.max(jnp.where(notpr, k_iota, -1))
+        np_col = LY + np_k
+
+        dead = LY_new >= RY  # host: if LY >= RY: break
+
+        # RY update: shrink to np_col+1, or prolong with insertions
+        # (host ydrop.py:538-559)
+        i_exit = s_incl[jnp.clip(K - 1, 0, W - 1)] - K * gap_e
+        shrink = RY > np_col + 1
+        thresh = best - y_drop
+        if gap_e != 0:
+            p_raw = (i_exit - thresh) // gap_e + 1
+        else:
+            p_raw = jnp.int32(1 << 30)
+        p = jnp.where(shrink | (i_exit < thresh), 0,
+                      jnp.clip(p_raw, 0, jnp.maximum(N + 1 - RY, 0)))
+        RY_shrunk = jnp.where(shrink, np_col + 1, RY + p)
+        has_sent = RY_shrunk <= N
+        RY_final = RY_shrunk + has_sent.astype(jnp.int32)
+
+        # roll to the new window origin, then write prolongation cells
+        # and the NEG sentinel in rolled coordinates
+        shift = LY_new - LY
+        padW = jnp.full((W,), NEG, jnp.int32)
+        CC_roll = jax.lax.dynamic_slice(
+            jnp.concatenate([CC_cur, padW]), (shift,), (W,))
+        DD_roll = jax.lax.dynamic_slice(
+            jnp.concatenate([DD_next, padW]), (shift,), (W,))
+        pj = k_iota - (RY - LY_new)  # prolong index j at rolled lane k
+        is_prolong = (pj >= 0) & (pj < p)
+        pro_val = i_exit - pj * gap_e
+        CC_roll = jnp.where(is_prolong, pro_val, CC_roll)
+        DD_roll = jnp.where(is_prolong, pro_val - gap_oe, DD_roll)
+        sent_k = RY_shrunk - LY_new
+        is_sent = has_sent & (k_iota == sent_k)
+        CC_roll = jnp.where(is_sent, NEG, CC_roll)
+        DD_roll = jnp.where(is_sent, NEG, DD_roll)
+
+        # tb bytes: scanned cells at lanes [0, K) in row-start coords,
+        # plus prolongation C_FROM_I bytes at lanes [K, K+p)
+        pro_tb = (k_iota >= K) & (k_iota < K + p)
+        tb_row_vec = jnp.where(pro_tb, np.int32(C_FROM_I),
+                               link).astype(jnp.uint8)
+        tb_buf = st["tb_buf"].at[row].set(
+            jnp.where(trunc, st["tb_buf"][row], tb_row_vec))
+        ly_buf = jnp.where(trunc, st["ly_buf"], ly_buf)
+
+        tbp = st["tbp"] + K + p
+
+        # overflow checks against the static window
+        width_over = (RY_final - LY_new > W) | (K + p > W)
+        b_over = (RY_final > b_cap) & (N + 1 > b_cap)
+        row_over = (row + 1 <= M) & (row + 1 > rows)
+
+        status = st["status"]
+        status = status | jnp.where(unconverged, ST_UNCONVERGED, 0)
+        status = status | jnp.where(trunc, ST_TRUNCATED, 0)
+        status = status | jnp.where(
+            (width_over | b_over) & ~dead & ~trunc, ST_WIDTH_OVERFLOW, 0)
+        status = status | jnp.where(
+            row_over & ~dead & ~trunc & ~(width_over | b_over),
+            ST_ROW_OVERFLOW, 0)
+
+        done = (trunc | dead | (row >= M) | width_over | b_over
+                | row_over | unconverged)
+
+        keep = ~trunc  # on truncation the row never happened
+        return dict(
+            CC=jnp.where(keep, CC_roll, CC),
+            DD=jnp.where(keep, DD_roll, DD),
+            LY=jnp.where(keep, LY_new, LY),
+            RY=jnp.where(keep, RY_final, RY),
+            row=row + keep.astype(jnp.int32),
+            best=jnp.where(keep, best, st["best"]),
+            end1=jnp.where(keep, end1, st["end1"]),
+            end2=jnp.where(keep, end2, st["end2"]),
+            bscore=jnp.where(keep, bscore, st["bscore"]),
+            bflag=jnp.where(keep, bflag, st["bflag"]),
+            tbp=jnp.where(keep, tbp, st["tbp"]),
+            rows_used=jnp.where(keep, row, st["rows_used"]),
+            maxRY=jnp.maximum(st["maxRY"],
+                              jnp.where(keep, RY_final, 0)),
+            tb_buf=tb_buf,
+            ly_buf=ly_buf,
+            status=status,
+            done=done,
+        )
+
+    st = dict(
+        CC=CC, DD=DD, LY=jnp.int32(0), RY=RY0, row=jnp.int32(1),
+        best=jnp.int32(0), end1=jnp.int32(0), end2=jnp.int32(0),
+        bscore=jnp.int32(NEG), bflag=jnp.bool_(False),
+        tbp=RY0, rows_used=jnp.int32(0), maxRY=RY0,
+        tb_buf=tb_buf, ly_buf=ly_buf,
+        status=jnp.where(init_over, ST_WIDTH_OVERFLOW, 0).astype(jnp.int32),
+        done=(M < 1) | (N < 1) | init_over,
+    )
+    st = jax.lax.while_loop(cond, body, st)
+
+    score = jnp.where(st["bflag"], st["bscore"], st["best"])
+    return dict(
+        score=score, end1=st["end1"], end2=st["end2"],
+        best=st["best"], bscore=st["bscore"], bflag=st["bflag"],
+        rows_used=st["rows_used"], maxRY=st["maxRY"],
+        status=st["status"], tb=st["tb_buf"], ly=st["ly_buf"],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gap_e", "gap_oe", "y_drop", "width", "rows",
+                     "trim_to_peak", "tb_cap"))
+def ydrop_exact_batch(a_win, b_win, M, N, sub,
+                      gap_e: int, gap_oe: int, y_drop: int,
+                      width: int = 768, rows: int = 1536,
+                      trim_to_peak: bool = True,
+                      tb_cap: int = 80 * 1024 * 1024):
+    """Batched exact one-sided y-drop extension.
+
+    a_win: (B, rows) int32; b_win: (B, b_cap) int32; M/N: (B,) int32
+    Returns dict of per-anchor arrays (see _one_sided).
+    """
+    fn = functools.partial(
+        _one_sided, sub=sub, gap_e=int(gap_e), gap_oe=int(gap_oe),
+        y_drop=int(y_drop), width=width, rows=rows,
+        trim_to_peak=trim_to_peak, tb_cap=tb_cap)
+    return jax.vmap(fn)(a_win, b_win, M, N)
+
+
+def traceback_ops(tb: np.ndarray, ly: np.ndarray, end1: int,
+                  end2: int) -> list[str]:
+    """Host traceback over the kernel's link bytes; replicates the
+    reference's gap-extension-preferring walk
+    (gapped_extend.c:3845-3860; host ydrop.py:563-584)."""
+    row, col = int(end1), int(end2)
+    ops: list[str] = []
+    prev_op = 0
+    while row >= 1 or col > 0:
+        link = int(tb[row, col - int(ly[row])])
+        op = link & CID_BITS
+        if prev_op == C_FROM_I and (link & I_EXTEND):
+            op = C_FROM_I
+        if prev_op == C_FROM_D and (link & D_EXTEND):
+            op = C_FROM_D
+        if op == C_FROM_I:
+            col -= 1
+            ops.append("I")
+        elif op == C_FROM_D:
+            row -= 1
+            ops.append("D")
+        else:
+            row -= 1
+            col -= 1
+            ops.append("S")
+        prev_op = op
+    return ops
