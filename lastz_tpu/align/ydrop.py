@@ -1050,10 +1050,14 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
                   score_thresh=None, traceback_mem=80 * 1024 * 1024,
                   all_bounds=False, max_paired_bases=0,
                   overly_paired_warn=False, overly_paired_keep=False,
-                  on_overly_paired=None):
+                  on_overly_paired=None, use_device=None):
     """reference gapped_extend (gapped_extend.c:1012), unpartitioned path.
 
-    Returns list of Alignment in increasing-start order.
+    Returns list of Alignment in increasing-start order.  When
+    use_device (default: LASTZ_TPU_DEVICE env) is on, extensions run
+    batched through the exact TPU kernel and only anchors whose DP
+    could interact with previously accepted alignments fall back to
+    the host engine (see align/ydrop_device.py).
     """
     thresh = score_thresh.s if score_thresh is not None else 0
 
@@ -1073,6 +1077,30 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
                    end2=seg.pos2 + seg.length - 1,
                    hsp_id=seg.hsp_id if seg.hsp_id else k + 1)
         msps.append(g)
+
+    from .ydrop_device import DeviceYDrop, device_enabled
+    if use_device is None:
+        use_device = device_enabled()
+    device = None
+    if use_device and segs:
+        seg_infos = []
+        for seg in segs:
+            low1, high1 = 0, len(target.v)
+            low2, high2 = 0, len(query.v)
+            if target.is_partitioned:
+                p1 = target.lookup_partition(seg.pos1)
+                low1, high1 = p1.sep_before + 1, p1.sep_after
+            if query.is_partitioned:
+                p2 = query.lookup_partition(seg.pos2)
+                low2, high2 = p2.sep_before + 1, p2.sep_after
+            seg_infos.append((seg.pos1, seg.pos2, low1, high1,
+                              low2, high2))
+        device = DeviceYDrop(target.v, query.v, scoring, y_drop,
+                             trim_to_peak, traceback_mem, seg_infos)
+        if not device.ok:
+            device = None
+    # bounding boxes of accepted alignments, for the device-safety test
+    acc_bb: list[tuple] = []
 
     obi = oed = None
     paired_bases = 0
@@ -1095,8 +1123,9 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
                       score=max(ident_score, thresh), is_trivial=True)
         mp.align = a
         trivial_mp = mp
+        acc_bb.append((0, len(target.v) - 1, 0, len(target.v) - 1))
 
-    for mp in msps:
+    for k, mp in enumerate(msps):
         if not msp_left_right(obi, mp):
             continue
         aligner.left_align = mp.left_align1
@@ -1114,8 +1143,27 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
             p2 = query.lookup_partition(mp.pos2)
             aligner.low2, aligner.high2 = p2.sep_before + 1, p2.sep_after
 
-        s, start1, start2, stop1, stop2, script = aligner.ydrop_align(
-            mp.pos1, mp.pos2)
+        use_dev = (device is not None
+                   and mp.left_seg1 is None and mp.right_seg1 is None)
+        if use_dev:
+            device.result_for(k)
+            use_dev = device.statuses_ok(k)
+        if use_dev and acc_bb:
+            r1lo, r1hi, r2lo, r2hi = device.explored_rect(k)
+            for (b1lo, b1hi, b2lo, b2hi) in acc_bb:
+                if not (b1hi < r1lo or b1lo > r1hi
+                        or b2hi < r2lo or b2lo > r2hi):
+                    use_dev = False
+                    break
+        if use_dev:
+            device.stats_device += 1
+            s, start1, start2, stop1, stop2, script = device.compose(
+                aligner, k, mp.pos1, mp.pos2)
+        else:
+            if device is not None:
+                device.stats_host += 1
+            s, start1, start2, stop1, stop2, script = aligner.ydrop_align(
+                mp.pos1, mp.pos2)
         anchor_pos1 = mp.pos1
         mp.align = None
         a = format_alignment(target.v, query.v, start1, start2, stop1, stop2,
@@ -1136,6 +1184,7 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
 
         align_left_right(obi, mp)
         obi, oed = insert_align(mp, obi, oed)
+        acc_bb.append((mp.pos1, mp.end1, mp.pos2, mp.end2))
 
         # paired-bases limit (gapped_extend.c:1444-1459): stop processing
         # HSPs; without 'keep', discard everything for this query/strand

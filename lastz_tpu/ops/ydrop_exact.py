@@ -26,15 +26,22 @@ parallel ops:
     typical rows converge in 2-3 rounds).  Unconverged rows (cap hit)
     are flagged and the anchor falls back to the host engine.
 
-Per-anchor outputs: best score + end cell (+ boundary variant for
---noytrim), rows used, band extent, status flags, per-row window
-starts (LY) and the (rows x width) traceback link-byte matrix, from
-which the host recovers the edit script with the reference's gap-
-extension-preferring walk (gapped_extend.c:3845-3860).
+Extensions of unbounded length are supported by CHUNKING: the kernel
+processes a static number of rows per launch and returns its full
+resumable state (DP vectors, band walk, running best, virtual
+traceback pointer).  The glue relaunches unfinished anchors until
+every lane terminates, collecting one (traceback-links, LY) buffer
+pair per chunk; the host traceback walks the chunk list backwards.
 
-Width/rows are static per call; anchors whose band walks off the
-static window report OVERFLOW and are re-extended by the host engine
-(exactness is never sacrificed).
+Per-anchor per-chunk outputs: best score + end cell (+ boundary
+variant for --noytrim), rows used, band extent, status flags, per-row
+window starts (LY) and the (rows x width) traceback link-byte matrix,
+from which the host recovers the edit script with the reference's
+gap-extension-preferring walk (gapped_extend.c:3845-3860).
+
+The band width is static per call; anchors whose band outgrows it
+report OVERFLOW and are re-extended by the host engine (exactness is
+never sacrificed).
 """
 
 from __future__ import annotations
@@ -66,11 +73,14 @@ MAX_COMP_GAP_E = 60_000             # glue-enforced cap on gapExtend
 # status flags
 ST_OK = 0
 ST_WIDTH_OVERFLOW = 1   # band wider than the static window
-ST_ROW_OVERFLOW = 2     # more rows than the static row budget
 ST_UNCONVERGED = 4      # prune fixpoint cap hit (pathological row)
 ST_TRUNCATED = 8        # traceback arena exhausted (reference semantic)
 
 _FIXPOINT_CAP = 64
+
+STATE_KEYS = ("CC", "DD", "LY", "RY", "row", "best", "end1", "end2",
+              "bscore", "bflag", "tbp", "rows_used", "maxRY",
+              "status", "done")
 
 
 def _scan_combine(a, b):
@@ -101,17 +111,51 @@ def _i_chain(c_sub, pruned, gap, active, k_iota, gap_e, gap_oe):
     return i_vec, s_scan
 
 
-def _one_sided(a_win, b_win, M, N, sub, gap_e, gap_oe, y_drop,
+def fresh_state_np(N, gap_e, gap_oe, y_drop, width, batch):
+    """Closed-form first DP row (gapped_extend.c:3550-3582), computed
+    host-side: C(0,0)=0, C(0,j)=-gapOE-(j-1)*gapE while the previous
+    value stays >= -yDrop.  Returns the resumable state dict (numpy)
+    plus the row-0 link bytes (col 0 -> 0, others C_FROM_I)."""
+    W = width
+    B = batch
+    j = np.arange(W, dtype=np.int64)
+    c0 = np.where(j == 0, 0, -gap_oe - (j - 1) * gap_e)
+    c0_prev = np.where(j <= 1, 0, -gap_oe - (j - 2) * gap_e)
+    writable = ((j >= 1) & (c0_prev >= -y_drop))[None, :] \
+        & (j[None, :] <= np.asarray(N)[:, None])
+    RY0 = 1 + writable.sum(axis=1).astype(np.int32)
+    in0 = j[None, :] < RY0[:, None]
+    CC = np.where(in0, c0[None, :], NEG).astype(np.int32)
+    DD = np.where(in0, c0[None, :] - gap_oe, NEG).astype(np.int32)
+    row0_links = np.where(in0 & (j[None, :] >= 1),
+                          np.uint8(C_FROM_I), np.uint8(0))
+    init_over = RY0 > W
+    st = dict(
+        CC=CC, DD=DD,
+        LY=np.zeros(B, np.int32), RY=RY0,
+        row=np.ones(B, np.int32),
+        best=np.zeros(B, np.int32),
+        end1=np.zeros(B, np.int32), end2=np.zeros(B, np.int32),
+        bscore=np.full(B, NEG, np.int32),
+        bflag=np.zeros(B, bool),
+        tbp=RY0.copy(),
+        rows_used=np.zeros(B, np.int32),
+        maxRY=RY0.copy(),
+        status=np.where(init_over, ST_WIDTH_OVERFLOW, 0).astype(np.int32),
+        done=init_over.copy(),
+    )
+    return st, row0_links
+
+
+def _chunk_one(a_win, b_win, b_off, row_base, M, N, state, sub,
+               gap_e, gap_oe, y_drop,
                *, width: int, rows: int, trim_to_peak: bool,
                tb_cap: int):
-    """Single-anchor one-sided extension; vmapped by the caller.
-
-    a_win: (rows,) int32 char codes for DP rows 1..rows (A[row] in the
-           reference's coordinates; pre-reversed for the left pass)
-    b_win: (b_cap,) int32 char codes for DP cols 1..b_cap
-    M, N:  int32 true extension limits (may exceed the windows)
-    sub:   (256, 256) int32 substitution table
-    """
+    """Process up to `rows` DP rows for one anchor, resuming from
+    `state`.  a_win covers rows row_base+1 .. row_base+rows (local
+    index row-row_base-1); b_win covers cols b_off+1 .. b_off+b_cap
+    (local index col-b_off-1).  Returns (state', tb, ly) where tb/ly
+    are indexed by local row (row - row_base)."""
     W = width
     b_cap = b_win.shape[0]
     k_iota = jax.lax.iota(jnp.int32, W)
@@ -123,45 +167,29 @@ def _one_sided(a_win, b_win, M, N, sub, gap_e, gap_oe, y_drop,
 
     b_pad = jnp.concatenate([b_win, jnp.zeros((W + 2,), jnp.int32)])
 
-    # ---- first row (gapped_extend.c:3550-3582) ----
-    # C(0,0)=0; C(0,j) = -gapOE-(j-1)*gapE while C(0,j-1) >= -yDrop
-    c0 = jnp.where(k_iota == 0, 0,
-                   -gap_oe - (k_iota - 1) * gap_e).astype(jnp.int32)
-    c0_prev = jnp.where(k_iota <= 1, 0,
-                        -gap_oe - (k_iota - 2) * gap_e).astype(jnp.int32)
-    writable = (k_iota >= 1) & (k_iota <= N) & (c0_prev >= -y_drop)
-    RY0 = 1 + jnp.sum(writable.astype(jnp.int32))
-    in0 = k_iota < RY0
-    CC = jnp.where(in0, c0, NEG)
-    DD = jnp.where(in0, c0 - gap_oe, NEG)
-
     tb_buf = jnp.zeros((rows + 1, W), jnp.uint8)
-    row0 = jnp.where(in0 & (k_iota >= 1), np.uint8(C_FROM_I),
-                     np.uint8(0)).astype(jnp.uint8)
-    tb_buf = tb_buf.at[0].set(row0)
     ly_buf = jnp.zeros((rows + 1,), jnp.int32)
 
-    init_over = RY0 > W  # yDropTail wider than the static window
-
     def cond(st):
-        return ~st["done"]
+        return ~st["stop"]
 
     def body(st):
         CC, DD = st["CC"], st["DD"]
         LY, RY, row = st["LY"], st["RY"], st["row"]
         best = st["best"]
+        local = row - row_base
 
         # truncation check (gapped_extend.c:3621-3660): break BEFORE
         # the row when the traceback arena would overflow
         tb_needed = jnp.maximum(RY - LY, 0) + y_drop_tail
         trunc = st["tbp"] + tb_needed >= tb_cap
 
-        ly_buf = st["ly_buf"].at[row].set(LY)
+        ly_buf = st["ly_buf"].at[local].set(LY)
 
-        a_char = a_win[jnp.minimum(row - 1, rows - 1)]
+        a_char = a_win[jnp.clip(local - 1, 0, rows - 1)]
         sub_row = sub[a_char]
         # b chars for cols LY+1 .. LY+W (c_sub inputs for lanes 1..W)
-        bs = jax.lax.dynamic_slice(b_pad, (LY,), (W,))
+        bs = jax.lax.dynamic_slice(b_pad, (LY - b_off,), (W,))
         s_vals = sub_row[bs]
 
         K = RY - LY
@@ -210,10 +238,8 @@ def _one_sided(a_win, b_win, M, N, sub, gap_e, gap_oe, y_drop,
             d >= i_vec, np.int32(C_FROM_D | I_EXTEND | D_EXTEND),
             np.int32(C_FROM_I | I_EXTEND | D_EXTEND))
         link_sub = (np.int32(C_FROM_C)
-                    | jnp.where(c_open > d_dec, 0,
-                                np.int32(D_EXTEND))
-                    | jnp.where(c_open > i_dec, 0,
-                                np.int32(I_EXTEND)))
+                    | jnp.where(c_open > d_dec, 0, np.int32(D_EXTEND))
+                    | jnp.where(c_open > i_dec, 0, np.int32(I_EXTEND)))
         link = jnp.where(pruned | ~active, 0,
                          jnp.where(gap, link_gap, link_sub))
 
@@ -303,28 +329,26 @@ def _one_sided(a_win, b_win, M, N, sub, gap_e, gap_oe, y_drop,
         pro_tb = (k_iota >= K) & (k_iota < K + p)
         tb_row_vec = jnp.where(pro_tb, np.int32(C_FROM_I),
                                link).astype(jnp.uint8)
-        tb_buf = st["tb_buf"].at[row].set(
-            jnp.where(trunc, st["tb_buf"][row], tb_row_vec))
+        tb_buf = st["tb_buf"].at[local].set(
+            jnp.where(trunc, st["tb_buf"][local], tb_row_vec))
         ly_buf = jnp.where(trunc, st["ly_buf"], ly_buf)
 
         tbp = st["tbp"] + K + p
 
         # overflow checks against the static window
-        width_over = (RY_final - LY_new > W) | (K + p > W)
-        b_over = (RY_final > b_cap) & (N + 1 > b_cap)
-        row_over = (row + 1 <= M) & (row + 1 > rows)
+        b_valid = b_off + b_cap
+        width_over = ((RY_final - LY_new > W) | (K + p > W)
+                      | ((RY_final > b_valid) & (b_valid < N + 1)))
 
         status = st["status"]
         status = status | jnp.where(unconverged, ST_UNCONVERGED, 0)
         status = status | jnp.where(trunc, ST_TRUNCATED, 0)
         status = status | jnp.where(
-            (width_over | b_over) & ~dead & ~trunc, ST_WIDTH_OVERFLOW, 0)
-        status = status | jnp.where(
-            row_over & ~dead & ~trunc & ~(width_over | b_over),
-            ST_ROW_OVERFLOW, 0)
+            width_over & ~dead & ~trunc, ST_WIDTH_OVERFLOW, 0)
 
-        done = (trunc | dead | (row >= M) | width_over | b_over
-                | row_over | unconverged)
+        done = (trunc | dead | (row >= M) | width_over | unconverged)
+        chunk_end = ~done & (row + 1 > row_base + rows)
+        stop = done | chunk_end
 
         keep = ~trunc  # on truncation the row never happened
         return dict(
@@ -346,47 +370,113 @@ def _one_sided(a_win, b_win, M, N, sub, gap_e, gap_oe, y_drop,
             ly_buf=ly_buf,
             status=status,
             done=done,
+            stop=stop,
         )
 
-    st = dict(
-        CC=CC, DD=DD, LY=jnp.int32(0), RY=RY0, row=jnp.int32(1),
-        best=jnp.int32(0), end1=jnp.int32(0), end2=jnp.int32(0),
-        bscore=jnp.int32(NEG), bflag=jnp.bool_(False),
-        tbp=RY0, rows_used=jnp.int32(0), maxRY=RY0,
-        tb_buf=tb_buf, ly_buf=ly_buf,
-        status=jnp.where(init_over, ST_WIDTH_OVERFLOW, 0).astype(jnp.int32),
-        done=(M < 1) | (N < 1) | init_over,
-    )
+    st = {k: state[k] for k in STATE_KEYS}
+    st["tb_buf"] = tb_buf
+    st["ly_buf"] = ly_buf
+    st["stop"] = state["done"]
     st = jax.lax.while_loop(cond, body, st)
 
-    score = jnp.where(st["bflag"], st["bscore"], st["best"])
-    return dict(
-        score=score, end1=st["end1"], end2=st["end2"],
-        best=st["best"], bscore=st["bscore"], bflag=st["bflag"],
-        rows_used=st["rows_used"], maxRY=st["maxRY"],
-        status=st["status"], tb=st["tb_buf"], ly=st["ly_buf"],
-    )
+    out_state = {k: st[k] for k in STATE_KEYS}
+    return out_state, st["tb_buf"], st["ly_buf"]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("gap_e", "gap_oe", "y_drop", "width", "rows",
                      "trim_to_peak", "tb_cap"))
-def ydrop_exact_batch(a_win, b_win, M, N, sub,
-                      gap_e: int, gap_oe: int, y_drop: int,
-                      width: int = 768, rows: int = 1536,
-                      trim_to_peak: bool = True,
-                      tb_cap: int = 80 * 1024 * 1024):
-    """Batched exact one-sided y-drop extension.
-
-    a_win: (B, rows) int32; b_win: (B, b_cap) int32; M/N: (B,) int32
-    Returns dict of per-anchor arrays (see _one_sided).
-    """
+def ydrop_chunk(a_win, b_win, b_off, row_base, M, N, state, sub,
+                gap_e: int, gap_oe: int, y_drop: int,
+                width: int, rows: int, trim_to_peak: bool,
+                tb_cap: int):
+    """Batched resumable chunk: all array args carry a leading batch
+    dimension; `state` is a dict of batched state arrays."""
     fn = functools.partial(
-        _one_sided, sub=sub, gap_e=int(gap_e), gap_oe=int(gap_oe),
+        _chunk_one, sub=sub, gap_e=int(gap_e), gap_oe=int(gap_oe),
         y_drop=int(y_drop), width=width, rows=rows,
         trim_to_peak=trim_to_peak, tb_cap=tb_cap)
-    return jax.vmap(fn)(a_win, b_win, M, N)
+    in_axes = (0, 0, 0, 0, 0, 0, {k: 0 for k in STATE_KEYS}, None)
+    return jax.vmap(
+        lambda a, b, bo, rb, m, n, s: fn(a, b, bo, rb, m, n, s),
+    )(a_win, b_win, b_off, row_base, M, N, state)
+
+
+def ydrop_exact_batch(a_full, b_full, M, N, sub,
+                      gap_e: int, gap_oe: int, y_drop: int,
+                      width: int = 768, rows: int = 512,
+                      trim_to_peak: bool = True,
+                      tb_cap: int = 80 * 1024 * 1024,
+                      max_chunks: int = 64):
+    """Convenience wrapper: run anchors to completion with chunked
+    relaunches, assembling full tb/ly matrices (host side).  a_full /
+    b_full are FULL row/col code arrays per anchor (ragged lengths
+    padded with 0); used by tests and small drivers.
+
+    Returns dict with score/end1/end2/status plus assembled "tb"
+    (B, total_rows+1, width) uint8 and "ly" (B, total_rows+1).
+    """
+    B = a_full.shape[0]
+    b_cap = rows + width
+    st, row0_links = fresh_state_np(
+        np.asarray(N, np.int64), gap_e, gap_oe, y_drop, width, B)
+    state = {k: jnp.asarray(v) for k, v in st.items()}
+    tb_parts = [[] for _ in range(B)]  # (row_start, tb_np, ly_np)
+    chunk = 0
+    while True:
+        row_base = np.asarray(state["row"]) - 1
+        b_off = np.asarray(state["LY"]).astype(np.int64)
+        a_win = np.zeros((B, rows), np.int32)
+        b_win = np.zeros((B, b_cap), np.int32)
+        for b in range(B):
+            lo = int(row_base[b])
+            src = a_full[b, lo: lo + rows]
+            a_win[b, : len(src)] = src
+            lo2 = int(b_off[b])
+            src = b_full[b, lo2: lo2 + b_cap]
+            b_win[b, : len(src)] = src
+        state, tb, ly = ydrop_chunk(
+            jnp.asarray(a_win), jnp.asarray(b_win),
+            jnp.asarray(b_off, dtype=jnp.int32),
+            jnp.asarray(row_base, dtype=jnp.int32),
+            jnp.asarray(M, dtype=jnp.int32),
+            jnp.asarray(N, dtype=jnp.int32),
+            state, jnp.asarray(sub),
+            gap_e=gap_e, gap_oe=gap_oe, y_drop=y_drop,
+            width=width, rows=rows, trim_to_peak=trim_to_peak,
+            tb_cap=tb_cap)
+        tb_np = np.asarray(tb)
+        ly_np = np.asarray(ly)
+        done = np.asarray(state["done"])
+        rows_used = np.asarray(state["rows_used"])
+        for b in range(B):
+            if chunk == 0 or rows_used[b] > row_base[b]:
+                tb_parts[b].append((int(row_base[b]), tb_np[b], ly_np[b]))
+        chunk += 1
+        if done.all() or chunk >= max_chunks:
+            break
+
+    out = {k: np.asarray(state[k]) for k in STATE_KEYS
+           if k not in ("CC", "DD")}
+    out["score"] = np.where(out["bflag"], out["bscore"], out["best"])
+    # assemble contiguous tb/ly
+    total = int(out["rows_used"].max()) + 1
+    tb_all = np.zeros((B, total, width), np.uint8)
+    ly_all = np.zeros((B, total), np.int32)
+    tb_all[:, 0, :] = row0_links[:, :width]
+    for b in range(B):
+        for (base, tb_np, ly_np) in tb_parts[b]:
+            lo = base + 1
+            hi = min(int(out["rows_used"][b]) + 1, base + rows + 1)
+            if hi <= lo:
+                continue
+            n = hi - lo
+            tb_all[b, lo: hi] = tb_np[1: 1 + n]
+            ly_all[b, lo: hi] = ly_np[1: 1 + n]
+    out["tb"] = tb_all
+    out["ly"] = ly_all
+    return out
 
 
 def traceback_ops(tb: np.ndarray, ly: np.ndarray, end1: int,

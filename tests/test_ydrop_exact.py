@@ -92,12 +92,13 @@ def test_kernel_matches_host(seed, trim):
             Ms.append(min(M, ROWS))  # keep inside the static budget
             Ns.append(min(N, ROWS + WIDTH - 2))
         sub = scoring.sub.astype(np.int32)
+        # rows=96 << ROWS forces the chunked-continuation path
         out = ydrop_exact_batch(
             np.stack(aws), np.stack(bws),
             np.array(Ms, np.int32), np.array(Ns, np.int32), sub,
             gap_e=int(scoring.gap_extend),
             gap_oe=int(scoring.gap_open + scoring.gap_extend),
-            y_drop=y_drop, width=WIDTH, rows=ROWS, trim_to_peak=trim)
+            y_drop=y_drop, width=WIDTH, rows=96, trim_to_peak=trim)
         out = {k: np.asarray(v) for k, v in out.items()}
 
         for b, (a1, a2) in enumerate(anchors):
@@ -149,7 +150,7 @@ def test_kernel_truncation_matches_host():
         np.array([min(N, ROWS + WIDTH - 2)], np.int32), sub,
         gap_e=int(scoring.gap_extend),
         gap_oe=int(scoring.gap_open + scoring.gap_extend),
-        y_drop=y_drop, width=WIDTH, rows=ROWS, trim_to_peak=True,
+        y_drop=y_drop, width=WIDTH, rows=128, trim_to_peak=True,
         tb_cap=tb_cap)
     out = {k: np.asarray(v) for k, v in out.items()}
     assert int(out["status"][0]) & ST_TRUNCATED
