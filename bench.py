@@ -1,17 +1,32 @@
 #!/usr/bin/env python
-"""Benchmark: y-drop DP cells/sec on the TPU chip vs single-core C-speed.
+"""End-to-end benchmark: full-aligner wall-clock vs the reference C
+binary (single core) on a diverged multi-megabase pair — the shape of
+the README's human-vs-chicken north star (BASELINE.md): hundreds of
+conserved segments at 72-85%% identity embedded in unrelated sequence,
+aligned at default sensitivity (seed 12of19 + transition, step 1,
+gapped with y-drop).
 
 Prints ONE JSON line:
-  {"metric": "ydrop_cells_per_sec", "value": N, "unit": "cells/s",
-   "vs_baseline": R}
+  {"metric": "e2e_wall_speedup_vs_c", "value": S, "unit": "x",
+   "vs_baseline": S}
 
-The baseline is the single-threaded native (C++, -O3) implementation of
-the exact same y-drop row sweep, measured on this host — i.e. the speed
-class of the reference LASTZ's inner loop (gapped_extend.c:3683).
+S = reference wall-clock / our wall-clock on identical inputs and
+settings.  The reference binary is built from /root/reference into
+/tmp (never modifying the reference tree).  Our run uses the
+production configuration: vectorized batched seed search + x-drop,
+and the exact chunked TPU y-drop kernel (LASTZ_TPU_DEVICE=1) when a
+non-CPU jax backend is attached; compile time is excluded via a small
+warm-up pair (the persistent jax compilation cache keeps it out of
+steady-state runs too).
+
+Set LASTZ_TPU_BENCH=kernel for the y-drop kernel microbenchmark
+(cells/s vs the single-core C++ row sweep) instead.
 """
 
+import io
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -19,123 +34,210 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+REF_DIR = "/tmp/ref"
+BENCH_T = "/tmp/lastz_tpu_bench_t.fa"
+BENCH_Q = "/tmp/lastz_tpu_bench_q.fa"
+TARGET_BP = int(os.environ.get("LASTZ_TPU_BENCH_BP", "4000000"))
 
-def measure_native_baseline() -> float:
-    """Single-core native row-sweep cells/sec — the speed class of the
-    reference's inner loop (gapped_extend.c:3683), measured on this
-    host with the same -O3 C++ kernel the exact engine uses."""
-    import ctypes
 
-    from lastz_tpu.native import get_lib
-    from lastz_tpu.core.scoring import new_dna_score_set, NEG_INFINITY_SCORE
+def ensure_reference() -> str:
+    """Build the reference lastz binary out-of-tree (once)."""
+    binpath = os.path.join(REF_DIR, "src", "lastz")
+    if os.path.exists(binpath):
+        return binpath
+    os.makedirs(REF_DIR, exist_ok=True)
+    subprocess.run(
+        ["cp", "-r", "/root/reference/src",
+         "/root/reference/make-include.mak", REF_DIR],
+        check=True)
+    subprocess.run(["make", "lastz", "-j4"],
+                   cwd=os.path.join(REF_DIR, "src"),
+                   check=True, capture_output=True)
+    return binpath
 
-    lib = get_lib()
-    if lib is None:
-        return 3.0e8  # nominal single-core C speed
 
-    rng = np.random.default_rng(7)
-    band = 512
-    rows = 40000
-    CC = np.zeros(band + 16, dtype=np.int64)
-    DD = np.zeros(band + 16, dtype=np.int64)
-    MASK = np.full(band + 16, -1, dtype=np.int64)
-    tb = np.zeros(band + 16, dtype=np.uint8)
-    ss = new_dna_score_set()
-    sub_row = np.ascontiguousarray(ss.sub[ord("A")])
-    B = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), band + 16)
-    B = np.ascontiguousarray(B)
+def _write_fasta(path, name, s):
+    with open(path, "w") as f:
+        f.write(">" + name + "\n")
+        for i in range(0, len(s), 80):
+            f.write(bytes(s[i:i + 80]).decode() + "\n")
 
-    p_i64 = ctypes.POINTER(ctypes.c_int64)
-    p_u8 = ctypes.POINTER(ctypes.c_uint8)
 
-    def run():
-        return lib.ydrop_bench(
-            CC.ctypes.data_as(p_i64), DD.ctypes.data_as(p_i64),
-            MASK.ctypes.data_as(p_i64), tb.ctypes.data_as(p_u8),
-            sub_row.ctypes.data_as(p_i64), B.ctypes.data_as(p_u8),
-            rows, band, 30, 430, 9400, NEG_INFINITY_SCORE)
+def ensure_pair():
+    """Deterministic diverged pair: conserved 2-6 kbp segments at
+    72-85% identity scattered through random background."""
+    if os.path.exists(BENCH_T) and os.path.exists(BENCH_Q):
+        return
+    rng = np.random.default_rng(42)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n = TARGET_BP
+    t = alpha[rng.integers(0, 4, n)]
 
-    run()  # warm up
+    def mutate(seg, ident):
+        out = []
+        i = 0
+        m = len(seg)
+        while i < m:
+            r = rng.random()
+            if r < 0.01:
+                out.append(alpha[rng.integers(0, 4)])
+            elif r < 0.02:
+                i += 1
+            else:
+                if rng.random() < (1 - ident):
+                    out.append(alpha[rng.integers(0, 4)])
+                else:
+                    out.append(seg[i])
+                i += 1
+        return np.array(out, dtype=np.uint8)
+
+    q_parts = []
+    for _ in range(150 * (n // 1_000_000)):
+        L = int(rng.integers(2000, 6000))
+        p = int(rng.integers(0, n - L))
+        f = int(rng.integers(1000, 5000))
+        q_parts.append(alpha[rng.integers(0, 4, f)])
+        ident = 0.72 + 0.13 * rng.random()
+        q_parts.append(mutate(t[p:p + L], ident))
+    q = np.concatenate(q_parts)
+    _write_fasta(BENCH_T, "t", t)
+    _write_fasta(BENCH_Q, "q", q)
+
+
+def run_reference(binpath) -> float:
     t0 = time.time()
-    run()
+    with open("/tmp/lastz_tpu_bench_ref.lav", "w") as out:
+        subprocess.run([binpath, BENCH_T, BENCH_Q], stdout=out,
+                       stderr=subprocess.DEVNULL, check=True)
+    return time.time() - t0
+
+
+def run_ours() -> float:
+    # device path on whenever a real accelerator is attached
+    try:
+        import jax
+        if jax.devices()[0].platform != "cpu":
+            os.environ.setdefault("LASTZ_TPU_DEVICE", "1")
+    except Exception:
+        pass
+    from lastz_tpu.cli import parse_options
+    from lastz_tpu.pipeline import Pipeline
+
+    # warm-up: compile the kernels on a small pair
+    wt = os.path.join(REF_DIR, "test_data", "pseudocat.fa")
+    wq = os.path.join(REF_DIR, "test_data", "pseudopig.fa")
+    if not os.path.exists(wt):
+        subprocess.run(["cp", "-r", "/root/reference/test_data",
+                        REF_DIR], check=True)
+    cfg = parse_options([wt, wq])
+    Pipeline(cfg, io.StringIO()).run()
+
+    t0 = time.time()
+    cfg = parse_options([BENCH_T, BENCH_Q])
+    buf = io.StringIO()
+    Pipeline(cfg, buf).run()
     dt = time.time() - t0
-    return rows * band / dt
+    with open("/tmp/lastz_tpu_bench_ours.lav", "w") as f:
+        f.write(buf.getvalue())
+    return dt
 
 
-def measure_tpu_kernel() -> float:
-    """Pallas kernel sustained cells/sec on the attached TPU chip."""
+def bench_kernel():
+    """Y-drop kernel microbenchmark (cells/s, vs single-core C++)."""
     import jax
     import jax.numpy as jnp
-
-    from lastz_tpu.core.encoding import UPPER_NUC_TO_BITS
     from lastz_tpu.core.scoring import new_dna_score_set
-    from lastz_tpu.ops.ydrop_pallas import (
-        ydrop_extend_batch, ydrop_extend_batch_xla, prepare_anchor_batch)
+    from lastz_tpu.ops.ydrop_exact import (
+        fresh_state_np, make_compact_alphabet, ydrop_chunk)
 
-    platform = jax.devices()[0].platform
-    on_tpu = platform not in ("cpu",)
-    fn = ydrop_extend_batch if on_tpu else ydrop_extend_batch_xla
-
-    rng = np.random.default_rng(7)
-    n = 400000
-    base = rng.integers(0, 4, n)
-    v2c = base.copy()
+    rng = np.random.default_rng(0)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n = 500000
+    s1 = alpha[rng.integers(0, 4, n)]
+    s2 = s1.copy()
     mut = rng.random(n) < 0.10
-    v2c[mut] = rng.integers(0, 4, int(mut.sum()))
-    A = np.frombuffer(b"ACGT", dtype=np.uint8)
-    v1 = A[base]
-    v2 = A[v2c]
-    ss = new_dna_score_set()
-    sub4 = ss.dna4.astype(np.int32)
+    s2[mut] = alpha[rng.integers(0, 4, mut.sum())]
+    sc = new_dna_score_set()
+    R, lanes = 1024, 1536
+    B = 128
+    M = np.full(B, n - 1000, np.int32)
+    N = np.full(B, n - 1000, np.int32)
+    code_map, subsmall = make_compact_alphabet([s1, s2], sc.sub)
+    ge = int(sc.gap_extend)
+    goe = int(sc.gap_open + sc.gap_extend)
+    st_np, _ = fresh_state_np(N.astype(np.int64), ge, goe, 9400,
+                              lanes, B)
+    state = {k: jnp.asarray(v) for k, v in st_np.items()}
+    anchors = rng.integers(100, 500, B)
+    prev_off = np.zeros(B, np.int64)
 
-    band, rows = 512, 1024
-    B = 256 if on_tpu else 8
-    codes1 = UPPER_NUC_TO_BITS[v1].astype(np.int32)
-    codes2 = UPPER_NUC_TO_BITS[v2].astype(np.int32)
+    def windows(row_base, b_off):
+        a_win = np.zeros((B, R), np.int32)
+        b_win = np.zeros((B, lanes), np.int32)
+        for j in range(B):
+            a1 = int(anchors[j])
+            lo = int(row_base[j])
+            bo = int(b_off[j])
+            src = s1[a1 + 1 + lo: a1 + 1 + lo + R]
+            a_win[j, :len(src)] = code_map[src]
+            src = s2[a1 + bo: a1 + bo + lanes]
+            b_win[j, :len(src)] = code_map[src]
+        return a_win, b_win
 
-    def make_batch(seed):
-        r = np.random.default_rng(seed)
-        anchors = [(int(x), int(x))
-                   for x in r.integers(4000, n - 4000, B)]
-        c1, c2, params = prepare_anchor_batch(
-            codes1, codes2, anchors, 30, 430, 9400,
-            band=band, max_rows=rows)
-        return (jnp.array(c1), jnp.array(c2), jnp.array(params))
-
-    batches = [make_batch(s) for s in range(4)]
-    # warm up / compile
-    out = fn(batches[0][0], batches[0][1], sub4, batches[0][2],
-             band=band, max_rows=rows)
-    np.asarray(out)
-
-    iters = 8 if on_tpu else 2
-    best_rate = 0.0
-    # the chip is shared (tunnelled); take the best of 3 passes
-    for _ in range(3 if on_tpu else 1):
-        t0 = time.time()
-        outs = []
-        for i in range(iters):
-            c1j, c2j, pj = batches[i % len(batches)]
-            outs.append(fn(c1j, c2j, sub4, pj, band=band, max_rows=rows))
-        for o in outs:
-            o.block_until_ready()
-        dt = (time.time() - t0) / iters
-        best_rate = max(best_rate, B * rows * band / dt)
-    return best_rate
+    t0 = time.time()
+    chunks = 0
+    while chunks < 40:
+        done_np = (np.asarray(state["done"]) if chunks
+                   else np.zeros(B, bool))
+        row_base = np.asarray(state["row"]).astype(np.int64) - 1
+        b_off = np.where(done_np, prev_off,
+                         np.asarray(state["LY"]).astype(np.int64))
+        shift = (b_off - prev_off).astype(np.int32)
+        prev_off = b_off.copy()
+        a_win, b_win = windows(row_base, b_off)
+        state, tb = ydrop_chunk(
+            jnp.asarray(a_win), jnp.asarray(b_win),
+            jnp.asarray(b_off.astype(np.int32)), jnp.asarray(shift),
+            jnp.asarray(M), jnp.asarray(N),
+            state, jnp.asarray(subsmall),
+            gap_e=ge, gap_oe=goe, y_drop=9400,
+            lanes=lanes, rows=R, alpha=16,
+            trim_to_peak=True, tb_cap=80 * 1024 * 1024)
+        jax.block_until_ready(state["row"])
+        chunks += 1
+        if chunks == 1:
+            t0 = time.time()
+        if np.asarray(state["done"]).all():
+            break
+    st_np2 = {k: np.asarray(v) for k, v in state.items()}
+    dt = time.time() - t0
+    rows_done = int(st_np2["rows_used"].sum())
+    width_est = float((st_np2["RY"] - st_np2["LY"]).mean())
+    rate = rows_done * width_est / dt
+    base = 3.0e8  # single-core C row-sweep class
+    print(json.dumps({
+        "metric": "ydrop_cells_per_sec",
+        "value": round(rate, 1),
+        "unit": "cells/s",
+        "vs_baseline": round(rate / base, 3)}))
 
 
 def main():
-    tpu_rate = measure_tpu_kernel()
-    try:
-        base_rate = measure_native_baseline()
-    except Exception:
-        base_rate = 3.0e8  # nominal single-core C y-drop speed
+    if os.environ.get("LASTZ_TPU_BENCH") == "kernel":
+        bench_kernel()
+        return
+    binpath = ensure_reference()
+    ensure_pair()
+    ref_t = run_reference(binpath)
+    ours_t = run_ours()
+    speedup = ref_t / ours_t
+    sys.stderr.write(
+        f"reference: {ref_t:.1f}s  ours: {ours_t:.1f}s\n")
     print(json.dumps({
-        "metric": "ydrop_cells_per_sec",
-        "value": round(tpu_rate, 1),
-        "unit": "cells/s",
-        "vs_baseline": round(tpu_rate / base_rate, 3),
-    }))
+        "metric": "e2e_wall_speedup_vs_c",
+        "value": round(speedup, 3),
+        "unit": "x",
+        "vs_baseline": round(speedup, 3)}))
 
 
 if __name__ == "__main__":

@@ -1127,6 +1127,8 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
 
     for k, mp in enumerate(msps):
         if not msp_left_right(obi, mp):
+            if device is not None:
+                device.release(k)
             continue
         aligner.left_align = mp.left_align1
         aligner.right_align = mp.right_align1
@@ -1164,6 +1166,8 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
                 device.stats_host += 1
             s, start1, start2, stop1, stop2, script = aligner.ydrop_align(
                 mp.pos1, mp.pos2)
+        if device is not None:
+            device.release(k)
         anchor_pos1 = mp.pos1
         mp.align = None
         a = format_alignment(target.v, query.v, start1, start2, stop1, stop2,

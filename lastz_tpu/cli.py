@@ -334,6 +334,20 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             cfg.self_compare = True
             cfg.cloned_query = True
             cfg.inhibit_trivial = True
+        elif arg.startswith("--shard="):
+            # query sharding for multi-host farm-out (the TPU-native
+            # analogue of the reference's capsule multi-process recipe,
+            # capsule.c:6-15): worker i of n takes every n-th query
+            try:
+                i_s, n_s = val.split("/", 1)
+                cfg.shard_index = int(i_s)
+                cfg.shard_count = int(n_s)
+            except ValueError:
+                raise UsageError("--shard must look like --shard=i/n")
+            if (cfg.shard_count < 1
+                    or not 0 <= cfg.shard_index < cfg.shard_count):
+                raise UsageError(
+                    "--shard=i/n requires 0 <= i < n")
         elif arg.startswith("--band=") or arg.startswith("--bandwidth="):
             # lastz.c:7818-7827
             band = _unitized_int(val)

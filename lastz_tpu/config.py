@@ -175,6 +175,8 @@ class Config:
     do_seed_search: bool = True
     seed_queue_size: int = 256 * 1024  # --seedqueue (twin-hit queue)
     band_width: int = 0  # --band= (0 => no band restriction, lastz.c:420)
+    shard_index: int = 0  # --shard=i/n query sharding (farm-out)
+    shard_count: int = 1
 
     # quantum DNA (reference quantum.c): --ball seeding threshold
     query_is_quantum: bool = False

@@ -152,8 +152,14 @@ def build_seed_position_table(
     order = np.argsort(packed, kind="stable")  # stable keeps ascending pos
     sorted_words = packed[order]
     sorted_pos = stored[order]
-    counts = np.bincount(sorted_words, minlength=num_words)
-    csr_start = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    # csr_start[w] = first CSR slot of word w, via a single searchsorted
+    # over the sorted words (no 4^W-sized bincount/cumsum temporaries;
+    # int32 slots unless the table is impossibly large)
+    dt = np.int32 if len(sorted_pos) < (1 << 31) else np.int64
+    csr_start = np.empty(num_words + 1, dtype=dt)
+    csr_start[:num_words] = np.searchsorted(
+        sorted_words, np.arange(num_words, dtype=np.uint32))
+    csr_start[num_words] = len(sorted_pos)
 
     csr_resolve = None
     if seed.type == "R":

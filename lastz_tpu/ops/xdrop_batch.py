@@ -1,0 +1,259 @@
+"""Batched gap-free x-drop extension (reference
+xdrop_extend_seed_hit, seed_search.c:2528-2801).
+
+Extends many seed hits at once: each hit scans left then right along
+its diagonal accumulating substitution scores, stopping when the
+running score drops more than xDrop below the running maximum.  The
+scans are UNBLOCKED (old diagonal extent = 0); the replay layer
+(search/batched.py) detects the rare hits whose left scan would have
+been cut by the diagonal-hash block and recomputes those exactly.
+
+Semantics mirror the host engine's vectorized scan
+(search/engine.py:_xdrop_extend) cell for cell:
+  * consumed = index of the first cell whose cumulative score falls
+    below max(runmax, 0) - xDrop, plus one (the failing cell is
+    consumed), capped at the scan length;
+  * best = max cumulative score over the consumed prefix; the end
+    offset is the FIRST cell attaining it; best <= 0 reports a zero
+    extension.
+
+Two interchangeable backends: numpy (default host path) and a jitted
+JAX version (device path, chunked gathers).  Scans longer than a
+chunk carry (cumulative score, running max, best) across chunks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+CHUNK = 1024
+
+
+def _np_scan(seq1, seq2, sub, p1, p2, n, step):
+    """Vectorized chunked scan for a batch of hits (numpy backend).
+
+    p1/p2: (H,) first cell coordinates; n: (H,) scan lengths;
+    step: +1 (right) or -1 (left).
+    Returns consumed, best, kbest (offsets; kbest = -1 if best <= 0).
+    """
+    H = len(p1)
+    consumed = np.zeros(H, dtype=np.int64)
+    best = np.zeros(H, dtype=sub.dtype)
+    kbest = np.full(H, -1, dtype=np.int64)
+    cum = np.zeros(H, dtype=sub.dtype)
+    runmax = np.zeros(H, dtype=sub.dtype)
+    live = n > 0
+    base = np.zeros(H, dtype=np.int64)  # cells consumed so far
+    x_drop = _np_scan.x_drop
+    L1, L2 = len(seq1), len(seq2)
+    HBLOCK = 1 << 15  # hits per pass (bounds the (H, chunk) temps)
+    FIRST = 96        # first-chunk size; most scans die inside it
+    while live.any():
+        idx = np.nonzero(live)[0][:HBLOCK]
+        chunk = FIRST if base[idx].max() == 0 else CHUNK
+        offs = np.arange(chunk, dtype=np.int64)
+        i1 = p1[idx, None] + step * (base[idx, None] + offs[None, :])
+        i2 = p2[idx, None] + step * (base[idx, None] + offs[None, :])
+        rem = n[idx] - base[idx]
+        valid = offs[None, :] < rem[:, None]
+        sc = sub[seq1[np.clip(i1, 0, L1 - 1)],
+                 seq2[np.clip(i2, 0, L2 - 1)]]
+        sc = np.where(valid, sc, 0)
+        c = cum[idx, None] + np.cumsum(sc, axis=1)
+        m = np.maximum(np.maximum.accumulate(c, axis=1),
+                       runmax[idx, None])
+        bad = (c < np.maximum(m, 0) - x_drop) & valid
+        any_bad = bad.any(axis=1)
+        first_bad = np.where(any_bad, bad.argmax(axis=1), chunk)
+        take = np.minimum(first_bad + 1, rem)
+        take = np.minimum(take, chunk)
+        # best over the taken prefix (first occurrence wins, strict >)
+        inpref = offs[None, :] < take[:, None]
+        cc = np.where(inpref, c, np.iinfo(np.int64).min
+                      if sub.dtype == np.int64 else -np.inf)
+        chunk_best = cc.max(axis=1)
+        chunk_arg = cc.argmax(axis=1)
+        better = chunk_best > best[idx]
+        best[idx] = np.where(better, chunk_best, best[idx])
+        kbest[idx] = np.where(better, base[idx] + chunk_arg, kbest[idx])
+        consumed[idx] = base[idx] + take
+        # continue hits that neither failed nor exhausted their length
+        cont = (~any_bad) & (rem > chunk)
+        cum[idx] = c[np.arange(len(idx)), np.maximum(take - 1, 0)]
+        runmax[idx] = m[np.arange(len(idx)), np.maximum(take - 1, 0)]
+        base[idx] += chunk
+        live[idx] = cont
+    kbest = np.where(best > 0, kbest, -1)
+    return consumed, best, kbest
+
+
+def batch_xdrop_np(seq1, seq2, sub, pos1, pos2, x_drop):
+    """Unblocked two-sided x-drop extension for a hit batch (numpy).
+
+    pos1/pos2: (H,) hit END positions (origin-0 exclusive).
+    Returns dict of per-hit arrays:
+      left_consumed, left_score, left_start,
+      right_consumed (== right_block - pos1), right_score, right_stop.
+    """
+    pos1 = np.asarray(pos1, dtype=np.int64)
+    pos2 = np.asarray(pos2, dtype=np.int64)
+    diag = pos1 - pos2
+    # left: from pos1-1 down to stop1 = max(diag, 0)
+    stop1 = np.maximum(diag, 0)
+    n_left = pos1 - stop1
+    _np_scan.x_drop = x_drop
+    lc, lb, lk = _np_scan(seq1, seq2, sub, pos1 - 1, pos2 - 1,
+                          n_left, -1)
+    left_score = np.where(lb > 0, lb, 0)
+    left_start = np.where(lb > 0, pos1 - 1 - lk, pos1)
+    # right: from pos1 to stop1r = min(len1, len2 + diag)
+    stop1r = np.minimum(len(seq1), len(seq2) + diag)
+    n_right = np.maximum(stop1r - pos1, 0)
+    rc, rb, rk = _np_scan(seq1, seq2, sub, pos1, pos2, n_right, +1)
+    right_score = np.where(rb > 0, rb, 0)
+    right_stop = np.where(rb > 0, pos1 + rk + 1, pos1)
+    return dict(
+        left_consumed=lc, left_score=left_score, left_start=left_start,
+        right_consumed=rc, right_score=right_score,
+        right_stop=right_stop)
+
+
+# ---------------------------------------------------------------------------
+# JAX backend: same math, jitted chunks over device-resident sequences
+# ---------------------------------------------------------------------------
+
+
+_JAX_SCAN = None
+
+
+def _get_jax_scan():
+    """Lazily build the jitted chunk scan (keeps jax out of the import
+    path for host-only runs)."""
+    global _JAX_SCAN
+    if _JAX_SCAN is None:
+        import jax
+        _JAX_SCAN = functools.partial(
+            jax.jit(_jax_scan_chunk_impl,
+                    static_argnames=("step", "chunk")))
+    return _JAX_SCAN
+
+
+def _jax_scan_chunk_impl(seq1, seq2, sub, p1, p2, n, base, cum, runmax,
+                         best, kbest, x_drop, step: int, chunk: int):
+    import jax.lax as lax
+    import jax.numpy as jnp
+    offs = jnp.arange(chunk, dtype=jnp.int32)
+    i1 = p1[:, None] + step * (base[:, None] + offs[None, :])
+    i2 = p2[:, None] + step * (base[:, None] + offs[None, :])
+    rem = n - base
+    valid = offs[None, :] < rem[:, None]
+    L1 = seq1.shape[0]
+    L2 = seq2.shape[0]
+    ch1 = seq1[jnp.clip(i1, 0, L1 - 1)]
+    ch2 = seq2[jnp.clip(i2, 0, L2 - 1)]
+    sc = sub[ch1, ch2]
+    sc = jnp.where(valid, sc, 0)
+    c = cum[:, None] + jnp.cumsum(sc, axis=1)
+    m = jnp.maximum(lax.cummax(c, axis=1), runmax[:, None])
+    bad = (c < jnp.maximum(m, 0) - x_drop) & valid
+    any_bad = jnp.any(bad, axis=1)
+    first_bad = jnp.where(any_bad, jnp.argmax(bad, axis=1), chunk)
+    take = jnp.minimum(jnp.minimum(first_bad + 1, rem), chunk)
+    inpref = offs[None, :] < take[:, None]
+    cc = jnp.where(inpref, c, jnp.int32(-(1 << 30)))
+    chunk_best = jnp.max(cc, axis=1)
+    chunk_arg = jnp.argmax(cc, axis=1).astype(jnp.int32)
+    better = chunk_best > best
+    best = jnp.where(better, chunk_best, best)
+    kbest = jnp.where(better, base + chunk_arg, kbest)
+    consumed = base + take
+    cont = (~any_bad) & (rem > chunk)
+    last = jnp.maximum(take - 1, 0)
+    cum = jnp.take_along_axis(c, last[:, None], axis=1)[:, 0]
+    runmax = jnp.take_along_axis(m, last[:, None], axis=1)[:, 0]
+    return consumed, cum, runmax, best, kbest, cont
+
+
+HSLICE = 1 << 17   # hits per device call (bounds memory)
+FIRST_CHUNK = 128  # most scans die within a few dozen cells
+
+
+def batch_xdrop_jax(seq1_dev, seq2_dev, sub_dev, pos1, pos2, x_drop,
+                    chunk: int = CHUNK):
+    """JAX variant of batch_xdrop_np; sequences and the 256x256 sub
+    table are device-resident arrays.  Hits are processed in fixed
+    HSLICE batches (padded, so jit shapes stay stable); each batch
+    scans a short first chunk then full chunks for the survivors."""
+    import jax.numpy as jnp
+    pos1 = np.asarray(pos1, dtype=np.int64)
+    pos2 = np.asarray(pos2, dtype=np.int64)
+    H = len(pos1)
+    diag = pos1 - pos2
+    out = {}
+    L1 = int(seq1_dev.shape[0])
+    L2 = int(seq2_dev.shape[0])
+    for which, step in (("left", -1), ("right", +1)):
+        if which == "left":
+            stop1 = np.maximum(diag, 0)
+            n = pos1 - stop1
+            p1 = pos1 - 1
+            p2 = pos2 - 1
+        else:
+            stop1r = np.minimum(L1, L2 + diag)
+            n = np.maximum(stop1r - pos1, 0)
+            p1 = pos1
+            p2 = pos2
+        consumed = np.zeros(H, np.int64)
+        best = np.zeros(H, np.int64)
+        kbest = np.full(H, -1, np.int64)
+        cum = np.zeros(H, np.int32)
+        runmax = np.zeros(H, np.int32)
+        base = np.zeros(H, np.int64)
+        scan = _get_jax_scan()
+
+        def run_scan(live, this_chunk):
+            npad = (-len(live)) % HSLICE if len(live) > HSLICE                 else HSLICE - len(live)
+            liv = np.concatenate([live, np.zeros(npad, np.int64)])
+            nn = n[liv].copy()
+            nn[len(live):] = 0  # padding lanes are dead
+            cj, cumj, rmj, bj, kj, cont = scan(
+                seq1_dev, seq2_dev, sub_dev,
+                jnp.asarray(p1[liv], jnp.int32),
+                jnp.asarray(p2[liv], jnp.int32),
+                jnp.asarray(nn, jnp.int32),
+                jnp.asarray(base[liv], jnp.int32),
+                jnp.asarray(cum[liv]), jnp.asarray(runmax[liv]),
+                jnp.asarray(best[liv], jnp.int32),
+                jnp.asarray(kbest[liv], jnp.int32),
+                jnp.int32(x_drop), step=step, chunk=this_chunk)
+            k = len(live)
+            consumed[live] = np.asarray(cj)[:k]
+            cum[live] = np.asarray(cumj)[:k]
+            runmax[live] = np.asarray(rmj)[:k]
+            best[live] = np.asarray(bj)[:k]
+            kbest[live] = np.asarray(kj)[:k]
+            base[live] += this_chunk
+            return live[np.asarray(cont)[:k]]
+
+        alive0 = np.nonzero(n > 0)[0]
+        for lo in range(0, len(alive0), HSLICE):
+            live = alive0[lo: lo + HSLICE]
+            first = True
+            while len(live):
+                live = run_scan(live,
+                                FIRST_CHUNK if first else chunk)
+                first = False
+        kbest = np.where(best > 0, kbest, -1)
+        if which == "left":
+            out["left_consumed"] = consumed
+            out["left_score"] = np.where(best > 0, best, 0)
+            out["left_start"] = np.where(best > 0, pos1 - 1 - kbest,
+                                         pos1)
+        else:
+            out["right_consumed"] = consumed
+            out["right_score"] = np.where(best > 0, best, 0)
+            out["right_stop"] = np.where(best > 0, pos1 + kbest + 1,
+                                         pos1)
+    return out

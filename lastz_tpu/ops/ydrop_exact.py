@@ -17,7 +17,7 @@ parallel ops:
   * the I chain is a "decayed prefix max with resets": each unpruned
     substitution cell seeds C-gapOpen, gap cells decay by gapExtend,
     pruned cells reset to -inf.  In a decay-compensated domain this is
-    an associative scan with operator
+    a log-shift scan of the operator
         (s1,r1) x (s2,r2) = (s2 if r2 else max(s1,s2), r1|r2).
   * prune decisions and branch classification (can/cannot improve C)
     form an acyclic left-to-right dependency; Jacobi iteration over
@@ -26,33 +26,53 @@ parallel ops:
     typical rows converge in 2-3 rounds).  Unconverged rows (cap hit)
     are flagged and the anchor falls back to the host engine.
 
-Extensions of unbounded length are supported by CHUNKING: the kernel
-processes a static number of rows per launch and returns its full
-resumable state (DP vectors, band walk, running best, virtual
-traceback pointer).  The glue relaunches unfinished anchors until
-every lane terminates, collecting one (traceback-links, LY) buffer
-pair per chunk; the host traceback walks the chunk list backwards.
+TPU-shaped design decisions:
+  * lanes are ABSOLUTE query columns within a per-chunk window (lane l
+    <-> column b_off + l), so a DP row is pure elementwise VPU work
+    with static single-lane shifts — no per-row rolls, no gathers over
+    the band;
+  * substitution scores come from a COMPACT ALPHABET (the <=16
+    distinct byte codes actually present in the two sequences) via a
+    static select chain, not a 256x256 table gather;
+  * extensions of unbounded length run as CHUNKS of `rows` DP rows per
+    launch over a `lanes`-wide window; a chunk ends when the row
+    budget or the window is exhausted and the glue relaunches the
+    unfinished lanes with a re-anchored window, collecting one
+    traceback-links buffer (plus its column origin) per chunk.  The
+    host traceback walks the chunk list backwards.
 
-Per-anchor per-chunk outputs: best score + end cell (+ boundary
-variant for --noytrim), rows used, band extent, status flags, per-row
-window starts (LY) and the (rows x width) traceback link-byte matrix,
-from which the host recovers the edit script with the reference's
-gap-extension-preferring walk (gapped_extend.c:3845-3860).
-
-The band width is static per call; anchors whose band outgrows it
-report OVERFLOW and are re-extended by the host engine (exactness is
-never sacrificed).
+Per-anchor outputs: best score + end cell (+ boundary variant for
+--noytrim), rows used, band extent, status flags, and per-chunk
+traceback link bytes from which the host recovers the edit script
+with the reference's gap-extension-preferring walk
+(gapped_extend.c:3845-3860).  Anchors whose band outgrows the static
+window report OVERFLOW and are re-extended by the host engine
+(exactness is never sacrificed).
 """
 
 from __future__ import annotations
 
 import functools
+import os
+import tempfile
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.scoring import NEG_INFINITY_SCORE
+
+# persistent compilation cache: the chunk kernel's unrolled scan body
+# is large and recompiles are expensive; cache survives processes
+_cache_dir = os.environ.get(
+    "LASTZ_TPU_JAX_CACHE",
+    os.path.join(tempfile.gettempdir(), "lastz_tpu_jax_cache"))
+if _cache_dir and _cache_dir != "0":
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
 
 C_FROM_C = 0
 C_FROM_I = 1
@@ -65,8 +85,8 @@ NEG = np.int32(NEG_INFINITY_SCORE)  # -1932735283, reference negInfinity
 SENT32 = np.int32(-(1 << 30))       # "no candidate" sentinel (row maxima)
 # i-chain identity: below every reachable value (min real value is
 # negInfinity + veryBadScore - gapOE ~ -2.0401e9) yet far enough from
-# INT32_MIN that the decay compensation (<= (W+1)*gapE, the glue caps
-# gapE) never wraps; the reference itself computes in 32-bit scores
+# INT32_MIN that the decay compensation (<= (lanes+1)*gapE, the glue
+# caps gapE) never wraps; the reference itself computes 32-bit scores
 ISENT = np.int32(-2_080_000_000)
 MAX_COMP_GAP_E = 60_000             # glue-enforced cap on gapExtend
 
@@ -76,47 +96,89 @@ ST_WIDTH_OVERFLOW = 1   # band wider than the static window
 ST_UNCONVERGED = 4      # prune fixpoint cap hit (pathological row)
 ST_TRUNCATED = 8        # traceback arena exhausted (reference semantic)
 
-_FIXPOINT_CAP = 64
+_FIXPOINT_UNROLL = 3
 
 STATE_KEYS = ("CC", "DD", "LY", "RY", "row", "best", "end1", "end2",
               "bscore", "bflag", "tbp", "rows_used", "maxRY",
               "status", "done")
 
 
-def _scan_combine(a, b):
-    s1, r1 = a
-    s2, r2 = b
-    return jnp.where(r2, s2, jnp.maximum(s1, s2)), r1 | r2
+def _shift_right(x, n, fill):
+    """x shifted right by n along the last axis, filling with `fill`."""
+    pad = jnp.full(x.shape[:-1] + (n,), fill, x.dtype)
+    return jnp.concatenate([pad, x[..., :-n]], axis=-1)
 
 
-def _i_chain(c_sub, pruned, gap, active, k_iota, gap_e, gap_oe):
+def _prefix_max(x, fill):
+    """Inclusive prefix max along the last axis (log-shift form)."""
+    W = x.shape[-1]
+    shift = 1
+    while shift < W:
+        x = jnp.maximum(x, _shift_right(x, shift, fill))
+        shift *= 2
+    return x
+
+
+def _prefix_max_reset(s, r):
+    """Inclusive scan of the decayed-max-with-resets operator
+    (s1,r1) x (s2,r2) = (s2 if r2 else max(s1,s2), r1|r2) in
+    Hillis-Steele log-shift form."""
+    W = s.shape[-1]
+    shift = 1
+    while shift < W:
+        s_sh = _shift_right(s, shift, ISENT)
+        r_sh = _shift_right(r, shift, False)
+        s = jnp.where(r, s, jnp.maximum(s_sh, s))
+        r = r | r_sh
+        shift *= 2
+    return s
+
+
+def _i_chain(c_sub, reset, is_seed, l_iota, gap_e, gap_oe):
     """Insertion-state chain values entering each lane, plus the
     inclusive scan for the exit value.  Seeds are unpruned
     substitution cells (C-gapOE); gap-branch cells decay the chain by
-    gapE without reseeding (no back-to-back gaps); pruned cells reset
-    the chain to negInfinity exactly (host ydrop.py:443,469,516-520).
-    Computed in a decay-compensated int32 domain (value + (k+1)*gapE);
-    see the ISENT note above for why this cannot wrap.
-    """
-    is_seed = active & ~pruned & ~gap
-    reset = pruned & active
-    comp = (k_iota + 1) * gap_e
+    gapE without reseeding (no back-to-back gaps); pruned cells (and
+    the left edge of the feasible window) reset the chain to
+    negInfinity exactly (host ydrop.py:443,469,516-520).  Computed in
+    a decay-compensated int32 domain (value + (l+1)*gapE); see the
+    ISENT note above for why this cannot wrap."""
+    comp = (l_iota + 1) * gap_e
     elem_s = jnp.where(
         reset, NEG + comp,
         jnp.where(is_seed, c_sub - gap_oe + comp, ISENT))
-    s_scan, _ = jax.lax.associative_scan(_scan_combine, (elem_s, reset))
-    s_excl = jnp.concatenate(
-        [jnp.full((1,), NEG, jnp.int32), s_scan[:-1]])
-    i_vec = s_excl - k_iota * gap_e
+    s_scan = _prefix_max_reset(elem_s, reset)
+    s_excl = _shift_right(s_scan, 1, NEG)
+    i_vec = s_excl - l_iota * gap_e
     return i_vec, s_scan
 
 
-def fresh_state_np(N, gap_e, gap_oe, y_drop, width, batch):
+def make_compact_alphabet(arrays, sub, max_k=16):
+    """Compact alphabet over the byte codes present in `arrays` (plus
+    NUL); returns (code_map[256] -> small index, subsmall (K,K) int32)
+    or None when more than max_k codes occur."""
+    present = np.zeros(256, bool)
+    present[0] = True
+    for a in arrays:
+        present[np.unique(a)] = True
+    codes = np.nonzero(present)[0]
+    if len(codes) > max_k:
+        return None
+    code_map = np.zeros(256, np.int32)
+    code_map[codes] = np.arange(len(codes), dtype=np.int32)
+    subsmall = np.zeros((max_k, max_k), np.int32)
+    subsmall[:len(codes), :len(codes)] = \
+        sub[np.ix_(codes, codes)].astype(np.int32)
+    return code_map, subsmall
+
+
+def fresh_state_np(N, gap_e, gap_oe, y_drop, lanes, batch):
     """Closed-form first DP row (gapped_extend.c:3550-3582), computed
     host-side: C(0,0)=0, C(0,j)=-gapOE-(j-1)*gapE while the previous
-    value stays >= -yDrop.  Returns the resumable state dict (numpy)
-    plus the row-0 link bytes (col 0 -> 0, others C_FROM_I)."""
-    W = width
+    value stays >= -yDrop.  Returns the resumable state dict (numpy,
+    CC/DD with window origin 0) plus the row-0 link bytes (col 0 -> 0,
+    others C_FROM_I)."""
+    W = lanes
     B = batch
     j = np.arange(W, dtype=np.int64)
     c0 = np.where(j == 0, 0, -gap_oe - (j - 1) * gap_e)
@@ -147,87 +209,83 @@ def fresh_state_np(N, gap_e, gap_oe, y_drop, width, batch):
     return st, row0_links
 
 
-def _chunk_one(a_win, b_win, b_off, row_base, M, N, state, sub,
+def _chunk_one(a_small, b_small, b_off, shift, M, N, state, subsmall,
                gap_e, gap_oe, y_drop,
-               *, width: int, rows: int, trim_to_peak: bool,
-               tb_cap: int):
+               *, lanes: int, rows: int, alpha: int,
+               trim_to_peak: bool, tb_cap: int):
     """Process up to `rows` DP rows for one anchor, resuming from
-    `state`.  a_win covers rows row_base+1 .. row_base+rows (local
-    index row-row_base-1); b_win covers cols b_off+1 .. b_off+b_cap
-    (local index col-b_off-1).  Returns (state', tb, ly) where tb/ly
-    are indexed by local row (row - row_base)."""
-    W = width
-    b_cap = b_win.shape[0]
-    k_iota = jax.lax.iota(jnp.int32, W)
+    `state`.  a_small: (rows,) compact codes for rows row_base+1 ..
+    row_base+rows; b_small: (lanes,) compact codes where lane l is
+    column b_off + l; state CC/DD arrive with origin b_off - shift and
+    are re-anchored on device.  Returns (state', tb) with tb indexed
+    by local row (row - row_base); tb lane l is column b_off + l."""
+    W = lanes
+    l_iota = jax.lax.iota(jnp.int32, W)
 
     if gap_e != 0:
         y_drop_tail = int(y_drop) // int(gap_e) + 6
     else:
         y_drop_tail = 500 * 1000
 
-    b_pad = jnp.concatenate([b_win, jnp.zeros((W + 2,), jnp.int32)])
+    # device-side window re-anchor (state stays on device between
+    # chunks; only the tiny scalars travel to the host)
+    padW = jnp.full((W,), NEG, jnp.int32)
+    CC0 = jax.lax.dynamic_slice(
+        jnp.concatenate([state["CC"], padW]), (shift,), (W,))
+    DD0 = jax.lax.dynamic_slice(
+        jnp.concatenate([state["DD"], padW]), (shift,), (W,))
+    state = dict(state)
+    state["CC"] = CC0
+    state["DD"] = DD0
 
-    tb_buf = jnp.zeros((rows + 1, W), jnp.uint8)
-    ly_buf = jnp.zeros((rows + 1,), jnp.int32)
-
-    def cond(st):
-        return ~st["stop"]
-
-    def body(st):
+    def scan_body(st, a_code):
         CC, DD = st["CC"], st["DD"]
         LY, RY, row = st["LY"], st["RY"], st["row"]
         best = st["best"]
-        local = row - row_base
+        stopped = st["stop"]
 
         # truncation check (gapped_extend.c:3621-3660): break BEFORE
         # the row when the traceback arena would overflow
         tb_needed = jnp.maximum(RY - LY, 0) + y_drop_tail
-        trunc = st["tbp"] + tb_needed >= tb_cap
+        trunc = ~stopped & (st["tbp"] + tb_needed >= tb_cap)
 
-        ly_buf = st["ly_buf"].at[local].set(LY)
+        # substitution scores for this row via the compact alphabet
+        srow = subsmall[a_code]
+        s_vals = jnp.zeros((W,), jnp.int32)
+        for c in range(alpha):
+            s_vals = jnp.where(b_small == c, srow[c], s_vals)
 
-        a_char = a_win[jnp.clip(local - 1, 0, rows - 1)]
-        sub_row = sub[a_char]
-        # b chars for cols LY+1 .. LY+W (c_sub inputs for lanes 1..W)
-        bs = jax.lax.dynamic_slice(b_pad, (LY - b_off,), (W,))
-        s_vals = sub_row[bs]
-
-        K = RY - LY
-        active = k_iota < K
+        LYr = LY - b_off   # feasible window in lane coordinates
+        RYr = RY - b_off
+        active = (l_iota >= LYr) & (l_iota < RYr)
         d = jnp.where(active, DD, NEG)
-        c_sub = jnp.concatenate(
-            [jnp.full((1,), NEG, jnp.int32), CC[:-1] + s_vals[:-1]])
-        c_sub = jnp.where(active & (k_iota >= 1), c_sub, NEG)
+        c_sub = _shift_right(CC, 1, NEG) + s_vals
+        c_sub = jnp.where(active & (l_iota > LYr), c_sub, NEG)
 
-        def fix_cond(fs):
-            return fs[2] & (fs[3] < _FIXPOINT_CAP)
-
-        def fix_body(fs):
-            pruned, gap, _, it = fs
-            i_vec, _ = _i_chain(c_sub, pruned, gap, active, k_iota,
-                                gap_e, gap_oe)
+        # prune/branch fixpoint, statically unrolled Jacobi rounds
+        # (see module docstring); the final extra evaluation detects
+        # the (rare, pathological) unconverged rows
+        left_dead = l_iota < LYr
+        pruned = jnp.zeros((W,), bool)
+        gap = jnp.zeros((W,), bool)
+        for _ in range(_FIXPOINT_UNROLL + 1):
+            reset = (pruned & active) | left_dead
+            is_seed = active & ~pruned & ~gap
+            i_vec, s_incl = _i_chain(c_sub, reset, is_seed, l_iota,
+                                     gap_e, gap_oe)
             gap_new = active & ((d > c_sub) | (i_vec > c_sub))
             cand = jnp.maximum(jnp.maximum(c_sub, d), i_vec)
             # running best within the row (exclusive prefix max over
             # unpruned substitution cells; best only updates there)
-            c_best = jnp.where(active & ~pruned & ~gap, c_sub, SENT32)
-            pmax = jax.lax.associative_scan(jnp.maximum, c_best)
-            pmax_excl = jnp.concatenate(
-                [jnp.full((1,), SENT32, jnp.int32), pmax[:-1]])
+            c_best = jnp.where(is_seed, c_sub, SENT32)
+            pmax_excl = _shift_right(_prefix_max(c_best, SENT32), 1,
+                                     SENT32)
             best_before = jnp.maximum(best, pmax_excl)
             pruned_new = active & (cand < best_before - y_drop)
             changed = jnp.any((pruned_new != pruned) | (gap_new != gap))
-            return pruned_new, gap_new, changed, it + 1
+            pruned, gap = pruned_new, gap_new
+        unconverged = changed
 
-        pruned0 = jnp.zeros((W,), bool)
-        pruned, gap, _, iters = jax.lax.while_loop(
-            fix_cond, fix_body,
-            (pruned0, pruned0, jnp.bool_(True), jnp.int32(0)))
-        unconverged = iters >= _FIXPOINT_CAP
-
-        # final values from the converged masks
-        i_vec, s_incl = _i_chain(c_sub, pruned, gap, active, k_iota,
-                                 gap_e, gap_oe)
         c_val = jnp.where(gap, jnp.maximum(d, i_vec), c_sub)
 
         # links (gapped_extend.c notes 5-9; host ydrop.py:453-533)
@@ -254,15 +312,15 @@ def _chunk_one(a_win, b_win, b_off, row_base, M, N, state, sub,
         c_e = jnp.where(elig, c_sub, SENT32)
         row_max = jnp.max(c_e)
         fires_best = jnp.any(elig) & (row_max >= best)
-        k_best = jnp.max(jnp.where(elig & (c_e == row_max), k_iota, -1))
+        k_best = jnp.max(jnp.where(elig & (c_e == row_max), l_iota, -1))
 
         if not trim_to_peak:
-            col_abs = LY + k_iota
+            col_abs = b_off + l_iota
             at_b = elig & ((row == M) | (col_abs == N))
             c_b = jnp.where(at_b, c_sub, SENT32)
             b_max = jnp.max(c_b)
             fires_b = jnp.any(at_b) & (b_max >= st["bscore"])
-            k_b = jnp.max(jnp.where(at_b & (c_b == b_max), k_iota, -1))
+            k_b = jnp.max(jnp.where(at_b & (c_b == b_max), l_iota, -1))
         else:
             fires_b = jnp.bool_(False)
             b_max = SENT32 * jnp.int32(1)
@@ -273,8 +331,9 @@ def _chunk_one(a_win, b_win, b_off, row_base, M, N, state, sub,
         use_b = fires_b & (~fires_best | (k_b >= k_best))
         use_best = fires_best & ~use_b
         end1 = jnp.where(use_b | use_best, row, st["end1"])
-        end2 = jnp.where(use_b, LY + k_b,
-                         jnp.where(use_best, LY + k_best, st["end2"]))
+        end2 = jnp.where(use_b, b_off + k_b,
+                         jnp.where(use_best, b_off + k_best,
+                                   st["end2"]))
         bflag = jnp.where(use_b, True,
                           jnp.where(use_best, False, st["bflag"]))
         best = jnp.where(fires_best, row_max, best)
@@ -283,17 +342,19 @@ def _chunk_one(a_win, b_win, b_off, row_base, M, N, state, sub,
         # LY advance over the leading pruned run; np_col
         notpr = active & ~pruned
         any_live = jnp.any(notpr)
-        n_lead = jnp.where(any_live,
-                           jnp.argmax(notpr).astype(jnp.int32), K)
-        LY_new = LY + n_lead
-        np_k = jnp.max(jnp.where(notpr, k_iota, -1))
-        np_col = LY + np_k
+        first_live = jnp.where(any_live,
+                               jnp.argmax(notpr).astype(jnp.int32), RYr)
+        LY_new = b_off + first_live
+        np_k = jnp.max(jnp.where(notpr, l_iota, -1))
+        np_col = b_off + np_k
 
         dead = LY_new >= RY  # host: if LY >= RY: break
 
         # RY update: shrink to np_col+1, or prolong with insertions
         # (host ydrop.py:538-559)
-        i_exit = s_incl[jnp.clip(K - 1, 0, W - 1)] - K * gap_e
+        K = RY - LY
+        i_exit = (s_incl[jnp.clip(RYr - 1, 0, W - 1)]
+                  - RYr * gap_e)
         shrink = RY > np_col + 1
         thresh = best - y_drop
         if gap_e != 0:
@@ -306,54 +367,44 @@ def _chunk_one(a_win, b_win, b_off, row_base, M, N, state, sub,
         has_sent = RY_shrunk <= N
         RY_final = RY_shrunk + has_sent.astype(jnp.int32)
 
-        # roll to the new window origin, then write prolongation cells
-        # and the NEG sentinel in rolled coordinates
-        shift = LY_new - LY
-        padW = jnp.full((W,), NEG, jnp.int32)
-        CC_roll = jax.lax.dynamic_slice(
-            jnp.concatenate([CC_cur, padW]), (shift,), (W,))
-        DD_roll = jax.lax.dynamic_slice(
-            jnp.concatenate([DD_next, padW]), (shift,), (W,))
-        pj = k_iota - (RY - LY_new)  # prolong index j at rolled lane k
+        # prolongation cells and NEG sentinel (absolute lanes)
+        pj = l_iota - RYr  # prolong index j at lane l
         is_prolong = (pj >= 0) & (pj < p)
         pro_val = i_exit - pj * gap_e
-        CC_roll = jnp.where(is_prolong, pro_val, CC_roll)
-        DD_roll = jnp.where(is_prolong, pro_val - gap_oe, DD_roll)
-        sent_k = RY_shrunk - LY_new
-        is_sent = has_sent & (k_iota == sent_k)
-        CC_roll = jnp.where(is_sent, NEG, CC_roll)
-        DD_roll = jnp.where(is_sent, NEG, DD_roll)
+        CC_new = jnp.where(is_prolong, pro_val, CC_cur)
+        DD_new = jnp.where(is_prolong, pro_val - gap_oe, DD_next)
+        sent_l = RY_shrunk - b_off
+        is_sent = has_sent & (l_iota == sent_l)
+        CC_new = jnp.where(is_sent, NEG, CC_new)
+        DD_new = jnp.where(is_sent, NEG, DD_new)
 
-        # tb bytes: scanned cells at lanes [0, K) in row-start coords,
-        # plus prolongation C_FROM_I bytes at lanes [K, K+p)
-        pro_tb = (k_iota >= K) & (k_iota < K + p)
-        tb_row_vec = jnp.where(pro_tb, np.int32(C_FROM_I),
+        # tb bytes: scanned cells carry links, prolongation cells
+        # carry C_FROM_I (lane <-> column b_off + l, like everything)
+        tb_row_vec = jnp.where(is_prolong, np.int32(C_FROM_I),
                                link).astype(jnp.uint8)
-        tb_buf = st["tb_buf"].at[local].set(
-            jnp.where(trunc, st["tb_buf"][local], tb_row_vec))
-        ly_buf = jnp.where(trunc, st["ly_buf"], ly_buf)
 
         tbp = st["tbp"] + K + p
 
-        # overflow checks against the static window
-        b_valid = b_off + b_cap
-        width_over = ((RY_final - LY_new > W) | (K + p > W)
-                      | ((RY_final > b_valid) & (b_valid < N + 1)))
+        # window / width bookkeeping
+        window_end = RY_final - b_off > W  # resume with fresh origin
+        width_over = (RY_final - LY_new > W) | (K + p > W)
+
+        keep = ~stopped & ~trunc  # truncated/stopped rows never happen
 
         status = st["status"]
-        status = status | jnp.where(unconverged, ST_UNCONVERGED, 0)
+        status = status | jnp.where(keep & unconverged,
+                                    ST_UNCONVERGED, 0)
         status = status | jnp.where(trunc, ST_TRUNCATED, 0)
         status = status | jnp.where(
-            width_over & ~dead & ~trunc, ST_WIDTH_OVERFLOW, 0)
+            keep & width_over & ~dead, ST_WIDTH_OVERFLOW, 0)
 
-        done = (trunc | dead | (row >= M) | width_over | unconverged)
-        chunk_end = ~done & (row + 1 > row_base + rows)
-        stop = done | chunk_end
+        done = st["done"] | trunc | (
+            keep & (dead | (row >= M) | width_over | unconverged))
+        stop = stopped | done | (keep & window_end)
 
-        keep = ~trunc  # on truncation the row never happened
-        return dict(
-            CC=jnp.where(keep, CC_roll, CC),
-            DD=jnp.where(keep, DD_roll, DD),
+        out = dict(
+            CC=jnp.where(keep, CC_new, CC),
+            DD=jnp.where(keep, DD_new, DD),
             LY=jnp.where(keep, LY_new, LY),
             RY=jnp.where(keep, RY_final, RY),
             row=row + keep.astype(jnp.int32),
@@ -366,41 +417,65 @@ def _chunk_one(a_win, b_win, b_off, row_base, M, N, state, sub,
             rows_used=jnp.where(keep, row, st["rows_used"]),
             maxRY=jnp.maximum(st["maxRY"],
                               jnp.where(keep, RY_final, 0)),
-            tb_buf=tb_buf,
-            ly_buf=ly_buf,
             status=status,
             done=done,
             stop=stop,
         )
+        ys = jnp.where(keep, tb_row_vec, jnp.zeros((W,), jnp.uint8))
+        return out, ys
 
     st = {k: state[k] for k in STATE_KEYS}
-    st["tb_buf"] = tb_buf
-    st["ly_buf"] = ly_buf
     st["stop"] = state["done"]
-    st = jax.lax.while_loop(cond, body, st)
+    st, tb_rows = jax.lax.scan(scan_body, st, a_small)
 
     out_state = {k: st[k] for k in STATE_KEYS}
-    return out_state, st["tb_buf"], st["ly_buf"]
+    tb_buf = jnp.concatenate(
+        [jnp.zeros((1, W), jnp.uint8), tb_rows], axis=0)
+    return out_state, tb_buf
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gap_e", "gap_oe", "y_drop", "width", "rows",
-                     "trim_to_peak", "tb_cap"))
-def ydrop_chunk(a_win, b_win, b_off, row_base, M, N, state, sub,
+    static_argnames=("gap_e", "gap_oe", "y_drop", "lanes", "rows",
+                     "alpha", "trim_to_peak", "tb_cap"))
+def ydrop_chunk(a_small, b_small, b_off, shift, M, N, state, subsmall,
                 gap_e: int, gap_oe: int, y_drop: int,
-                width: int, rows: int, trim_to_peak: bool,
-                tb_cap: int):
+                lanes: int, rows: int, alpha: int,
+                trim_to_peak: bool, tb_cap: int):
     """Batched resumable chunk: all array args carry a leading batch
-    dimension; `state` is a dict of batched state arrays."""
+    dimension; `state` is a dict of batched state arrays whose CC/DD
+    lane origin is b_off - shift (re-anchored on device)."""
     fn = functools.partial(
-        _chunk_one, sub=sub, gap_e=int(gap_e), gap_oe=int(gap_oe),
-        y_drop=int(y_drop), width=width, rows=rows,
+        _chunk_one, gap_e=int(gap_e), gap_oe=int(gap_oe),
+        y_drop=int(y_drop), lanes=lanes, rows=rows, alpha=alpha,
         trim_to_peak=trim_to_peak, tb_cap=tb_cap)
-    in_axes = (0, 0, 0, 0, 0, 0, {k: 0 for k in STATE_KEYS}, None)
     return jax.vmap(
-        lambda a, b, bo, rb, m, n, s: fn(a, b, bo, rb, m, n, s),
-    )(a_win, b_win, b_off, row_base, M, N, state)
+        lambda a, b, bo, sh, m, n, s: fn(a, b, bo, sh, m, n, s,
+                                         subsmall),
+    )(a_small, b_small, b_off, shift, M, N, state)
+
+
+def roll_state_np(state_np, old_off, new_off, lanes):
+    """Re-anchor CC/DD window origins host-side between chunks."""
+    if not state_np["CC"].flags.writeable:
+        state_np["CC"] = state_np["CC"].copy()
+        state_np["DD"] = state_np["DD"].copy()
+    CC = state_np["CC"]
+    DD = state_np["DD"]
+    B = CC.shape[0]
+    for b in range(B):
+        s = int(new_off[b] - old_off[b])
+        if s <= 0:
+            continue
+        if s >= lanes:
+            CC[b, :] = NEG
+            DD[b, :] = NEG
+            continue
+        CC[b, :-s] = CC[b, s:]
+        CC[b, -s:] = NEG
+        DD[b, :-s] = DD[b, s:]
+        DD[b, -s:] = NEG
+    return state_np
 
 
 def ydrop_exact_batch(a_full, b_full, M, N, sub,
@@ -415,75 +490,158 @@ def ydrop_exact_batch(a_full, b_full, M, N, sub,
     padded with 0); used by tests and small drivers.
 
     Returns dict with score/end1/end2/status plus assembled "tb"
-    (B, total_rows+1, width) uint8 and "ly" (B, total_rows+1).
+    (B, total_rows+1, lanes) uint8 and "ly" (B, total_rows+1) column
+    origins per row.
     """
     B = a_full.shape[0]
-    b_cap = rows + width
-    st, row0_links = fresh_state_np(
-        np.asarray(N, np.int64), gap_e, gap_oe, y_drop, width, B)
-    state = {k: jnp.asarray(v) for k, v in st.items()}
-    tb_parts = [[] for _ in range(B)]  # (row_start, tb_np, ly_np)
+    lanes = rows + width
+    cmap_sub = make_compact_alphabet(
+        [a_full.ravel(), b_full.ravel()], sub, max_k=16)
+    assert cmap_sub is not None, "alphabet too large for the kernel"
+    code_map, subsmall = cmap_sub
+    st_np, row0_links = fresh_state_np(
+        np.asarray(N, np.int64), gap_e, gap_oe, y_drop, lanes, B)
+    state = {k: jnp.asarray(v) for k, v in st_np.items()}
+    tb_parts = [[] for _ in range(B)]  # (row_start, col0, tb_np)
+    prev_off = np.zeros(B, np.int64)
     chunk = 0
     while True:
-        row_base = np.asarray(state["row"]) - 1
-        b_off = np.asarray(state["LY"]).astype(np.int64)
+        done = np.asarray(state["done"])
+        row_base = np.asarray(state["row"]).astype(np.int64) - 1
+        b_off = np.where(done, prev_off,
+                         np.asarray(state["LY"]).astype(np.int64))
+        shift = (b_off - prev_off).astype(np.int32)
+        prev_off = b_off.copy()
         a_win = np.zeros((B, rows), np.int32)
-        b_win = np.zeros((B, b_cap), np.int32)
+        b_win = np.zeros((B, lanes), np.int32)
         for b in range(B):
             lo = int(row_base[b])
             src = a_full[b, lo: lo + rows]
-            a_win[b, : len(src)] = src
+            a_win[b, : len(src)] = code_map[src]
+            # b_full[i] holds the char of DP column i+1; lane l of the
+            # kernel window is column b_off + l
             lo2 = int(b_off[b])
-            src = b_full[b, lo2: lo2 + b_cap]
-            b_win[b, : len(src)] = src
-        state, tb, ly = ydrop_chunk(
+            if lo2 == 0:
+                src = b_full[b, : lanes - 1]
+                b_win[b, 1: 1 + len(src)] = code_map[src]
+            else:
+                src = b_full[b, lo2 - 1: lo2 - 1 + lanes]
+                b_win[b, : len(src)] = code_map[src]
+        state, tb = ydrop_chunk(
             jnp.asarray(a_win), jnp.asarray(b_win),
-            jnp.asarray(b_off, dtype=jnp.int32),
-            jnp.asarray(row_base, dtype=jnp.int32),
+            jnp.asarray(b_off.astype(np.int32)), jnp.asarray(shift),
             jnp.asarray(M, dtype=jnp.int32),
             jnp.asarray(N, dtype=jnp.int32),
-            state, jnp.asarray(sub),
+            state, jnp.asarray(subsmall),
             gap_e=gap_e, gap_oe=gap_oe, y_drop=y_drop,
-            width=width, rows=rows, trim_to_peak=trim_to_peak,
-            tb_cap=tb_cap)
+            lanes=lanes, rows=rows, alpha=subsmall.shape[0],
+            trim_to_peak=trim_to_peak, tb_cap=tb_cap)
         tb_np = np.asarray(tb)
-        ly_np = np.asarray(ly)
         done = np.asarray(state["done"])
         rows_used = np.asarray(state["rows_used"])
         for b in range(B):
             if chunk == 0 or rows_used[b] > row_base[b]:
-                tb_parts[b].append((int(row_base[b]), tb_np[b], ly_np[b]))
+                tb_parts[b].append((int(row_base[b]), int(b_off[b]),
+                                    tb_np[b]))
         chunk += 1
         if done.all() or chunk >= max_chunks:
             break
 
-    out = {k: np.asarray(state[k]) for k in STATE_KEYS
-           if k not in ("CC", "DD")}
+    st_np = {k: np.asarray(v) for k, v in state.items()}
+    out = {k: st_np[k] for k in STATE_KEYS if k not in ("CC", "DD")}
     out["score"] = np.where(out["bflag"], out["bscore"], out["best"])
     # assemble contiguous tb/ly
     total = int(out["rows_used"].max()) + 1
-    tb_all = np.zeros((B, total, width), np.uint8)
+    tb_all = np.zeros((B, total, lanes), np.uint8)
     ly_all = np.zeros((B, total), np.int32)
-    tb_all[:, 0, :] = row0_links[:, :width]
+    tb_all[:, 0, :row0_links.shape[1]] = row0_links[:, :lanes]
     for b in range(B):
-        for (base, tb_np, ly_np) in tb_parts[b]:
+        for (base, col0, tb_np_b) in tb_parts[b]:
             lo = base + 1
             hi = min(int(out["rows_used"][b]) + 1, base + rows + 1)
             if hi <= lo:
                 continue
             n = hi - lo
-            tb_all[b, lo: hi] = tb_np[1: 1 + n]
-            ly_all[b, lo: hi] = ly_np[1: 1 + n]
+            tb_all[b, lo: hi] = tb_np_b[1: 1 + n]
+            ly_all[b, lo: hi] = col0
     out["tb"] = tb_all
     out["ly"] = ly_all
     return out
+
+
+OP_S = 1
+OP_I = 2
+OP_D = 3
+_OP_CHR = {OP_S: "S", OP_I: "I", OP_D: "D"}
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def traceback_chunk_dev(tb, col0, row_lo, row_hi, row, col, prev_op,
+                        cap: int):
+    """Walk one chunk's traceback links backward, batched over lanes.
+
+    tb: (B, R+1, W) uint8 link bytes (local row = row - (row_lo-1),
+    lane = col - col0); row_lo/row_hi: per-lane global row range this
+    chunk actually computed; (row, col, prev_op): per-lane walk state.
+    A lane steps while its row is inside the chunk's range (the row-0
+    insertion run is synthesized link-free when row_lo <= 1).  Returns
+    (ops, n_ops, row, col, prev_op): ops is (B, cap) uint8 of
+    OP_S/OP_I/OP_D codes in walk order (alignment end -> start).
+
+    Replicates the reference's gap-extension-preferring walk
+    (gapped_extend.c:3845-3860).
+    """
+    B = tb.shape[0]
+    R1 = tb.shape[1]
+    W = tb.shape[2]
+
+    def active(row, col):
+        live = (row >= 1) | (col > 0)
+        in_chunk = (row <= row_hi) & ((row >= row_lo)
+                                      | ((row == 0) & (row_lo <= 1)))
+        return live & in_chunk
+
+    def cond(st):
+        row, col, prev, n, ops = st
+        return jnp.any(active(row, col)) & jnp.all(n < cap)
+
+    def body(st):
+        row, col, prev, n, ops = st
+        act = active(row, col)
+        local = jnp.clip(row - (row_lo - 1), 0, R1 - 1)
+        lane = jnp.clip(col - col0, 0, W - 1)
+        link = tb[jnp.arange(B), local, lane].astype(jnp.int32)
+        op = link & CID_BITS
+        op = jnp.where((prev == C_FROM_I) & ((link & I_EXTEND) != 0),
+                       C_FROM_I, op)
+        op = jnp.where((prev == C_FROM_D) & ((link & D_EXTEND) != 0),
+                       C_FROM_D, op)
+        op = jnp.where(row == 0, C_FROM_I, op)  # row-0 insertion run
+        code = jnp.where(op == C_FROM_I, OP_I,
+                         jnp.where(op == C_FROM_D, OP_D, OP_S))
+        ops = ops.at[jnp.arange(B), jnp.minimum(n, cap - 1)].set(
+            jnp.where(act, code.astype(jnp.uint8), 0))
+        row_n = jnp.where(op == C_FROM_I, row, row - 1)
+        col_n = jnp.where(op == C_FROM_D, col, col - 1)
+        row = jnp.where(act, row_n, row)
+        col = jnp.where(act, col_n, col)
+        prev = jnp.where(act, op, prev)
+        n = n + act.astype(jnp.int32)
+        return row, col, prev, n, ops
+
+    ops0 = jnp.zeros((B, cap), jnp.uint8)
+    n0 = jnp.zeros((B,), jnp.int32)
+    row, col, prev, n, ops = jax.lax.while_loop(
+        cond, body, (row, col, prev_op, n0, ops0))
+    return ops, n, row, col, prev
 
 
 def traceback_ops(tb: np.ndarray, ly: np.ndarray, end1: int,
                   end2: int) -> list[str]:
     """Host traceback over the kernel's link bytes; replicates the
     reference's gap-extension-preferring walk
-    (gapped_extend.c:3845-3860; host ydrop.py:563-584)."""
+    (gapped_extend.c:3845-3860; host ydrop.py:563-584).  ly[row] is
+    the column of the row's first tb lane."""
     row, col = int(end1), int(end2)
     ops: list[str] = []
     prev_op = 0

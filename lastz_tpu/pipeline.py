@@ -485,6 +485,13 @@ class Pipeline:
             if len(query.v) == 0:
                 continue
             num_queries += 1
+            if cfg.shard_count > 1:
+                # process-level query sharding (--shard=i/n): the
+                # TPU-native analogue of the reference's capsule
+                # farm-out — each worker takes every n-th query and
+                # the per-shard outputs concatenate (capsule.c:6-15)
+                if (num_queries - 1) % cfg.shard_count != cfg.shard_index:
+                    continue
             if cfg.progress and (cfg.progress == 1
                                  or num_queries % cfg.progress == 1):
                 # --progress=<n> (lastz.c dbgQueryProgress)

@@ -1,0 +1,366 @@
+"""Batched seed search: vectorized hit-list generation + batched
+x-drop extension + vectorized diagonal-hash replay.
+
+Replaces the per-base probe loop of SeedSearchEngine.search
+(reference private_hit_search, seed_search.c:464-579) for the common
+configuration (simple hit processor, x-drop or no extension).  The
+stages:
+
+ 1. BUILD (vectorized numpy): pack every query word, expand the
+    transition-flip probe set, and expand the position-table CSR
+    ranges into the full candidate hit list in EXACTLY the reference's
+    enumeration order — query position ascending, probe order, target
+    positions descending (the last/prev chain order).
+ 2. EXTEND (batched, ops/xdrop_batch.py): unblocked two-sided x-drop
+    extension of every candidate on the device (or vectorized numpy).
+ 3. RESOLVE (vectorized): the 64K diagonal-hash protocol
+    (process_for_simple_hit, seed_search.c:1056-1198).  The key
+    observation making this parallel: the per-diagonal extent state
+    (diagEnd) advances with the RIGHT-scan block of each extended hit,
+    which is independent of the left-scan block — so the whole
+    per-hashed-diagonal chain is a segmented exclusive prefix-max over
+    extents, with dropped hits excluded.  Drop decisions and extents
+    are mutually dependent along each chain; a Jacobi fixpoint over
+    segmented prefix-max passes converges in a few rounds (depth-d
+    decisions are final after d rounds).
+ 4. REPORT (host): hits surviving the hash protocol are threshold-
+    filtered vectorized (the entropy multiplier is <= 1, so raw score
+    below a positive threshold can never pass), and only genuine HSP
+    candidates reach the per-hit Python path: entropy adjustment,
+    the rare left-block-bound re-extension (exact scalar), and the
+    reporter call sequence in the original order.
+
+The scalar engine remains both the oracle and the fallback for the
+exotic modes (recoverable/twin hits, quantum, overweight seeds,
+positional/substitution filters, exact/mismatch extension).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..config import GFEX_NO_EXTEND, GFEX_XDROP
+from ..core.scoring import entropy
+from ..index.postable import _window_words
+
+HASH_INACTIVE = -1
+DIAG_HASH_SIZE = 65536
+MIN64 = np.int64(-(1 << 62))
+
+
+def _use_jax_backend() -> bool:
+    # the numpy backend is the default even when the device path is on:
+    # the x-drop scans are short and memory-bound, and per-batch device
+    # dispatch latency dominates them on remote-attached chips.  Set
+    # LASTZ_TPU_XDROP_JAX=1 for locally attached accelerators.
+    return os.environ.get("LASTZ_TPU_XDROP_JAX", "") not in ("", "0")
+
+
+def supported(engine) -> bool:
+    hp = engine.hp
+    if engine.hit_mode != "simple":
+        return False
+    if hp.gf_extend not in (GFEX_XDROP, GFEX_NO_EXTEND):
+        return False
+    if hp.pos_filter or hp.min_matches >= 0:
+        return False
+    if engine.seed.type == "R":
+        return False
+    return True
+
+
+def _probe_xors(seed):
+    """The probe-word XOR sequence: exact word first, then transition
+    flips in the reference's order (seed_search.c:464-579)."""
+    xors = [0]
+    if seed.with_trans >= 1:
+        flips = list(seed.trans_flips)
+        if seed.with_trans == 1:
+            xors.extend(flips)
+        else:
+            for i, f in enumerate(flips):
+                xors.append(f)
+                for g in flips[i + 1:]:
+                    xors.append(f ^ g)
+    return np.array(xors, dtype=np.int64)
+
+
+def _build_hits(engine, start, pos_lo, pos_hi):
+    """Candidate hits for valid-word indices [pos_lo, pos_hi) of the
+    window-word array, in reference order.  Returns (pos1, pos2,
+    group) arrays; `group` indexes the valid-position list."""
+    seed = engine.seed
+    L = seed.length
+    pt = engine.pt
+    valid_idx = engine._batched_valid_idx
+    packed_all = engine._batched_packed
+    sel = valid_idx[pos_lo:pos_hi]
+    packed = packed_all[sel].astype(np.int64)
+    xors = engine._batched_xors
+    nprobe = len(xors)
+    wmat = (packed[:, None] ^ xors[None, :]).ravel()
+    csr_start = pt.csr_start
+    starts = csr_start[wmat].astype(np.int64)
+    ends = csr_start[wmat + 1].astype(np.int64)
+    cnt = ends - starts
+    total = int(cnt.sum())
+    if total == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
+    grp = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    cum = np.concatenate([[0], np.cumsum(cnt)])
+    within = np.arange(total, dtype=np.int64) - cum[grp]
+    csr_idx = ends[grp] - 1 - within  # descending = last/prev order
+    if pt.alive is not None:
+        keep = pt.alive[csr_idx]
+        grp = grp[keep]
+        csr_idx = csr_idx[keep]
+    pos1 = pt.adj_start + pt.step * pt.csr_pos[csr_idx].astype(np.int64)
+    pidx = grp // nprobe  # index into sel
+    pos2 = start + L + sel[pidx]
+    # self-comparison / band filters (seed_search.c:841-847)
+    keep = np.ones(len(pos1), bool)
+    if engine.self_compare:
+        if engine.same_strand:
+            keep &= pos1 < pos2
+        else:
+            p1 = pos1 - L
+            p2 = (len(engine.seq2) - 1) - (pos2 - L)
+            keep &= p1 < p2
+    if engine.same_strand and engine.band_width > 0:
+        keep &= (pos2 - pos1) <= engine.band_width
+    if not keep.all():
+        pos1 = pos1[keep]
+        pos2 = pos2[keep]
+        pidx = pidx[keep]
+    return pos1, pos2, pos_lo + pidx
+
+
+def _seg_cummax_exclusive(x, seg_start):
+    """Exclusive prefix max along segments (log-doubling).  x int64,
+    seg_start bool marking the first element of each segment."""
+    n = len(x)
+    out = np.full(n, MIN64)
+    out[1:] = x[:-1]
+    out[seg_start] = MIN64
+    # blocked[i]: the prefix ending at i may not cross a segment start
+    dist = np.arange(n, dtype=np.int64)
+    # seg_id via cumsum of starts
+    seg_id = np.cumsum(seg_start) - 1
+    shift = 1
+    while shift < n:
+        cand = np.full(n, MIN64)
+        cand[shift:] = out[:-shift]
+        ok = np.zeros(n, bool)
+        ok[shift:] = seg_id[shift:] == seg_id[:-shift]
+        np.maximum(out, np.where(ok, cand, MIN64), out=out)
+        shift *= 2
+    return out
+
+
+def _resolve_chains(extent, pos2mL, de0, seg_start, max_rounds=64):
+    """Fixpoint of the diagonal-hash drop protocol along each hashed-
+    diagonal chain: a hit is dropped when the extent state before it
+    (de0 joined with the running max of PREVIOUS undropped extents)
+    exceeds pos2 - seedLength.  Returns (alive, de_before) or None
+    when unconverged (caller falls back to the scalar engine)."""
+    n = len(extent)
+    alive = np.ones(n, bool)
+    for _ in range(max_rounds):
+        contrib = np.where(alive, extent, MIN64)
+        run = _seg_cummax_exclusive(contrib, seg_start)
+        de_before = np.maximum(run, de0)
+        dropped = de_before > pos2mL
+        new_alive = ~dropped
+        if np.array_equal(new_alive, alive):
+            return alive, de_before
+        alive = new_alive
+    return None
+
+
+def batched_search(engine, start: int = 0, end: int = 0):
+    """Drop-in replacement for SeedSearchEngine.search; returns
+    bases_hit, or None when this configuration is not supported."""
+    if not supported(engine):
+        return None
+    if end == 0:
+        end = len(engine.seq2)
+    seed = engine.seed
+    L = seed.length
+    if end - start < L:
+        return 0
+
+    codes = engine.char_to_bits[engine.seq2[start:end]]
+    words, valid = _window_words(codes, L, seed.bits_per_base)
+    engine._batched_packed = seed.pack(words)
+    engine._batched_valid_idx = np.nonzero(valid)[0]
+    engine._batched_xors = _probe_xors(seed)
+    n_pos = len(engine._batched_valid_idx)
+    if n_pos == 0:
+        return 0
+
+    hp = engine.hp
+    x_drop = hp.x_drop
+    sub = engine._sub
+    no_extend = hp.gf_extend == GFEX_NO_EXTEND
+    use_jax = (_use_jax_backend() and not no_extend
+               and sub is not None and sub.dtype == np.int64
+               and np.abs(sub).max() < (1 << 31)
+               and max(len(engine.seq1), len(engine.seq2)) < (1 << 31))
+    if use_jax:
+        import jax.numpy as jnp
+        from ..ops.xdrop_batch import batch_xdrop_jax
+        seq1_dev = jnp.asarray(engine.seq1)
+        seq2_dev = jnp.asarray(engine.seq2)
+        sub_dev = jnp.asarray(sub.astype(np.int32))
+    elif not no_extend:
+        from ..ops.xdrop_batch import batch_xdrop_np
+
+    bases_hit = 0
+    POS_CHUNK = 1 << 20
+    de = engine.diag_end
+    da = engine.diag_actual
+    thresh_is_score = hp.hsp_threshold.t == "S"
+    thresh = hp.hsp_threshold.s
+    seq1 = engine.seq1
+    seq2 = engine.seq2
+    from ..core.scoring import SCORE_TYPE
+
+    trip_pos = -1  # valid-position index where the search limit hit
+
+    for pos_lo in range(0, n_pos, POS_CHUNK):
+        pos_hi = min(pos_lo + POS_CHUNK, n_pos)
+        pos1a, pos2a, grp = _build_hits(engine, start, pos_lo, pos_hi)
+        H = len(pos1a)
+        if H == 0:
+            continue
+        diag_a = pos1a - pos2a
+        h_a = (diag_a & (DIAG_HASH_SIZE - 1)).astype(np.int64)
+
+        if no_extend:
+            ext = None
+            extent = pos2a
+        else:
+            if use_jax:
+                ext = batch_xdrop_jax(seq1_dev, seq2_dev, sub_dev,
+                                      pos1a, pos2a, x_drop)
+            else:
+                ext = batch_xdrop_np(seq1, seq2, sub, pos1a, pos2a,
+                                     x_drop)
+            extent = pos1a + ext["right_consumed"] - diag_a
+
+        # chain resolution per hashed diagonal
+        order = np.argsort(h_a, kind="stable")
+        hs = h_a[order]
+        seg_start = np.ones(H, bool)
+        seg_start[1:] = hs[1:] != hs[:-1]
+        de0 = de[hs]
+        de0 = np.where(de0 == HASH_INACTIVE, 0, de0)
+        res = _resolve_chains(extent[order], (pos2a - L)[order],
+                              de0, seg_start)
+        if res is None:
+            return None  # pathological; scalar engine takes over
+        alive_s, de_before_s = res
+        alive = np.zeros(H, bool)
+        alive[order] = alive_s
+        de_before = np.zeros(H, np.int64)
+        de_before[order] = de_before_s
+
+        # advance the engine's diagonal state to end-of-chunk values
+        contrib = np.where(alive_s, extent[order], MIN64)
+        seg_ends = np.nonzero(
+            np.concatenate([seg_start[1:], [True]]))[0]
+        seg_first = np.nonzero(seg_start)[0]
+        seg_max = np.maximum.reduceat(
+            np.maximum(contrib, de0), seg_first)
+        touched_h = hs[seg_first]
+        # diagActual tracks the diagonal of the LAST extent update;
+        # only 'recover' mode reads it (unsupported here) but keep the
+        # array coherent for debugging
+        de[touched_h] = np.maximum(de[touched_h], seg_max)
+        de[touched_h] = np.where(de[touched_h] == HASH_INACTIVE, 0,
+                                 de[touched_h])
+
+        if no_extend:
+            cand_mask = alive
+        else:
+            lc = ext["left_consumed"]
+            stop1_blk = np.maximum(de_before + diag_a, 0)
+            bind = alive & (lc > pos1a - stop1_blk)
+            sim_raw = ext["left_score"] + ext["right_score"]
+            if thresh_is_score and thresh > 0:
+                # entropy multiplier <= 1: below-threshold raw scores
+                # can never pass, drop them vectorized
+                cand_mask = alive & (bind | (sim_raw >= thresh))
+            else:
+                cand_mask = alive
+
+        cand_idx = np.nonzero(cand_mask)[0]
+        for i in cand_idx:
+            g = int(grp[i])
+            if trip_pos >= 0 and g > trip_pos:
+                engine.limit_exceeded = True
+                if engine.on_limit_exceeded is not None:
+                    engine.on_limit_exceeded()
+                return bases_hit
+            pos1 = int(pos1a[i])
+            pos2 = int(pos2a[i])
+            diag = int(diag_a[i])
+            if no_extend:
+                bases_hit += engine._report(pos1, pos2, L, 0)
+            elif bind[i]:
+                # exact scalar re-extension under the left block
+                hh = int(h_a[i])
+                saved = int(de[hh])
+                de[hh] = int(de_before[i])
+                engine._unblocked_left = False
+                r = engine._xdrop_extend(pos1, pos2, L)
+                de[hh] = max(saved, int(de[hh]))
+                if r is None:
+                    continue
+                bases_hit += engine._report(*r)
+            else:
+                left_score = int(ext["left_score"][i])
+                left_start = int(ext["left_start"][i])
+                right_score = int(ext["right_score"][i])
+                right_stop = int(ext["right_stop"][i])
+                similarity = left_score + right_score
+                new_pos1 = right_stop
+                new_pos2 = new_pos1 - diag
+                new_length = right_stop - left_start
+                # entropy adjustment (seed_search.c:2850-2905)
+                adjust = False
+                if hp.entropic_hsp:
+                    if thresh_is_score:
+                        adjust = (similarity >= hp.hsp_zero_threshold
+                                  and similarity <= 3 * thresh)
+                    elif similarity > 0:
+                        anch = engine.anchors
+                        adjust = (anch is not None and len(anch) > 0
+                                  and similarity >= anch.low_score)
+                if adjust:
+                    q = entropy(
+                        seq1[new_pos1 - new_length: new_pos1],
+                        seq2[new_pos2 - new_length: new_pos2])
+                    similarity = (similarity * q if SCORE_TYPE == "D"
+                                  else int(similarity * q))
+                if thresh_is_score and similarity < thresh:
+                    continue
+                bases_hit += engine._report(new_pos1, new_pos2,
+                                            new_length, similarity)
+            if (engine.search_limit > 0 and engine.search_to_go < 0
+                    and trip_pos < 0):
+                trip_pos = g
+        if trip_pos >= 0 and pos_hi < n_pos:
+            engine.limit_exceeded = True
+            if engine.on_limit_exceeded is not None:
+                engine.on_limit_exceeded()
+            return bases_hit
+
+    if trip_pos >= 0 and trip_pos < n_pos - 1:
+        engine.limit_exceeded = True
+        if engine.on_limit_exceeded is not None:
+            engine.on_limit_exceeded()
+    return bases_hit

@@ -141,6 +141,12 @@ class SeedSearchEngine:
     # -- main loop --------------------------------------------------------
 
     def search(self, start: int = 0, end: int = 0) -> int:
+        import os
+        if os.environ.get("LASTZ_TPU_SCALAR_SEARCH", "") in ("", "0"):
+            from .batched import batched_search
+            r = batched_search(self, start, end)
+            if r is not None:
+                return r
         if end == 0:
             end = len(self.seq2)
         seed = self.seed
