@@ -125,6 +125,78 @@ def batch_xdrop_np(seq1, seq2, sub, pos1, pos2, x_drop):
 # ---------------------------------------------------------------------------
 
 
+_JAX_FUSED = {}
+
+
+def _get_fused(chunk, hslice):
+    """Jitted fused scan: the whole multi-round chunked continuation
+    runs in ONE device launch (lax.while over rounds), so a hit slice
+    costs one upload of (p1, p2, n) and one download of the results —
+    no per-round host round trips (essential on remote-attached
+    accelerators)."""
+    key = (chunk, hslice)
+    if key not in _JAX_FUSED:
+        import jax
+        _JAX_FUSED[key] = jax.jit(
+            functools.partial(_jax_fused_impl, chunk=chunk))
+    return _JAX_FUSED[key]
+
+
+def _jax_fused_impl(seq1, seq2, sub, p1, p2, n, x_drop, step,
+                    chunk: int):
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    H = p1.shape[0]
+    offs = jnp.arange(chunk, dtype=jnp.int32)
+    L1 = seq1.shape[0]
+    L2 = seq2.shape[0]
+
+    def round_body(st):
+        base, cum, runmax, best, kbest, consumed, live = st
+        i1 = p1[:, None] + step * (base[:, None] + offs[None, :])
+        i2 = p2[:, None] + step * (base[:, None] + offs[None, :])
+        rem = n - base
+        valid = (offs[None, :] < rem[:, None]) & live[:, None]
+        ch1 = seq1[jnp.clip(i1, 0, L1 - 1)]
+        ch2 = seq2[jnp.clip(i2, 0, L2 - 1)]
+        sc = jnp.where(valid, sub[ch1, ch2], 0)
+        c = cum[:, None] + jnp.cumsum(sc, axis=1)
+        m = jnp.maximum(lax.cummax(c, axis=1), runmax[:, None])
+        bad = (c < jnp.maximum(m, 0) - x_drop) & valid
+        any_bad = jnp.any(bad, axis=1)
+        first_bad = jnp.where(any_bad,
+                              jnp.argmax(bad, axis=1).astype(jnp.int32),
+                              chunk)
+        take = jnp.minimum(jnp.minimum(first_bad + 1, rem), chunk)
+        take = jnp.maximum(take, 0)
+        inpref = (offs[None, :] < take[:, None]) & live[:, None]
+        cc = jnp.where(inpref, c, jnp.int32(-(1 << 30)))
+        chunk_best = jnp.max(cc, axis=1)
+        chunk_arg = jnp.argmax(cc, axis=1).astype(jnp.int32)
+        better = live & (chunk_best > best)
+        best = jnp.where(better, chunk_best, best)
+        kbest = jnp.where(better, base + chunk_arg, kbest)
+        consumed = jnp.where(live, base + take, consumed)
+        last = jnp.maximum(take - 1, 0)
+        cum = jnp.where(live,
+                        jnp.take_along_axis(c, last[:, None],
+                                            axis=1)[:, 0], cum)
+        runmax = jnp.where(live,
+                           jnp.take_along_axis(m, last[:, None],
+                                               axis=1)[:, 0], runmax)
+        base = jnp.where(live, base + chunk, base)
+        live = live & (~any_bad) & (rem > chunk)
+        return base, cum, runmax, best, kbest, consumed, live
+
+    z = jnp.zeros((H,), jnp.int32)
+    st = (z, z, z, z, jnp.full((H,), -1, jnp.int32), z, n > 0)
+    st = lax.while_loop(lambda s: jnp.any(s[6]), round_body, st)
+    _, _, _, best, kbest, consumed, _ = st
+    kbest = jnp.where(best > 0, kbest, -1)
+    return consumed, best, kbest
+
+
 _JAX_SCAN = None
 
 
@@ -176,16 +248,16 @@ def _jax_scan_chunk_impl(seq1, seq2, sub, p1, p2, n, base, cum, runmax,
     return consumed, cum, runmax, best, kbest, cont
 
 
-HSLICE = 1 << 17   # hits per device call (bounds memory)
+HSLICE = 1 << 16   # hits per device call (bounds memory)
 FIRST_CHUNK = 128  # most scans die within a few dozen cells
 
 
 def batch_xdrop_jax(seq1_dev, seq2_dev, sub_dev, pos1, pos2, x_drop,
-                    chunk: int = CHUNK):
-    """JAX variant of batch_xdrop_np; sequences and the 256x256 sub
-    table are device-resident arrays.  Hits are processed in fixed
-    HSLICE batches (padded, so jit shapes stay stable); each batch
-    scans a short first chunk then full chunks for the survivors."""
+                    chunk: int = 256):
+    """Fused device variant of batch_xdrop_np; sequences and the
+    256x256 sub table are device-resident.  Hits are processed in
+    fixed HSLICE batches (padded, so jit shapes stay stable); each
+    slice is ONE device launch + ONE result fetch."""
     import jax.numpy as jnp
     pos1 = np.asarray(pos1, dtype=np.int64)
     pos2 = np.asarray(pos2, dtype=np.int64)
@@ -194,6 +266,7 @@ def batch_xdrop_jax(seq1_dev, seq2_dev, sub_dev, pos1, pos2, x_drop,
     out = {}
     L1 = int(seq1_dev.shape[0])
     L2 = int(seq2_dev.shape[0])
+    fused = _get_fused(chunk, HSLICE)
     for which, step in (("left", -1), ("right", +1)):
         if which == "left":
             stop1 = np.maximum(diag, 0)
@@ -208,43 +281,24 @@ def batch_xdrop_jax(seq1_dev, seq2_dev, sub_dev, pos1, pos2, x_drop,
         consumed = np.zeros(H, np.int64)
         best = np.zeros(H, np.int64)
         kbest = np.full(H, -1, np.int64)
-        cum = np.zeros(H, np.int32)
-        runmax = np.zeros(H, np.int32)
-        base = np.zeros(H, np.int64)
-        scan = _get_jax_scan()
-
-        def run_scan(live, this_chunk):
-            npad = (-len(live)) % HSLICE if len(live) > HSLICE                 else HSLICE - len(live)
-            liv = np.concatenate([live, np.zeros(npad, np.int64)])
-            nn = n[liv].copy()
-            nn[len(live):] = 0  # padding lanes are dead
-            cj, cumj, rmj, bj, kj, cont = scan(
+        for lo in range(0, H, HSLICE):
+            hi = min(lo + HSLICE, H)
+            k = hi - lo
+            pad = HSLICE - k
+            p1s = np.concatenate([p1[lo:hi],
+                                  np.zeros(pad, np.int64)])
+            p2s = np.concatenate([p2[lo:hi],
+                                  np.zeros(pad, np.int64)])
+            ns = np.concatenate([n[lo:hi], np.zeros(pad, np.int64)])
+            cj, bj, kj = fused(
                 seq1_dev, seq2_dev, sub_dev,
-                jnp.asarray(p1[liv], jnp.int32),
-                jnp.asarray(p2[liv], jnp.int32),
-                jnp.asarray(nn, jnp.int32),
-                jnp.asarray(base[liv], jnp.int32),
-                jnp.asarray(cum[liv]), jnp.asarray(runmax[liv]),
-                jnp.asarray(best[liv], jnp.int32),
-                jnp.asarray(kbest[liv], jnp.int32),
-                jnp.int32(x_drop), step=step, chunk=this_chunk)
-            k = len(live)
-            consumed[live] = np.asarray(cj)[:k]
-            cum[live] = np.asarray(cumj)[:k]
-            runmax[live] = np.asarray(rmj)[:k]
-            best[live] = np.asarray(bj)[:k]
-            kbest[live] = np.asarray(kj)[:k]
-            base[live] += this_chunk
-            return live[np.asarray(cont)[:k]]
-
-        alive0 = np.nonzero(n > 0)[0]
-        for lo in range(0, len(alive0), HSLICE):
-            live = alive0[lo: lo + HSLICE]
-            first = True
-            while len(live):
-                live = run_scan(live,
-                                FIRST_CHUNK if first else chunk)
-                first = False
+                jnp.asarray(p1s, jnp.int32),
+                jnp.asarray(p2s, jnp.int32),
+                jnp.asarray(ns, jnp.int32), jnp.int32(x_drop),
+                jnp.int32(step))
+            consumed[lo:hi] = np.asarray(cj)[:k]
+            best[lo:hi] = np.asarray(bj)[:k]
+            kbest[lo:hi] = np.asarray(kj)[:k]
         kbest = np.where(best > 0, kbest, -1)
         if which == "left":
             out["left_consumed"] = consumed

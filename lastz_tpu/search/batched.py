@@ -51,11 +51,13 @@ MIN64 = np.int64(-(1 << 62))
 
 
 def _use_jax_backend() -> bool:
-    # the numpy backend is the default even when the device path is on:
-    # the x-drop scans are short and memory-bound, and per-batch device
-    # dispatch latency dominates them on remote-attached chips.  Set
-    # LASTZ_TPU_XDROP_JAX=1 for locally attached accelerators.
-    return os.environ.get("LASTZ_TPU_XDROP_JAX", "") not in ("", "0")
+    # the fused device scan costs one launch + one fetch per hit
+    # slice, so it follows the device switch; LASTZ_TPU_XDROP_JAX
+    # forces it on/off independently
+    forced = os.environ.get("LASTZ_TPU_XDROP_JAX", "")
+    if forced != "":
+        return forced != "0"
+    return os.environ.get("LASTZ_TPU_DEVICE", "") not in ("", "0")
 
 
 def supported(engine) -> bool:
