@@ -161,7 +161,8 @@ class YDropAligner:
     """One-strand gapped extension pass over a set of anchors."""
 
     def __init__(self, v1, v2, scoring, y_drop, trim_to_peak,
-                 traceback_mem=80 * 1024 * 1024):
+                 traceback_mem=80 * 1024 * 1024,
+                 truncation_report=True):
         self.v1 = v1
         self.v2 = v2
         self.rev1 = v1[::-1].copy()
@@ -174,6 +175,7 @@ class YDropAligner:
         self.trim_to_peak = trim_to_peak
         self.tb_len = traceback_mem  # 1 byte/cell, like the reference
         self.truncation_reported = False
+        self.report_truncations = truncation_report
 
         # bounds context, set per anchor
         self.left_align: Optional[GAlign] = None
@@ -332,6 +334,8 @@ class YDropAligner:
             if tb_needed < 0:
                 tb_needed = 0
             if tbp + tb_needed >= tb_cap:
+                if not self.report_truncations:
+                    break  # --notruncationreport (lastz.c:7815)
                 if not reversed_:
                     sys.stderr.write(
                         f"truncating alignment ending at ({end1 + anchor1 + 1}"
@@ -1050,7 +1054,8 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
                   score_thresh=None, traceback_mem=80 * 1024 * 1024,
                   all_bounds=False, max_paired_bases=0,
                   overly_paired_warn=False, overly_paired_keep=False,
-                  on_overly_paired=None, use_device=None):
+                  on_overly_paired=None, use_device=None,
+                  truncation_report=True):
     """reference gapped_extend (gapped_extend.c:1012), unpartitioned path.
 
     Returns list of Alignment in increasing-start order.  When
@@ -1062,7 +1067,8 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
     thresh = score_thresh.s if score_thresh is not None else 0
 
     aligner = YDropAligner(target.v, query.v, scoring, y_drop, trim_to_peak,
-                           traceback_mem)
+                           traceback_mem,
+                           truncation_report=truncation_report)
 
     # sort anchors by decreasing score (reference batched_segments ->
     # qSegmentsByDecreasingScore; ties prefer shorter, then pos2, pos1, id)

@@ -349,6 +349,8 @@ class DeviceYDrop:
         from ..ops.ydrop_exact import ST_TRUNCATED
         if not (int(res["status"]) & ST_TRUNCATED):
             return
+        if not aligner.report_truncations:
+            return  # --notruncationreport
         end1, end2 = int(res["end1"]), int(res["end2"])
         if not reversed_:
             sys.stderr.write(

@@ -67,6 +67,98 @@ KNOWN_FORMATS = {
 }
 
 
+# reference option-surface aliases (lastz.c parse_options_loop): each
+# maps a reference spelling onto the canonical option(s) we parse
+_EXACT_ALIASES = {
+    "--AXT": "--format=axt", "--AXT+": "--format=axt+",
+    "--AXT:size2": "--format=axt:size2", "--WAXT": "--format=waxt",
+    "--CIGAR": "--format=cigar", "--GFA": "--format=gfa",
+    "--GFANOSCORE": "--format=gfanoscore",
+    "--LAV": "--format=lav", "--LAV+": "--format=lav+",
+    "--LAV+text": "--format=lav+text", "--text+LAV": "--format=lav+text",
+    "--text+lav": "--format=lav+text", "--LAVSCORE": "--format=lavscore",
+    "--MAF": "--format=maf", "--MAF+": "--format=maf+",
+    "--MAF-": "--format=maf-",
+    "--MAFSEGMENTS": "--format=mafsegments",
+    "--MAFSEGMENTS+": "--format=mafsegments+",
+    "--MAFSEGMENTS-": "--format=mafsegments-",
+    "--mafsegments": "--format=mafsegments",
+    "--mafsegments+": "--format=mafsegments+",
+    "--mafsegments-": "--format=mafsegments-",
+    "--SAM": "--format=sam", "--SAM-": "--format=sam-",
+    "--SOFTSAM": "--format=softsam", "--SOFTSAM-": "--format=softsam-",
+    "--SAM+EQX": "--format=sam+eqx", "--SAM+EQX-": "--format=sam+eqx-",
+    "--SOFTSAM+EQX": "--format=softsam+eqx",
+    "--SOFTSAM+EQX-": "--format=softsam+eqx-",
+    "--sam+eqx": "--format=sam+eqx", "--softsam+eqx": "--format=softsam+eqx",
+    "--all": "--help", "--ambiguousn": "--ambiguous=n",
+    "--blastz": "--help", "--short": "--help", "--shortcuts": "--help",
+    "-h": "--help", "-help": "--help",
+    "-v": "--version", "-version": "--version",
+    "--bothstrands": "--strand=both",
+    "--plusstrand": "--strand=plus", "--minusstrand": "--strand=minus",
+    "--strand=+": "--strand=plus", "--strand=forward": "--strand=plus",
+    "--strand=-": "--strand=minus", "--strand=reverse": "--strand=minus",
+    "--trans": "--transition", "--trans=1": "--transition",
+    "--trans=0": "--notransition", "--transition=1": "--transition",
+    "--transition=0": "--notransition", "--trans=2": "--transition=2",
+    "--unitscore": "--match=1,1", "--unitscores": "--match=1,1",
+    "--recoverhits": "--recoverseeds",
+    "--nogx": "--nogapped",
+    "--noydroptrim": "--noytrim",
+    "--tryout:immediategapped": "--anyornone",
+    "--tryout=immediategapped": "--anyornone",
+    "--cigar": "--format=cigar",
+    "--axt+": "--format=axt+", "--axt:size2": "--format=axt:size2",
+    "--waxt": "--format=waxt",
+    "--gfanoscore": "--format=gfanoscore", "--lav+": "--format=lav+",
+    "--lav+text": "--format=lav+text", "--lavscore": "--format=lavscore",
+    "--maf+": "--format=maf+",
+    "--gx": "--gapped", "--gfx": "--gfextend",
+    "--h": "--help",
+    "--entropy=report": "--entropy",
+}
+
+# prefix aliases: reference prefix -> our prefix
+_PREFIX_ALIAS_MAP = {
+    "--mspthresh=": "--hspthresh=",
+    "--mspthreshold=": "--hspthresh=",
+    "--out=": "--output=",
+    "--score=": "--scores=",
+    "--mem:target=": "--allocate:target=",
+    "--mem:query=": "--allocate:query=",
+    "--mem:traceback=": "--allocate:traceback=",
+    "--memory:target=": "--allocate:target=",
+    "--memory:query=": "--allocate:query=",
+    "--memory:traceback=": "--allocate:traceback=",
+    "--writesegments=": "--output=",  # + segments format, below
+    "--MAF=": "--maf=", "--AXT=": "--axt=",
+}
+
+
+def _prefix_alias(arg):
+    for p, repl in _PREFIX_ALIAS_MAP.items():
+        if arg.startswith(p):
+            out = repl + arg[len(p):]
+            if p == "--writesegments=":
+                # reference goes on to format=segments (lastz.c:7259)
+                return out + " --format=segments"
+            return out
+    return None
+
+
+def _show_defaults(cfg, to_stderr=False):
+    """--show=defaults (reference show defaults dump): a concise
+    summary of the effective scoring/seeding defaults."""
+    import sys as _s
+    f = _s.stderr if to_stderr else _s.stdout
+    f.write("lastz_tpu defaults:\n")
+    f.write("  seed=12of19 step=1 transitions=1\n")
+    f.write("  scores=HOXD70 gap_open=400 gap_extend=30\n")
+    f.write("  xdrop=10*sub[A][A] ydrop=open+300*extend\n")
+    f.write("  hspthresh=3000 gappedthresh=hspthresh\n")
+
+
 HELP_TEXT = """\
 lastz_tpu -- TPU-native local pairwise DNA aligner (LASTZ-compatible)
 usage: lastz_tpu target [query] [options]
@@ -522,6 +614,12 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             elif fmt in ("rdotplot", "rdotplot+score"):
                 cfg.output_format = fmt
                 cfg.de_gapify_output = True
+            elif fmt in ("mafsegments", "mafsegments+",
+                         "mafsegments-"):
+                cfg.output_format = {"mafsegments": "maf",
+                                     "mafsegments+": "maf+",
+                                     "mafsegments-": "maf-"}[fmt]
+                cfg.de_gapify_output = True
             elif fmt == "zerotext":
                 cfg.output_format = "ztext"
             elif fmt in ("istats", "infstats") or (
@@ -742,7 +840,7 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             # precanned expansion arguments (lastz.c:559-575)
             exp = _YASRA_EXPANDERS.get(arg.split(":", 1)[0])
             if exp is None:
-                raise UsageError(f"unknown option {arg}")
+                raise UsageError('Can%st understand "%s"' % (chr(39), arg))
             old = ":" in arg and _lastz_version_le(arg.split(":", 1)[1],
                                                    "1.02.45")
             parse_options(exp[0 if old else 1].split(),
@@ -756,7 +854,7 @@ def parse_options(argv: list[str], cfg: Config | None = None,
                 "stop": "",
             }.get(kind)
             if cfg.show_pos_table is None:
-                raise UsageError(f"unknown option {arg}")
+                raise UsageError('Can%st understand "%s"' % (chr(39), arg))
         elif arg == "--showtable":
             cfg.show_pos_table = "table"
         elif arg == "--showtable=count":
@@ -800,7 +898,7 @@ def parse_options(argv: list[str], cfg: Config | None = None,
                 elif mode == "discard":
                     cfg.overly_paired_keep = False
                 else:
-                    raise UsageError(f"unknown option {arg}")
+                    raise UsageError('Can%st understand "%s"' % (chr(39), arg))
             cfg.max_paired_depth = max(0.0, float(v))
         elif arg.startswith("--debug=gapped:pairedbases=keep:"):
             # (lastz.c:8145-8162)
@@ -858,6 +956,81 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             # equivalent of the reference's lastz_D build
             cfg.score_type = "D"
             args_parts.pop()
+        # -- reference option-surface aliases (lastz.c parse_options_loop)
+        elif arg in _EXACT_ALIASES:
+            parse_options(_EXACT_ALIASES[arg].split(), cfg=cfg,
+                          allow_include=False)
+        elif _prefix_alias(arg) is not None:
+            parse_options(_prefix_alias(arg).split(), cfg=cfg,
+                          allow_include=False)
+        elif arg in ("--eqx", "--EQX", "--mark:eqx", "--mark:EQX",
+                     "--mark:mismatches"):
+            # minimap2-style =/X cigars in SAM output (lastz.c:7160)
+            cfg.sam_mark_mismatches = True
+        elif arg in ("--noxtrim", "--noxdroptrim"):
+            # the reference itself rejects these (lastz.c:6296-6298)
+            raise UsageError("sorry, --noxtrim not implemented yet")
+        elif arg in ("--runtime", "--noruntime"):
+            pass  # wall-clock report to stderr only; no output effect
+        elif arg == "--notruncationreport":
+            cfg.no_truncation_report = True
+        elif arg == "--version:noerror":
+            print("lastz_tpu 0.1.0")
+            sys.exit(0)
+        elif arg == "--rawhits":
+            # report every seed hit unfiltered (lastz.c:5724,9821-9824)
+            cfg.raw_hits = True
+        elif arg == "--show=defaults" or arg == "--show=defaults:stderr":
+            _show_defaults(cfg, to_stderr=arg.endswith(":stderr"))
+        elif arg.startswith(("--action:target=", "--action1=")):
+            cfg.target_actions.append(val)
+        elif arg.startswith(("--action:query=", "--action2=")):
+            cfg.query_actions.append(val)
+        elif arg == "--progress":
+            cfg.progress = 1
+        elif arg.startswith("--progress+masking"):
+            cfg.progress = _unitized_int(val) if val is not None else 1
+        elif arg.startswith("--progress:"):
+            # stage-progress debug streams; we report via --progress=
+            sys.stderr.write(f"lastz_tpu: {arg.split('=')[0]} ignored\n")
+        elif arg == "--debug" or arg.startswith("--debug="):
+            # the reference's unadvertised debug-print switches; the
+            # queryprogress family maps onto --progress, the rest only
+            # change stderr diagnostics we do not produce
+            dv = val or ""
+            if dv.startswith("queryprogress"):
+                _, _, n = dv.partition("=")
+                cfg.progress = _unitized_int(n) if n else 1
+            else:
+                sys.stderr.write(
+                    f"lastz_tpu: --debug={dv} has no effect here\n")
+        elif arg == "--nofilter":
+            cfg.min_matches = -1  # lastz.c:5615
+        elif arg in ("--nolaj", "--laj"):
+            pass  # laj-compatibility stanzas are not emitted anyway
+        elif arg == "--entropy=report":
+            cfg.entropic_hsp = True
+            cfg.report_entropy = True  # lastz.c:6447-6450
+        elif arg.startswith("--expand="):
+            # text-format context columns (lastz.c:7538-7546)
+            n = int(val)
+            if n < 0:
+                raise SystemExit("FAILURE: --expand cannot be negative")
+            if n >= 1000:
+                raise SystemExit(
+                    "FAILURE: --expand must be less than 1000")
+            cfg.text_context = n
+        elif arg in ("--force:reportfilteredhsps",
+                     "--force=reportfilteredhsps"):
+            cfg.force_report_filtered_hsps = True
+        elif arg.startswith("--gexverbosity="):
+            pass  # unadvertised gapped-extend debug verbosity
+        elif arg.startswith("--density="):
+            # densityFiltering is a non-default reference build option
+            raise UsageError(
+                "--density is not implemented in this build")
+        elif arg == "--yasra":
+            raise UsageError('Can%st understand "%s"' % (chr(39), arg))
         elif arg == "--version":
             print("lastz_tpu 0.1.0")
             sys.exit(0)
@@ -865,9 +1038,9 @@ def parse_options(argv: list[str], cfg: Config | None = None,
             print(HELP_TEXT)
             sys.exit(0)
         elif arg.startswith("--"):
-            raise UsageError(f"unknown option {arg}")
+            raise UsageError('Can%st understand "%s"' % (chr(39), arg))
         else:
-            raise UsageError(f"unknown option {arg}")
+            raise UsageError('Can%st understand "%s"' % (chr(39), arg))
 
     if seed_string is not None:
         cfg.seed_string = seed_string
@@ -966,6 +1139,23 @@ def parse_options(argv: list[str], cfg: Config | None = None,
     # quantum DNA detection (reference name_spec_is_quantum, lastz.c)
     cfg.target_is_quantum = _name_spec_is_quantum(cfg.seq1_filename)
     cfg.query_is_quantum = _name_spec_is_quantum(cfg.seq2_filename)
+
+    # --rawhits conflicts (lastz.c:9821-9824)
+    if cfg.raw_hits:
+        if cfg.twin_min_span > 0:
+            raise UsageError("--rawhits can't be used with --twins")
+        if cfg.gf_extend != GFEX_NO_EXTEND:
+            raise UsageError("--rawhits can't be used with --gfextend")
+
+    # --action:target=/--action:query= append to the sequence specs
+    if cfg.target_actions and cfg.seq1_filename:
+        from .pipeline import Pipeline
+        cfg.seq1_filename = Pipeline._apply_actions(
+            cfg.seq1_filename, cfg.target_actions)
+    if cfg.query_actions and cfg.seq2_filename:
+        from .pipeline import Pipeline
+        cfg.seq2_filename = Pipeline._apply_actions(
+            cfg.seq2_filename, cfg.query_actions)
 
     # --band= sanity checks (lastz.c:8757-8777)
     if cfg.band_width != 0:

@@ -177,6 +177,12 @@ class Config:
     band_width: int = 0  # --band= (0 => no band restriction, lastz.c:420)
     shard_index: int = 0  # --shard=i/n query sharding (farm-out)
     shard_count: int = 1
+    no_truncation_report: bool = False  # --notruncationreport
+    text_context: int = 0  # --expand= context columns (text formats)
+    force_report_filtered_hsps: bool = False  # --force:reportfilteredhsps
+    raw_hits: bool = False  # --rawhits (seed_search noHitFiltering)
+    target_actions: list = field(default_factory=list)  # --action:target=
+    query_actions: list = field(default_factory=list)   # --action:query=
 
     # quantum DNA (reference quantum.c): --ball seeding threshold
     query_is_quantum: bool = False

@@ -333,6 +333,17 @@ class Pipeline:
 
     # -- main entry ---------------------------------------------------------
 
+    @staticmethod
+    def _apply_actions(spec, actions):
+        """--action:target=/--action:query= (lastz.c): append bracket
+        actions to a sequence specifier."""
+        if not actions or spec is None:
+            return spec
+        extra = ",".join(actions)
+        if spec.endswith("]"):
+            return spec[:-1] + "," + extra + "]"
+        return spec + "[" + extra + "]"
+
     def run(self, target=None, pt=None):
         """Full job.  `target`/`pt` may be supplied pre-loaded (the
         scoring-inference loop shares them across iterations, as the
@@ -764,6 +775,9 @@ class Pipeline:
             hit_mode = "twin"
         if cfg.gf_extend == GFEX_NO_EXTEND and not cfg.gapped_extend:
             hit_mode = "plain"
+        if cfg.raw_hits:
+            # --rawhits: no hit filtering at all (lastz.c:5724)
+            hit_mode = "plain"
 
         same_strand = (cfg.self_compare
                        and target.rev_comp_flags == query.rev_comp_flags)
@@ -922,6 +936,7 @@ class Pipeline:
                 overly_paired_keep=cfg.overly_paired_keep,
                 on_overly_paired=self._make_paired_warner(
                     query, max_paired),
+                truncation_report=not cfg.no_truncation_report,
             )
             align_list = self._filter_aligns(target, query, align_list)
             if align_list and cfg.inner_threshold > 0:
