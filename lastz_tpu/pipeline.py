@@ -354,10 +354,18 @@ class Pipeline:
         if target is None and cfg.read_capsule:
             # target + index come from the capsule; its seed/step
             # replace the defaults (lastz.c:8807-8813)
-            from .index.capsule import open_capsule_file
-            target, pt = open_capsule_file(
-                cfg.capsule_filename,
-                writable_target=cfg.dynamic_masking > 0)
+            from .align.ydrop_device import device_enabled
+            if device_enabled() and cfg.dynamic_masking == 0:
+                # device path: push the capsule's index to HBM once
+                # and reuse it across queries/runs (capsule.c:6-15)
+                from .index.capsule import open_capsule_to_device
+                target, pt, self.device_index = open_capsule_to_device(
+                    cfg.capsule_filename)
+            else:
+                from .index.capsule import open_capsule_file
+                target, pt = open_capsule_file(
+                    cfg.capsule_filename,
+                    writable_target=cfg.dynamic_masking > 0)
             pt.seed.with_trans = cfg.with_trans
             cfg.seed = pt.seed
             cfg.step = pt.step
