@@ -1207,6 +1207,14 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
                     return []
                 break
 
+    from .. import stats as _stats
+    _stats.current.gapped_anchors += len(msps)
+    if device is not None:
+        _stats.current.gapped_device += device.stats_device
+        _stats.current.gapped_host += device.stats_host
+    else:
+        _stats.current.gapped_host += len(msps)
+
     # collect qualifying alignments in obi order
     out = []
     mp = obi
@@ -1218,4 +1226,5 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
         if keep:
             out.append(a)
         mp = mp.next
+    _stats.current.alignments += len(out)
     return out

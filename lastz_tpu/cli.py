@@ -868,12 +868,12 @@ def parse_options(argv: list[str], cfg: Config | None = None,
         elif arg.startswith("--progress="):
             cfg.progress = int(val)
         elif arg in ("--stats", "--stats=") or arg.startswith("--stats="):
-            # statistics collection is a compile-time feature the
-            # reference's release builds lack (lastz.c collect_stats)
-            print("--stats is not implemented in this build of the program",
-                  file=sys.stderr)
+            # per-module counters, the equivalent of the reference's
+            # collect_stats build (lastz.c:1796-1808); release
+            # reference builds only print a notice here
+            cfg.stats_filename = val or ""
         elif arg == "--nostats":
-            pass
+            cfg.stats_filename = None
         elif arg.startswith("--queryhspbest="):
             n = _unitized_int(val)
             if n <= 0:

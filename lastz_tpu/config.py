@@ -180,6 +180,7 @@ class Config:
     no_truncation_report: bool = False  # --notruncationreport
     text_context: int = 0  # --expand= context columns (text formats)
     force_report_filtered_hsps: bool = False  # --force:reportfilteredhsps
+    stats_filename: Optional[str] = None  # --stats[=file]; '' => stderr
     raw_hits: bool = False  # --rawhits (seed_search noHitFiltering)
     target_actions: list = field(default_factory=list)  # --action:target=
     query_actions: list = field(default_factory=list)   # --action:query=

@@ -351,6 +351,8 @@ class Pipeline:
         cfg = self.cfg
         disp = self.dispatcher
 
+        from . import stats
+        self.stats = stats.reset()
         if target is None and cfg.read_capsule:
             # target + index come from the capsule; its seed/step
             # replace the defaults (lastz.c:8807-8813)
@@ -438,6 +440,11 @@ class Pipeline:
                         "counts", "withcounts"))
                 self.out.write("\n")
 
+        self.stats.target_length = len(target.v)
+        self.stats.step = cfg.step
+        if pt is not None and getattr(pt, "csr_pos", None) is not None:
+            self.stats.words_in_table = len(pt.csr_pos)
+
         if cfg.write_capsule:
             # write the index snapshot and quit (lastz.c:1361-1376)
             from .index.capsule import write_capsule_file, unitize
@@ -504,6 +511,8 @@ class Pipeline:
             if len(query.v) == 0:
                 continue
             num_queries += 1
+            self.stats.num_queries += 1
+            self.stats.query_length += len(query.v)
             if cfg.shard_count > 1:
                 # process-level query sharding (--shard=i/n): the
                 # TPU-native analogue of the reference's capsule
@@ -575,6 +584,12 @@ class Pipeline:
                     else " HSP limit\n")
             sys.stderr.write(head + tail)
         disp.job_footer()
+        if cfg.stats_filename is not None:
+            if cfg.stats_filename == "":
+                self.stats.show(sys.stderr)
+            else:
+                with open(cfg.stats_filename, "w") as sf:
+                    self.stats.show(sf)
 
 
     def _rev_comp_query(self, query):

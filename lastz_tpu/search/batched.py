@@ -220,6 +220,9 @@ def batched_search(engine, start: int = 0, end: int = 0):
     elif not no_extend:
         from ..ops.xdrop_batch import batch_xdrop_np
 
+    from .. import stats as _stats
+    st = _stats.current
+    st.words_in_queries += n_pos
     bases_hit = 0
     POS_CHUNK = 1 << 20
     de = engine.diag_end
@@ -299,6 +302,10 @@ def batched_search(engine, start: int = 0, end: int = 0):
             else:
                 cand_mask = alive
 
+        st.raw_seed_hits += H
+        st.hash_dropped_hits += int((~alive).sum())
+        st.ungapped_extensions += int(alive.sum())
+
         cand_idx = np.nonzero(cand_mask)[0]
         for i in cand_idx:
             g = int(grp[i])
@@ -352,6 +359,7 @@ def batched_search(engine, start: int = 0, end: int = 0):
                     continue
                 bases_hit += engine._report(new_pos1, new_pos2,
                                             new_length, similarity)
+                st.hsps += 1
             if (engine.search_limit > 0 and engine.search_to_go < 0
                     and trip_pos < 0):
                 trip_pos = g

@@ -193,3 +193,15 @@ def test_band_restricts_hits(tmp_path):
     assert any(abs(d) > 2000 for d in offsets(wide))
     assert offsets(narrow)
     assert all(abs(d) <= 2000 + 64 for d in offsets(narrow))
+
+
+def test_stats_counters(tmp_path, capsys):
+    """--stats[=file]: per-module counters (the reference's
+    collect_stats build analogue, lastz.c:1796-1808)."""
+    out = tmp_path / "stats.txt"
+    run([f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa",
+         "--format=none", f"--stats={out}"])
+    text = out.read_text()
+    assert "target length: 18,803" in text
+    assert "raw seed hits:" in text
+    assert "alignments:" in text
