@@ -153,3 +153,64 @@ def test_tabular_to_maf(tmp_path):
     # 7 matches + 1 mismatch under HOXD70: 4*91+100+2*91 - 114 = ...
     from lastz_tpu.tools.tabular_to_maf import alignment_score
     assert a_line == "a score=%d" % alignment_score("ACGTACGT", "ACGTTCGT")
+
+
+# -- tabular_tools machinery (reference tabular_tools/) ----------------------
+
+
+def test_alignment_table_roundtrip(tmp_path):
+    from lastz_tpu.tools.alignment_table import (AlignmentTable,
+                                                 group_by)
+    text = ("#name1\tzstart1\tend1\tname2\tstrand2\tzstart2+\tend2+\tid%\n"
+            "chr1\t100\t200\tctgA\t+\t10\t110\t97.5\n"
+            "chr1\t300\t420\tctgB\t-\t50\t170\t95.0\n"
+            "chr2\t10\t60\tctgA\t+\t0\t50\t99.1\n")
+    p = tmp_path / "t.general"
+    p.write_text(text)
+    t = AlignmentTable.from_file(
+        str(p), preFill=True,
+        requiredColumns=["name1", "zstart1", "end1", "name2"])
+    rows = list(t)
+    assert len(rows) == 3
+    assert rows[0].name1 == "chr1" and rows[0].zstart1 == 100
+    assert isinstance(rows[0].zstart1, int)
+    assert abs(rows[1].id_ - 95.0) < 1e-9
+    groups = group_by(rows, "name2")
+    assert sorted(groups) == ["ctgA", "ctgB"]
+    assert len(groups["ctgA"]) == 2
+
+    import pytest
+    with pytest.raises(ValueError, match="required column"):
+        AlignmentTable.from_file(str(p), requiredColumns=["cigar"])
+
+
+def test_alignment_table_from_real_run(tmp_path):
+    """Table reader consumes our own --format=general output."""
+    import io
+    from lastz_tpu.cli import parse_options
+    from lastz_tpu.pipeline import Pipeline
+    from lastz_tpu.tools.alignment_table import AlignmentTable
+
+    TD = "/root/reference/test_data"
+    cfg = parse_options(
+        [f"{TD}/pseudocat.fa", f"{TD}/pseudopig.fa",
+         "--format=general:name1,zstart1,end1,name2,strand2,score"])
+    buf = io.StringIO()
+    Pipeline(cfg, buf).run()
+    buf.seek(0)
+    t = AlignmentTable.from_file(buf, preFill=True,
+                                 requiredColumns=["name1", "score"])
+    rows = list(t)
+    assert rows and all(isinstance(r.score, int) for r in rows)
+
+
+def test_cigar_utils():
+    from lastz_tpu.tools.cigar_utils import (cigar_lengths,
+                                             cigar_to_sam, merge_runs,
+                                             parse_cigar)
+    ops = parse_cigar("75M2I30M")
+    assert ops == [("M", 75), ("I", 2), ("M", 30)]
+    assert parse_cigar("M 75 I 2 M 30") == ops
+    assert cigar_lengths(ops) == (105, 107)
+    assert cigar_to_sam(ops) == "75M2I30M"
+    assert merge_runs(parse_cigar("10=1X5=")) == [("M", 16)]
