@@ -35,15 +35,19 @@ def _np_scan(seq1, seq2, sub, p1, p2, n, step):
     """Vectorized chunked scan for a batch of hits (numpy backend).
 
     p1/p2: (H,) first cell coordinates; n: (H,) scan lengths;
-    step: +1 (right) or -1 (left).
+    step: +1 (right) or -1 (left).  seq1/seq2 are COMPACT-alphabet
+    codes and sub a (K*K,) flat int32 table when _np_scan.flat is set
+    (cache-resident lookups); otherwise raw bytes + (256,256) table.
     Returns consumed, best, kbest (offsets; kbest = -1 if best <= 0).
     """
     H = len(p1)
+    flatK = getattr(_np_scan, "flatK", 0)
+    cdtype = np.int32 if flatK else sub.dtype
     consumed = np.zeros(H, dtype=np.int64)
-    best = np.zeros(H, dtype=sub.dtype)
+    best = np.zeros(H, dtype=cdtype)
     kbest = np.full(H, -1, dtype=np.int64)
-    cum = np.zeros(H, dtype=sub.dtype)
-    runmax = np.zeros(H, dtype=sub.dtype)
+    cum = np.zeros(H, dtype=cdtype)
+    runmax = np.zeros(H, dtype=cdtype)
     live = n > 0
     base = np.zeros(H, dtype=np.int64)  # cells consumed so far
     x_drop = _np_scan.x_drop
@@ -58,8 +62,14 @@ def _np_scan(seq1, seq2, sub, p1, p2, n, step):
         i2 = p2[idx, None] + step * (base[idx, None] + offs[None, :])
         rem = n[idx] - base[idx]
         valid = offs[None, :] < rem[:, None]
-        sc = sub[seq1[np.clip(i1, 0, L1 - 1)],
-                 seq2[np.clip(i2, 0, L2 - 1)]]
+        if flatK:
+            key = seq1[np.clip(i1, 0, L1 - 1)].astype(np.int16)
+            key *= flatK
+            key += seq2[np.clip(i2, 0, L2 - 1)]
+            sc = sub[key]
+        else:
+            sc = sub[seq1[np.clip(i1, 0, L1 - 1)],
+                     seq2[np.clip(i2, 0, L2 - 1)]]
         sc = np.where(valid, sc, 0)
         c = cum[idx, None] + np.cumsum(sc, axis=1)
         m = np.maximum(np.maximum.accumulate(c, axis=1),
@@ -71,8 +81,8 @@ def _np_scan(seq1, seq2, sub, p1, p2, n, step):
         take = np.minimum(take, chunk)
         # best over the taken prefix (first occurrence wins, strict >)
         inpref = offs[None, :] < take[:, None]
-        cc = np.where(inpref, c, np.iinfo(np.int64).min
-                      if sub.dtype == np.int64 else -np.inf)
+        cc = np.where(inpref, c, np.iinfo(cdtype).min
+                      if np.issubdtype(cdtype, np.integer) else -np.inf)
         chunk_best = cc.max(axis=1)
         chunk_arg = cc.argmax(axis=1)
         better = chunk_best > best[idx]
@@ -89,16 +99,27 @@ def _np_scan(seq1, seq2, sub, p1, p2, n, step):
     return consumed, best, kbest
 
 
-def batch_xdrop_np(seq1, seq2, sub, pos1, pos2, x_drop):
+def batch_xdrop_np(seq1, seq2, sub, pos1, pos2, x_drop,
+                   precoded=None):
     """Unblocked two-sided x-drop extension for a hit batch (numpy).
 
     pos1/pos2: (H,) hit END positions (origin-0 exclusive).
+    precoded: optional (s1_small, s2_small, subflat, K) compact-
+    alphabet arrays (int8 codes + flat (K*K,) int32 score table) —
+    score lookups then hit a cache-resident table and the cumulative
+    arithmetic runs in int32 (values are identical: the reference
+    computes 32-bit scores).
     Returns dict of per-hit arrays:
       left_consumed, left_score, left_start,
       right_consumed (== right_block - pos1), right_score, right_stop.
     """
     pos1 = np.asarray(pos1, dtype=np.int64)
     pos2 = np.asarray(pos2, dtype=np.int64)
+    if precoded is not None:
+        seq1, seq2, sub, K = precoded
+        _np_scan.flatK = K
+    else:
+        _np_scan.flatK = 0
     diag = pos1 - pos2
     # left: from pos1-1 down to stop1 = max(diag, 0)
     stop1 = np.maximum(diag, 0)

@@ -455,29 +455,6 @@ def ydrop_chunk(a_small, b_small, b_off, shift, M, N, state, subsmall,
     )(a_small, b_small, b_off, shift, M, N, state)
 
 
-def roll_state_np(state_np, old_off, new_off, lanes):
-    """Re-anchor CC/DD window origins host-side between chunks."""
-    if not state_np["CC"].flags.writeable:
-        state_np["CC"] = state_np["CC"].copy()
-        state_np["DD"] = state_np["DD"].copy()
-    CC = state_np["CC"]
-    DD = state_np["DD"]
-    B = CC.shape[0]
-    for b in range(B):
-        s = int(new_off[b] - old_off[b])
-        if s <= 0:
-            continue
-        if s >= lanes:
-            CC[b, :] = NEG
-            DD[b, :] = NEG
-            continue
-        CC[b, :-s] = CC[b, s:]
-        CC[b, -s:] = NEG
-        DD[b, :-s] = DD[b, s:]
-        DD[b, -s:] = NEG
-    return state_np
-
-
 def ydrop_exact_batch(a_full, b_full, M, N, sub,
                       gap_e: int, gap_oe: int, y_drop: int,
                       width: int = 768, rows: int = 512,

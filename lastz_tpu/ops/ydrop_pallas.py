@@ -1,9 +1,12 @@
-"""Batched y-drop gapped extension as a Pallas TPU kernel.
+"""Batched y-drop scoring as a Pallas TPU kernel (upper-bound
+throughput study; the PRODUCTION gapped stage is ops/ydrop_exact.py).
 
-This is the production hot path for the aligner's dominant cost (the
-reference's ydrop_one_sided_align row sweep, gapped_extend.c:3683).
-Anchors are extended concurrently — SUBBATCH per grid program, one per
-VPU sublane, with the DP band across the lane dimension.
+This kernel computes best score + end cell only, with a per-lane
+relaxation of the y-drop prune and no traceback — it measures the
+hardware's throughput ceiling for the recurrence, not golden-exact
+results.  Anchors are extended concurrently — SUBBATCH per grid
+program, one per VPU sublane, with the DP band across the lane
+dimension (reference row sweep: gapped_extend.c:3683).
 
 The production kernel (_ydrop_wavefront_kernel) sweeps ANTIDIAGONALS:
 at step d, lane l computes cell (row d-l, col l+1).  All three affine

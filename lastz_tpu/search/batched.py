@@ -219,6 +219,19 @@ def batched_search(engine, start: int = 0, end: int = 0):
         sub_dev = jnp.asarray(sub.astype(np.int32))
     elif not no_extend:
         from ..ops.xdrop_batch import batch_xdrop_np
+        precoded = None
+        if sub is not None and sub.dtype == np.int64 \
+                and np.abs(sub).max() < (1 << 31):
+            from ..ops.ydrop_exact import make_compact_alphabet
+            cmap = make_compact_alphabet(
+                [engine.seq1, engine.seq2], sub, max_k=16)
+            if cmap is not None:
+                code_map, subsmall = cmap
+                precoded = (code_map[engine.seq1].astype(np.int8),
+                            code_map[engine.seq2].astype(np.int8),
+                            np.ascontiguousarray(
+                                subsmall.reshape(-1)),
+                            subsmall.shape[0])
 
     from .. import stats as _stats
     st = _stats.current
@@ -253,7 +266,7 @@ def batched_search(engine, start: int = 0, end: int = 0):
                                       pos1a, pos2a, x_drop)
             else:
                 ext = batch_xdrop_np(seq1, seq2, sub, pos1a, pos2a,
-                                     x_drop)
+                                     x_drop, precoded=precoded)
             extent = pos1a + ext["right_consumed"] - diag_a
 
         # chain resolution per hashed diagonal
