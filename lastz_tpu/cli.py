@@ -1032,8 +1032,10 @@ def parse_options(argv: list[str], cfg: Config | None = None,
         elif arg == "--yasra":
             raise UsageError('Can%st understand "%s"' % (chr(39), arg))
         elif arg == "--version":
+            # the reference exits EXIT_FAILURE here so batch scripts
+            # notice; --version:noerror exits 0 (lastz.c:7836-7841)
             print("lastz_tpu 0.1.0")
-            sys.exit(0)
+            sys.exit(1)
         elif arg == "--help" or arg.startswith("--help="):
             print(HELP_TEXT)
             sys.exit(0)
