@@ -1108,6 +1108,21 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
     # bounding boxes of accepted alignments, for the device-safety test
     acc_bb: list[tuple] = []
 
+    def _in_accepted_bbox(p1, p2):
+        for (b1lo, b1hi, b2lo, b2hi) in acc_bb:
+            if b1lo <= p1 <= b1hi and b2lo <= p2 <= b2hi:
+                return True
+        return False
+
+    if device is not None:
+        # lazy-batch heuristic: don't speculatively extend anchors
+        # whose point already lies inside an accepted alignment's box
+        # (their device result would be rejected by the overlap test
+        # below anyway, and most are killed by msp_left_right)
+        device.precheck = (
+            lambda j: not _in_accepted_bbox(device.seg_infos[j][0],
+                                            device.seg_infos[j][1]))
+
     obi = oed = None
     paired_bases = 0
 
@@ -1152,7 +1167,8 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
             aligner.low2, aligner.high2 = p2.sep_before + 1, p2.sep_after
 
         use_dev = (device is not None
-                   and mp.left_seg1 is None and mp.right_seg1 is None)
+                   and mp.left_seg1 is None and mp.right_seg1 is None
+                   and not _in_accepted_bbox(mp.pos1, mp.pos2))
         if use_dev:
             device.result_for(k)
             use_dev = device.statuses_ok(k)

@@ -2,11 +2,10 @@
 kernel (ops/ydrop_exact.py) and the sequential accept loop of
 gapped_extend (align/ydrop.py; reference gapped_extend.c:1012).
 
-Anchors are extended speculatively on device in score order (both
-directions batched in one kernel call), UNCONSTRAINED by previous
-alignments.  The accept loop then takes each anchor's device result
-only when it is provably identical to what the constrained host DP
-would produce:
+Anchors are extended speculatively on device (both directions batched
+in one kernel call), UNCONSTRAINED by previous alignments.  The
+accept loop then takes each anchor's device result only when it is
+provably identical to what the constrained host DP would produce:
 
   * the anchor has no bounding segments (msp_left_right found nothing
     on either side), AND
@@ -20,6 +19,24 @@ cell-for-cell identical.  Anything else — bounded anchors, window
 overflows, unconverged rows, double-typed scores — falls back to the
 host engine for that anchor.  Exactness is never sacrificed; the
 device simply takes the (dominant) independent share of the work.
+
+Round-3 architecture (replaces the per-chunk host loop):
+
+  * MEGA-LAUNCH: both sequences' compact codes are uploaded once per
+    strand; ops/ydrop_exact.ydrop_mega runs up to `max_blocks` DP
+    chunks per launch, gathering windows and re-anchoring on device.
+    The per-lane loop scalars are fetched ONCE per launch in a single
+    packed transfer (tunnel round trips drop from one-per-1024-rows
+    to one-per-launch).
+  * DEVICE TRACEBACK in one call: traceback_mega_dev walks every
+    retained block for the whole batch at once.
+  * LAZY SCORE-ORDERED BATCHING: batches are assembled from the NEXT
+    anchors in accept (decreasing-score) order that still pass a
+    cheap msp_left_right precheck against the current alignment list,
+    instead of fixed index-aligned blocks.  Anchors already inside an
+    accepted alignment (the common case on conserved segments) are
+    never extended — msp_left_right(obi, ·) is monotone: once an
+    anchor fails it, it fails forever, so skipping is safe.
 """
 
 from __future__ import annotations
@@ -35,6 +52,7 @@ DEFAULT_WIDTH = int(os.environ.get("LASTZ_TPU_YDROP_WIDTH", "768"))
 DEFAULT_ROWS = int(os.environ.get("LASTZ_TPU_YDROP_ROWS", "1024"))
 DEFAULT_LANES = int(os.environ.get("LASTZ_TPU_YDROP_LANES", "0"))
 DEFAULT_BATCH = int(os.environ.get("LASTZ_TPU_YDROP_BATCH", "64"))
+DEFAULT_BLOCKS = int(os.environ.get("LASTZ_TPU_YDROP_BLOCKS", "8"))
 
 
 def device_enabled() -> bool:
@@ -56,9 +74,13 @@ class DeviceYDrop:
         self.width = width or DEFAULT_WIDTH
         self.rows = rows or DEFAULT_ROWS
         self.batch = batch or DEFAULT_BATCH
+        self.max_blocks = DEFAULT_BLOCKS
         self.tb_cap = int(traceback_mem)
         self.seg_infos = seg_infos
         self.y_drop = y_drop
+        # callback: may anchor index j still produce an alignment?
+        # (set by gapped_extend to an msp_left_right precheck)
+        self.precheck = None
 
         from ..ops.ydrop_exact import MAX_COMP_GAP_E
         if scoring.sub.dtype != np.int64:
@@ -85,59 +107,54 @@ class DeviceYDrop:
         self.lanes = DEFAULT_LANES or (self.width * 2)
         self._results: dict[int, dict] = {}
         self._ops: dict[int, tuple] = {}
+        self._computed: set[int] = set()
+        self._v1c = self._v2c = None
         self.ok = True
         self.stats_device = 0
         self.stats_host = 0
 
-    # -- batched chunked kernel invocation -------------------------------
+    # -- batched mega-launch invocation ----------------------------------
 
-    def _gather_windows(self, entries, row_base, b_off, code_map):
-        """Per-chunk window gather (compact-alphabet codes).
-        entries: (a1, a2, low1, high1, low2, high2, reversed) per
-        lane; lane l of b_win is column b_off + l."""
-        R = self.rows
-        lanes = self.lanes
-        n = len(entries)
-        a_win = np.zeros((n, R), np.int32)
-        b_win = np.zeros((n, lanes), np.int32)
-        v1, v2 = self.v1, self.v2
-        for j, (a1, a2, low1, high1, low2, high2, rev) in \
-                enumerate(entries):
-            lo = int(row_base[j])
-            bo = int(b_off[j])
-            if not rev:
-                src = v1[a1 + 1 + lo: min(a1 + 1 + lo + R, high1)]
-                a_win[j, : len(src)] = code_map[src]
-                src = v2[a2 + bo: min(a2 + bo + lanes, high2)]
-                b_win[j, : len(src)] = code_map[src]
-            else:
-                src = v1[max(low1, a1 + 1 - lo - R): a1 - lo + 1][::-1]
-                a_win[j, : len(src)] = code_map[src]
-                # reversed pass: column c reads v2[a2+1-c]; lane l is
-                # column bo + l, so lane 0 maps to index a2+1-bo
-                # (garbage when bo == 0: column 0 has no character)
-                if bo == 0:
-                    src = v2[max(low2, a2 + 2 - lanes): a2 + 1][::-1]
-                    b_win[j, 1: 1 + len(src)] = code_map[src]
-                else:
-                    src = v2[max(low2, a2 + 2 - bo - lanes):
-                             a2 + 2 - bo][::-1]
-                    b_win[j, : len(src)] = code_map[src]
-        return a_win, b_win
+    def _ensure_seqs(self):
+        if self._v1c is None:
+            import jax.numpy as jnp
+            self._v1c = jnp.asarray(self.code_map[self.v1].astype(np.int8))
+            self._v2c = jnp.asarray(self.code_map[self.v2].astype(np.int8))
 
     _MAX_CHUNKS = 4096
-    _MAX_TB_CHUNKS = 8
 
-    def _compute_batch(self, start):
+    def _collect_batch(self, ix):
+        """Next up-to-batch anchor indices in accept order, starting
+        at ix, skipping anchors already computed or provably dead."""
+        idxs = [ix]
+        j = ix + 1
+        n = len(self.seg_infos)
+        while len(idxs) < self.batch and j < n:
+            if j not in self._computed and (
+                    self.precheck is None or self.precheck(j)):
+                idxs.append(j)
+            j += 1
+        self._computed.update(idxs)
+        return idxs
+
+    def _compute_for(self, ix):
         import jax.numpy as jnp
-        from ..ops.ydrop_exact import fresh_state_np, ydrop_chunk
+        from ..ops.ydrop_exact import (
+            fresh_state_np, traceback_mega_dev, ydrop_mega)
 
-        idxs = list(range(start, min(start + self.batch,
-                                     len(self.seg_infos))))
+        self._ensure_seqs()
+        idxs = self._collect_batch(ix)
         B = self.batch
         lanes = self.lanes
         # lane layout: [fwd x B (padded), rev x B (padded)]
-        entries = []
+        A1 = np.zeros(2 * B, np.int32)
+        A2 = np.zeros(2 * B, np.int32)
+        LO1 = np.zeros(2 * B, np.int32)
+        HI1 = np.zeros(2 * B, np.int32)
+        LO2 = np.zeros(2 * B, np.int32)
+        HI2 = np.zeros(2 * B, np.int32)
+        REV = np.zeros(2 * B, bool)
+        REV[B:] = True
         M = np.zeros(2 * B, np.int32)
         N = np.zeros(2 * B, np.int32)
         for j in range(B):
@@ -146,131 +163,88 @@ class DeviceYDrop:
                     self.seg_infos[idxs[j]]
             else:
                 a1 = a2 = low1 = high1 = low2 = high2 = 0
-            entries.append((a1, a2, low1, high1, low2, high2, False))
-            M[j] = high1 - (a1 + 1)
-            N[j] = high2 - (a2 + 1)
-        for j in range(B):
-            a1, a2, low1, high1, low2, high2, _ = entries[j]
-            entries.append((a1, a2, low1, high1, low2, high2, True))
+            for lane in (j, B + j):
+                A1[lane] = a1
+                A2[lane] = a2
+                LO1[lane] = low1
+                HI1[lane] = high1
+                LO2[lane] = low2
+                HI2[lane] = high2
             if j < len(idxs):
+                M[j] = high1 - (a1 + 1)
+                N[j] = high2 - (a2 + 1)
                 M[B + j] = (a1 + 1) - low1
                 N[B + j] = (a2 + 1) - low2
 
-        st_np, row0_links = fresh_state_np(
+        st_np, _ = fresh_state_np(
             N.astype(np.int64), self.gap_e, self.gap_oe,
             int(self.y_drop), lanes, 2 * B)
         state = {k: jnp.asarray(v) for k, v in st_np.items()}
-        # per-chunk: (tb handle, row_lo (2B,), row_hi (2B,), col0 (2B,))
-        chunk_infos: list[tuple] = []
-        prev_off = np.zeros(2 * B, np.int64)
-        prev_used = np.zeros(2 * B, np.int64)
-        chunk = 0
-        fetch = self._fetch_scalars
-        row_np, ly_np, used_np, done_np, _ = fetch(state)
-        while True:
-            row_base = row_np.astype(np.int64) - 1
-            b_off = np.where(done_np, prev_off, ly_np.astype(np.int64))
-            shift = (b_off - prev_off).astype(np.int32)
-            prev_off = b_off.copy()
-            a_win, b_win = self._gather_windows(
-                entries, row_base, b_off, self.code_map)
-            state, tb = ydrop_chunk(
-                jnp.asarray(a_win), jnp.asarray(b_win),
-                jnp.asarray(b_off.astype(np.int32)),
-                jnp.asarray(shift),
-                jnp.asarray(M), jnp.asarray(N),
-                state, jnp.asarray(self.subsmall),
-                gap_e=self.gap_e, gap_oe=self.gap_oe,
-                y_drop=int(self.y_drop),
-                lanes=lanes, rows=self.rows,
-                alpha=self.subsmall.shape[0],
-                trim_to_peak=self.trim_to_peak, tb_cap=self.tb_cap)
-            row_np, ly_np, used_np, done_np, _ = fetch(state)
-            if chunk < self._MAX_TB_CHUNKS:
-                chunk_infos.append((tb, row_base + 1, used_np.copy(),
-                                    b_off.copy()))
-            prev_used = used_np.astype(np.int64)
-            chunk += 1
-            if done_np.all() or chunk >= self._MAX_CHUNKS:
-                break
+        prev_off = jnp.zeros(2 * B, jnp.int32)
+        args = (self._v1c, self._v2c, jnp.asarray(A1), jnp.asarray(A2),
+                jnp.asarray(LO1), jnp.asarray(HI1), jnp.asarray(LO2),
+                jnp.asarray(HI2), jnp.asarray(REV), jnp.asarray(M),
+                jnp.asarray(N))
+        kw = dict(gap_e=self.gap_e, gap_oe=self.gap_oe,
+                  y_drop=int(self.y_drop), lanes=lanes, rows=self.rows,
+                  max_blocks=self.max_blocks,
+                  alpha=self.subsmall.shape[0],
+                  trim_to_peak=self.trim_to_peak, tb_cap=self.tb_cap)
+        subsmall = jnp.asarray(self.subsmall)
 
-        small = {k: np.asarray(v) for k, v in state.items()
-                 if k not in ("CC", "DD")}
+        state, prev_off, packed, tb_all, row_lo, row_hi, col0 = \
+            ydrop_mega(*args, state, prev_off, subsmall,
+                       with_tb=True, **kw)
+        pk = np.asarray(packed)
+        done1 = pk[3].astype(bool)
+        nblk1 = pk[12].copy()
+        blocks = self.max_blocks
+        # score-only continuation for extensions beyond the retained
+        # blocks (their traceback falls back to the host, as before)
+        while not pk[3].astype(bool).all() and blocks < self._MAX_CHUNKS:
+            state, prev_off, packed, _, _, _, _ = ydrop_mega(
+                *args, state, prev_off, subsmall, with_tb=False, **kw)
+            pk = np.asarray(packed)
+            blocks += self.max_blocks
+
+        small = dict(
+            row=pk[0], LY=pk[1], rows_used=pk[2], done=pk[3],
+            status=pk[4], best=pk[5], end1=pk[6], end2=pk[7],
+            bscore=pk[8], bflag=pk[9].astype(bool), tbp=pk[10],
+            maxRY=pk[11])
         small["score"] = np.where(small["bflag"], small["bscore"],
                                   small["best"])
 
-        ops_all, ops_ok = self._walk_traceback(
-            chunk_infos, small, row0_links)
+        # device traceback over the retained blocks, one call
+        want = done1
+        cap = self.max_blocks * self.rows + lanes + 512
+        ops_d, n_d, row_d, col_d = traceback_mega_dev(
+            tb_all, row_lo, row_hi, col0, jnp.asarray(nblk1),
+            jnp.asarray(small["end1"].astype(np.int32)),
+            jnp.asarray(small["end2"].astype(np.int32)),
+            jnp.asarray(want), cap=cap)
+        meta = np.asarray(jnp.stack([
+            n_d, row_d, col_d]))
+        n_np, row_np, col_np = meta[0], meta[1], meta[2]
+        ops_ok = want & (n_np < cap) & (row_np <= 0) & (col_np <= 0)
+        ops_np = np.asarray(ops_d)
 
-        for j, ix in enumerate(idxs):
-            fwd = {k: small[k][j] for k in small}
-            rev = {k: small[k][B + j] for k in small}
+        code = {1: "S", 2: "I", 3: "D"}
+        for j, k in enumerate(idxs):
+            fwd = {key: small[key][j] for key in small}
+            rev = {key: small[key][B + j] for key in small}
             fwd["ops_ok"] = bool(ops_ok[j])
             rev["ops_ok"] = bool(ops_ok[B + j])
-            self._results[ix] = {"fwd": fwd, "rev": rev}
-            self._ops[ix] = (ops_all[j], ops_all[B + j])
-
-    @staticmethod
-    def _fetch_scalars(state):
-        """One packed transfer of the per-lane loop scalars."""
-        import jax.numpy as jnp
-        packed = np.asarray(jnp.stack([
-            state["row"], state["LY"], state["rows_used"],
-            state["done"].astype(jnp.int32), state["status"]]))
-        return (packed[0], packed[1], packed[2],
-                packed[3].astype(bool), packed[4])
-
-    def _walk_traceback(self, chunk_infos, small, row0_links):
-        """Device-side traceback for the whole batch: walk the chunk
-        list backwards with the batched link-walker, fetching only the
-        op-code segments (ops/ydrop_exact.py traceback_chunk_dev)."""
-        import jax.numpy as jnp
-        from ..ops.ydrop_exact import OP_I, traceback_chunk_dev
-
-        nb = len(small["end1"])
-        cap = self.rows + self.lanes + 512
-        row = small["end1"].astype(np.int32).copy()
-        col = small["end2"].astype(np.int32).copy()
-        prev = np.zeros(nb, np.int32)
-        segs: list[list] = [[] for _ in range(nb)]
-        ops_ok = np.ones(nb, bool)
-        code = {1: "S", 2: "I", 3: "D"}
-        for (tb, row_lo, row_hi, col0) in reversed(chunk_infos):
-            if not ((row >= np.minimum(row_lo, 1)) & (row <= row_hi)
-                    & ((row >= 1) | (col > 0))).any():
-                continue
-            ops_d, n_d, row_d, col_d, prev_d = traceback_chunk_dev(
-                tb, jnp.asarray(col0.astype(np.int32)),
-                jnp.asarray(row_lo.astype(np.int32)),
-                jnp.asarray(row_hi.astype(np.int32)),
-                jnp.asarray(row), jnp.asarray(col),
-                jnp.asarray(prev), cap=cap)
-            packed = np.asarray(jnp.concatenate([
-                row_d[None].astype(jnp.int32),
-                col_d[None].astype(jnp.int32),
-                prev_d[None].astype(jnp.int32), n_d[None]]))
-            ops_np = np.asarray(ops_d)
-            row, col, prev, n_np = (packed[0], packed[1], packed[2],
-                                    packed[3])
-            ops_ok &= n_np < cap
-            for j in range(nb):
-                if n_np[j]:
-                    segs[j].append(ops_np[j, : n_np[j]])
-        # walks must have terminated (row<=0 and col<=0); anything
-        # still live ran past the retained chunks -> host fallback
-        ops_ok &= ~((row >= 1) | (col > 0))
-        ops_all = []
-        for j in range(nb):
-            if segs[j]:
-                cat = np.concatenate(segs[j])
-                ops_all.append([code[int(c)] for c in cat])
-            else:
-                ops_all.append([])
-        return ops_all, ops_ok
+            self._results[k] = {"fwd": fwd, "rev": rev}
+            of = [code[int(c)] for c in ops_np[j, : n_np[j]]] \
+                if ops_ok[j] else []
+            orv = [code[int(c)] for c in ops_np[B + j, : n_np[B + j]]] \
+                if ops_ok[B + j] else []
+            self._ops[k] = (of, orv)
 
     def result_for(self, ix):
         if ix not in self._results:
-            self._compute_batch((ix // self.batch) * self.batch)
+            self._compute_for(ix)
         return self._results[ix]
 
     def release(self, ix):
@@ -308,7 +282,6 @@ class DeviceYDrop:
     def compose(self, aligner, ix, anchor1, anchor2):
         """Replicates YDropAligner.ydrop_align from device results
         (align/ydrop.py:746; gapped_extend.c:2459)."""
-        from ..ops.ydrop_exact import ST_TRUNCATED, traceback_ops
         from .edit_script import EditScript
 
         res = self.result_for(ix)

@@ -1,0 +1,360 @@
+"""Device-side seed-hit list generation: the full SEED->HSP stage of
+the reference (private_hit_search + find_table_matches + the simple
+hit processor + x-drop extension, seed_search.c:464-810,1056,2528)
+re-expressed as a handful of fixed-shape jitted device programs, so
+the raw candidate hit list (millions of (pos1,pos2) pairs on a
+chromosome-scale run) NEVER crosses to the host.  Only the compacted,
+threshold-surviving HSP candidates (thousands) are fetched.
+
+Program 1 (pack):    query 2-bit codes -> packed seed words + validity
+                     (device mirror of index/postable._window_words +
+                     Seed.pack).
+Program 2 (counts):  CSR probe counts for a query-position chunk,
+                     expanded over the transition-probe set, and their
+                     exclusive prefix sum.  The host fetches ONE scalar
+                     (the chunk's hit total) to plan launch budgets.
+Program 3 (hits):    a fixed-budget slice of the candidate hit list:
+                     expansion (searchsorted over the pair prefix sum,
+                     descending CSR order = the reference's last/prev
+                     enumeration), self/band filters, batched
+                     two-sided unblocked x-drop along each diagonal,
+                     the 64K diagonal-hash drop protocol as a
+                     sort-by-hash + segmented-prefix-max Jacobi
+                     fixpoint (identical math to the host replay in
+                     search/batched.py:143-183), threshold pre-filter,
+                     and in-order compaction of the survivors.
+
+The diagonal-extent state (65536 int32) lives on device and chains
+through consecutive launches, exactly like the engine's diag_end
+array chains through chunks in the host replay.
+
+Everything is int32: the device path is gated (by search/device_hits)
+to sequences < 2^31 and |scores| < 2^31, matching the reference's own
+32-bit score arithmetic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DIAG_HASH_SIZE = 65536
+MIN32 = jnp.int32(-(1 << 30))
+
+# default launch geometry (overridable; passed as static jit args)
+HIT_BUDGET = 1 << 21      # candidate hits per launch
+OUT_CAP = 1 << 18         # max survivors per launch
+XD_SLICE = 1 << 15        # hits per x-drop sub-batch
+XD_CHUNK = 256            # cells per x-drop round
+MAX_RESOLVE_ROUNDS = 64
+
+
+# ---------------------------------------------------------------------------
+# Program 1: query word packing
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("bit_map", "length",
+                                             "bits_per"))
+def pack_query_words(codes, bit_map: tuple, length: int, bits_per: int):
+    """codes: (n,) int8 2-bit codes (-1 invalid).  Returns
+    (packed uint32 (n-L+1,), valid bool (n-L+1,)); window k ENDS at
+    base index length-1+k (index/postable._window_words layout)."""
+    n = codes.shape[0]
+    num = n - length + 1
+    c = codes.astype(jnp.int32)
+    bad = (c < 0).astype(jnp.int32)
+    cb = jnp.cumsum(bad)
+    # windows with zero invalid codes
+    head = jax.lax.dynamic_slice_in_dim(cb, length - 1, num)
+    tail = jnp.concatenate([jnp.zeros(1, cb.dtype), cb[: num - 1]])
+    valid = (head - tail) == 0
+    packed = jnp.zeros((num,), jnp.uint32)
+    for src, dst in bit_map:
+        base_ix = length - 1 - src // bits_per
+        bit = src % bits_per
+        seg = jax.lax.dynamic_slice_in_dim(c, base_ix, num)
+        packed = packed | (((seg >> bit) & 1).astype(jnp.uint32)
+                           << dst)
+    return packed, valid
+
+
+# ---------------------------------------------------------------------------
+# Program 2: per-chunk probe counts + prefix sum
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def pair_counts(packed, valid, xors, csr_start):
+    """packed/valid: (P,) padded query-word chunk; xors: (nprobe,)
+    uint32.  Returns (cum (P*nprobe+1,) int32 exclusive prefix sum of
+    per-(position,probe)-pair candidate counts, total scalar)."""
+    words = (packed[:, None] ^ xors[None, :]).ravel()
+    nw = csr_start.shape[0] - 1
+    w = jnp.minimum(words, nw - 1).astype(jnp.int32)
+    cnt = (csr_start[w + 1] - csr_start[w]).astype(jnp.int32)
+    cnt = jnp.where(jnp.repeat(valid, xors.shape[0]), cnt, 0)
+    cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)])
+    return cum, cum[-1]
+
+
+# ---------------------------------------------------------------------------
+# x-drop scan over all hits (sliced internally; one launch)
+# ---------------------------------------------------------------------------
+
+
+def _xdrop_slice(seq1, seq2, subflat, K, p1, p2, n, x_drop, step):
+    """Fused multi-round scan for one slice (ops/xdrop_batch.py
+    _jax_fused_impl math, compact-alphabet int32 edition)."""
+    H = p1.shape[0]
+    offs = jnp.arange(XD_CHUNK, dtype=jnp.int32)
+    L1 = seq1.shape[0]
+    L2 = seq2.shape[0]
+
+    def round_body(st):
+        base, cum, runmax, best, kbest, consumed, live = st
+        i1 = p1[:, None] + step * (base[:, None] + offs[None, :])
+        i2 = p2[:, None] + step * (base[:, None] + offs[None, :])
+        rem = n - base
+        valid = (offs[None, :] < rem[:, None]) & live[:, None]
+        ch1 = seq1[jnp.clip(i1, 0, L1 - 1)].astype(jnp.int32)
+        ch2 = seq2[jnp.clip(i2, 0, L2 - 1)].astype(jnp.int32)
+        sc = jnp.where(valid, subflat[ch1 * K + ch2], 0)
+        c = cum[:, None] + jnp.cumsum(sc, axis=1)
+        m = jnp.maximum(jax.lax.cummax(c, axis=1), runmax[:, None])
+        bad = (c < jnp.maximum(m, 0) - x_drop) & valid
+        any_bad = jnp.any(bad, axis=1)
+        first_bad = jnp.where(
+            any_bad, jnp.argmax(bad, axis=1).astype(jnp.int32),
+            XD_CHUNK)
+        take = jnp.minimum(jnp.minimum(first_bad + 1, rem), XD_CHUNK)
+        take = jnp.maximum(take, 0)
+        inpref = (offs[None, :] < take[:, None]) & live[:, None]
+        cc = jnp.where(inpref, c, MIN32)
+        chunk_best = jnp.max(cc, axis=1)
+        chunk_arg = jnp.argmax(cc, axis=1).astype(jnp.int32)
+        better = live & (chunk_best > best)
+        best = jnp.where(better, chunk_best, best)
+        kbest = jnp.where(better, base + chunk_arg, kbest)
+        consumed = jnp.where(live, base + take, consumed)
+        last = jnp.maximum(take - 1, 0)
+        cum2 = jnp.take_along_axis(c, last[:, None], axis=1)[:, 0]
+        runmax2 = jnp.take_along_axis(m, last[:, None], axis=1)[:, 0]
+        cum = jnp.where(live, cum2, cum)
+        runmax = jnp.where(live, runmax2, runmax)
+        base = jnp.where(live, base + XD_CHUNK, base)
+        live = live & (~any_bad) & (rem > XD_CHUNK)
+        return base, cum, runmax, best, kbest, consumed, live
+
+    z = jnp.zeros((H,), jnp.int32)
+    st = (z, z, z, z, jnp.full((H,), -1, jnp.int32), z, n > 0)
+    st = jax.lax.while_loop(lambda s: jnp.any(s[6]), round_body, st)
+    _, _, _, best, kbest, consumed, _ = st
+    kbest = jnp.where(best > 0, kbest, -1)
+    return consumed, best, kbest
+
+
+def _xdrop_all(seq1, seq2, subflat, K, p1, p2, n, x_drop, step):
+    """All-H scan as a sequential map over XD_SLICE sub-batches (the
+    body compiles once; memory stays bounded at (XD_SLICE, XD_CHUNK))."""
+    H = p1.shape[0]
+    sl = min(XD_SLICE, H)
+    ns = H // sl
+    shape3 = (ns, sl)
+
+    def one(args):
+        p1s, p2s, nss = args
+        return _xdrop_slice(seq1, seq2, subflat, K, p1s, p2s, nss,
+                            x_drop, step)
+
+    consumed, best, kbest = jax.lax.map(
+        one, (p1.reshape(shape3), p2.reshape(shape3),
+              n.reshape(shape3)))
+    return (consumed.reshape(H), best.reshape(H), kbest.reshape(H))
+
+
+# ---------------------------------------------------------------------------
+# diagonal-hash chain resolution (sorted segmented fixpoint)
+# ---------------------------------------------------------------------------
+
+
+def _seg_cummax_exclusive(x, seg_id):
+    """Exclusive prefix max within equal-seg_id runs (log-doubling;
+    device mirror of search/batched.py:_seg_cummax_exclusive)."""
+    n = x.shape[0]
+    out = jnp.concatenate([jnp.full(1, MIN32), x[:-1]])
+    sid_prev = jnp.concatenate([jnp.full(1, -1, seg_id.dtype),
+                                seg_id[:-1]])
+    out = jnp.where(sid_prev == seg_id, out, MIN32)
+    shift = 1
+    while shift < n:
+        cand = jnp.concatenate([jnp.full(shift, MIN32), out[:-shift]])
+        ok = jnp.concatenate([
+            jnp.zeros(shift, bool),
+            seg_id[shift:] == seg_id[:-shift]])
+        out = jnp.maximum(out, jnp.where(ok, cand, MIN32))
+        shift *= 2
+    return out
+
+
+def _resolve_chains_dev(extent_s, pos2mL_s, de0_s, seg_id, live_s):
+    """Jacobi fixpoint of the drop protocol over hash-sorted hits
+    (search/batched.py:_resolve_chains math).  Returns (alive_s,
+    de_before_s, converged)."""
+
+    def body(st):
+        alive, _, _, rounds = st
+        contrib = jnp.where(alive & live_s, extent_s, MIN32)
+        run = _seg_cummax_exclusive(contrib, seg_id)
+        de_before = jnp.maximum(run, de0_s)
+        new_alive = ~(de_before > pos2mL_s)
+        changed = jnp.any((new_alive != alive) & live_s)
+        return new_alive, de_before, changed, rounds + 1
+
+    def cond(st):
+        _, _, changed, rounds = st
+        return changed & (rounds < MAX_RESOLVE_ROUNDS)
+
+    alive0 = jnp.ones_like(live_s)
+    st = body((alive0, jnp.zeros_like(extent_s), True, 0))
+    st = jax.lax.while_loop(cond, body, st)
+    alive, de_before, changed, _ = st
+    return alive, de_before, ~changed
+
+
+# ---------------------------------------------------------------------------
+# Program 3: one fixed-budget hit launch
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("no_extend", "self_compare", "same_strand",
+                     "use_thresh", "has_alive", "K", "H", "out_cap"))
+def hit_launch(seq1c, seq2c, subflat, csr_start, csr_pos, alive_tab,
+               packed, cum, xors, de,
+               hit_base, total, chunk_lo,
+               adj_start, step, seed_len, x_drop, thresh, band,
+               len1, len2,
+               *, no_extend: bool, self_compare: bool,
+               same_strand: bool, use_thresh: bool, has_alive: bool,
+               K: int, H: int = HIT_BUDGET, out_cap: int = OUT_CAP):
+    """One budgeted slice [hit_base, hit_base+H) of the chunk's
+    candidate hits.  Returns (de', out (9, out_cap) int32,
+    scalars (6,) int32).
+
+    out rows: pos1, pos2, qidx (absolute query window index), lscore,
+    lstart, rscore, rstop, de_before, bind.
+    scalars: n_keep, n_live, n_dropped, n_alive, converged, 0.
+    """
+    nprobe = xors.shape[0]
+    i = jnp.arange(H, dtype=jnp.int32)
+    abs_i = hit_base + i
+    live = abs_i < total
+
+    # expansion: pair index k, then the (descending) CSR entry
+    k = jnp.searchsorted(cum, abs_i, side="right").astype(jnp.int32) - 1
+    k = jnp.clip(k, 0, cum.shape[0] - 2)
+    within = abs_i - cum[k]
+    pidx = k // nprobe
+    xor_ix = k - pidx * nprobe
+    word = packed[pidx] ^ xors[xor_ix]
+    nw = csr_start.shape[0] - 1
+    w = jnp.minimum(word, nw - 1).astype(jnp.int32)
+    ends = csr_start[w + 1]
+    csr_idx = jnp.clip(ends - 1 - within, 0, csr_pos.shape[0] - 1)
+    pos1 = adj_start + step * csr_pos[csr_idx]
+    pos2 = chunk_lo + seed_len + pidx
+    if has_alive:
+        live = live & (alive_tab[csr_idx] != 0)
+    if self_compare:
+        if same_strand:
+            live = live & (pos1 < pos2)
+        else:
+            p1s = pos1 - seed_len
+            p2s = (len2 - 1) - (pos2 - seed_len)
+            live = live & (p1s < p2s)
+    if same_strand:
+        live = live & ((pos2 - pos1) <= band)
+    diag = pos1 - pos2
+    h = (diag & (DIAG_HASH_SIZE - 1)).astype(jnp.int32)
+
+    if no_extend:
+        extent = pos2
+        lscore = jnp.zeros((H,), jnp.int32)
+        lstart = pos1
+        rscore = jnp.zeros((H,), jnp.int32)
+        rstop = pos1
+        lc = jnp.zeros((H,), jnp.int32)
+    else:
+        # left: from pos1-1 down to max(diag, 0)
+        n_l = jnp.where(live, pos1 - jnp.maximum(diag, 0), 0)
+        lc, lb, lk = _xdrop_all(seq1c, seq2c, subflat, K,
+                                pos1 - 1, pos2 - 1, n_l, x_drop, -1)
+        lscore = jnp.maximum(lb, 0)
+        lstart = jnp.where(lb > 0, pos1 - 1 - lk, pos1)
+        # right: from pos1 to min(len1, len2+diag)
+        stop1r = jnp.minimum(len1, len2 + diag)
+        n_r = jnp.where(live, jnp.maximum(stop1r - pos1, 0), 0)
+        rc, rb, rk = _xdrop_all(seq1c, seq2c, subflat, K,
+                                pos1, pos2, n_r, x_drop, +1)
+        rscore = jnp.maximum(rb, 0)
+        rstop = jnp.where(rb > 0, pos1 + rk + 1, pos1)
+        extent = pos1 + rc - diag
+
+    # ---- hash-chain resolution over the whole launch ----
+    key = jnp.where(live, h, DIAG_HASH_SIZE)  # dead hits: own segment
+    order = jnp.argsort(key, stable=True)
+    key_s = key[order]
+    starts = jnp.concatenate([
+        jnp.ones(1, bool), key_s[1:] != key_s[:-1]])
+    seg_id = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    de0 = de[jnp.clip(key_s, 0, DIAG_HASH_SIZE - 1)]
+    de0 = jnp.maximum(de0, 0)  # HASH_INACTIVE (-1) activates to 0
+    alive_s, de_before_s, converged = _resolve_chains_dev(
+        extent[order], (pos2 - seed_len)[order], de0, seg_id,
+        live[order])
+    inv = jnp.zeros((H,), jnp.int32).at[order].set(i)
+    alive = alive_s[inv] & live
+    de_before = de_before_s[inv]
+
+    # advance the diagonal-extent state (joined below, only when the
+    # output did not overflow — an overflowing launch is discarded and
+    # re-run split, so its extents must not leak into `de`)
+    de_adv = de.at[jnp.where(live, h, 0)].max(
+        jnp.where(alive, extent, jnp.int32(-1)))
+
+    # candidate selection (host replay: search/batched.py:304-316)
+    if no_extend:
+        cand = alive
+        bind = jnp.zeros((H,), bool)
+    else:
+        stop1_blk = jnp.maximum(de_before + diag, 0)
+        bind = alive & (lc > pos1 - stop1_blk)
+        if use_thresh:
+            sim_raw = lscore + rscore
+            cand = alive & (bind | (sim_raw >= thresh))
+        else:
+            cand = alive
+
+    # in-order compaction
+    idx = jnp.cumsum(cand.astype(jnp.int32)) - 1
+    n_keep = jnp.sum(cand.astype(jnp.int32))
+    dst = jnp.where(cand & (idx < out_cap), idx, out_cap)
+    out = jnp.zeros((9, out_cap), jnp.int32)
+    rows = (pos1, pos2, pidx + chunk_lo, lscore,
+            lstart, rscore, rstop, de_before,
+            bind.astype(jnp.int32))
+    for r, v in enumerate(rows):
+        out = out.at[r, dst].set(v, mode="drop")
+    overflow = n_keep > out_cap
+    de_new = jnp.where(overflow, de, de_adv)
+    n_live = jnp.sum(live.astype(jnp.int32))
+    n_alive = jnp.sum(alive.astype(jnp.int32))
+    scalars = jnp.stack([
+        n_keep, n_live, n_live - n_alive, n_alive,
+        converged.astype(jnp.int32), jnp.int32(0)])
+    return de_new, out, scalars

@@ -546,6 +546,182 @@ def ydrop_exact_batch(a_full, b_full, M, N, sub,
     return out
 
 
+# ---------------------------------------------------------------------------
+# mega-launch: many chunks per device call over RESIDENT sequences
+# ---------------------------------------------------------------------------
+
+
+def _mega_one(v1c, v2c, a1, a2, low1, high1, low2, high2, rev, M, N,
+              state, prev_off0, subsmall,
+              *, gap_e: int, gap_oe: int, y_drop: int,
+              lanes: int, rows: int, max_blocks: int, alpha: int,
+              trim_to_peak: bool, tb_cap: int):
+    """Run up to `max_blocks` resumable chunks for ONE anchor without
+    leaving the device: windows are gathered from the device-resident
+    compact-coded sequences (v1c/v2c) with the exact index arithmetic
+    of the old host gather (align/ydrop_device._gather_windows), and
+    the window re-anchor between chunks happens on device.  Replaces
+    one tunnel round trip PER CHUNK with one per mega-launch
+    (reference row sweep: gapped_extend.c:3683-3775).
+
+    rev selects the reversed (left-extension) orientation: row r reads
+    v1[a1 - row_base - r], column c reads v2[a2 + 1 - c].
+
+    Returns (state', prev_off', nblk, tb_all (max_blocks, rows+1,
+    lanes), row_lo/row_hi/col0 (max_blocks,)).
+    """
+    W = lanes
+    R1 = rows + 1
+    r_iota = jax.lax.iota(jnp.int32, rows)
+    l_iota = jax.lax.iota(jnp.int32, W)
+    L1 = v1c.shape[0]
+    L2 = v2c.shape[0]
+
+    fn = functools.partial(
+        _chunk_one, gap_e=gap_e, gap_oe=gap_oe, y_drop=y_drop,
+        lanes=lanes, rows=rows, alpha=alpha,
+        trim_to_peak=trim_to_peak, tb_cap=tb_cap)
+
+    def cond(carry):
+        st, _, k, _, _, _, _ = carry
+        return (k < max_blocks) & ~st["done"]
+
+    def body(carry):
+        st, prev_off, k, tb_all, row_lo, row_hi, col0 = carry
+        row_base = st["row"] - 1
+        b_off = jnp.where(st["done"], prev_off, st["LY"])
+        shift = b_off - prev_off
+
+        a_idx = jnp.where(rev, a1 - row_base - r_iota,
+                          a1 + 1 + row_base + r_iota)
+        a_ok = jnp.where(rev, a_idx >= low1,
+                         (a_idx < high1) & (a_idx >= low1))
+        a_win = jnp.where(
+            a_ok, v1c[jnp.clip(a_idx, 0, L1 - 1)].astype(jnp.int32), 0)
+
+        c = b_off + l_iota
+        b_idx = jnp.where(rev, a2 + 1 - c, a2 + c)
+        b_ok = jnp.where(rev, (b_idx >= low2) & (c >= 1),
+                         (b_idx < high2) & (b_idx >= low2))
+        b_win = jnp.where(
+            b_ok, v2c[jnp.clip(b_idx, 0, L2 - 1)].astype(jnp.int32), 0)
+
+        st2, tb = fn(a_win, b_win, b_off, shift, M, N, st, subsmall)
+        tb_all = jax.lax.dynamic_update_slice(
+            tb_all, tb[None].astype(jnp.uint8), (k, 0, 0))
+        row_lo = row_lo.at[k].set(row_base + 1)
+        row_hi = row_hi.at[k].set(st2["rows_used"])
+        col0 = col0.at[k].set(b_off)
+        return st2, b_off, k + 1, tb_all, row_lo, row_hi, col0
+
+    tb0 = jnp.zeros((max_blocks, R1, W), jnp.uint8)
+    z = jnp.zeros((max_blocks,), jnp.int32)
+    carry = (dict(state), prev_off0, jnp.int32(0), tb0, z, z, z)
+    st, prev_off, k, tb_all, row_lo, row_hi, col0 = \
+        jax.lax.while_loop(cond, body, carry)
+    return st, prev_off, k, tb_all, row_lo, row_hi, col0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gap_e", "gap_oe", "y_drop", "lanes", "rows",
+                     "max_blocks", "alpha", "trim_to_peak", "tb_cap",
+                     "with_tb"))
+def ydrop_mega(v1c, v2c, a1, a2, low1, high1, low2, high2, rev, M, N,
+               state, prev_off0, subsmall,
+               gap_e: int, gap_oe: int, y_drop: int,
+               lanes: int, rows: int, max_blocks: int, alpha: int,
+               trim_to_peak: bool, tb_cap: int, with_tb: bool = True):
+    """Batched mega-launch (leading batch dim on the per-anchor args
+    and on every state array; v1c/v2c/subsmall broadcast).  Also packs
+    the post-launch per-lane scalars into one (13, B) array so the
+    host fetches loop state in a single transfer."""
+    fn = functools.partial(
+        _mega_one, gap_e=int(gap_e), gap_oe=int(gap_oe),
+        y_drop=int(y_drop), lanes=lanes, rows=rows,
+        max_blocks=max_blocks, alpha=alpha,
+        trim_to_peak=trim_to_peak, tb_cap=tb_cap)
+    st, prev_off, nblk, tb_all, row_lo, row_hi, col0 = jax.vmap(
+        lambda A1, A2, lo1, hi1, lo2, hi2, rv, m, n, s, po:
+        fn(v1c, v2c, A1, A2, lo1, hi1, lo2, hi2, rv, m, n, s, po,
+           subsmall),
+    )(a1, a2, low1, high1, low2, high2, rev, M, N, state, prev_off0)
+    if not with_tb:
+        tb_all = jnp.zeros((a1.shape[0], 1, 1, 1), jnp.uint8)
+    packed = jnp.stack([
+        st["row"], st["LY"], st["rows_used"],
+        st["done"].astype(jnp.int32), st["status"], st["best"],
+        st["end1"], st["end2"], st["bscore"],
+        st["bflag"].astype(jnp.int32), st["tbp"], st["maxRY"],
+        nblk])
+    return st, prev_off, packed, tb_all, row_lo, row_hi, col0
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def traceback_mega_dev(tb_all, row_lo, row_hi, col0, nblk,
+                       end1, end2, want, cap: int):
+    """Walk the whole retained multi-block traceback in ONE device
+    call (replaces the per-chunk traceback_chunk_dev loop).
+
+    tb_all: (B, K, R+1, W); row_lo/row_hi/col0: (B, K) global row
+    ranges and column origins per retained block; want: lanes to walk.
+    Returns (ops (B, cap) uint8 walk codes, n (B,), row, col) — a
+    finished walk ends with row <= 0 and col <= 0.
+
+    Same gap-extension-preferring link walk as traceback_ops
+    (gapped_extend.c:3845-3860).
+    """
+    B, K, R1, W = tb_all.shape
+    biota = jnp.arange(B)
+    kiota = jnp.arange(K)
+
+    row0 = jnp.where(want, end1, 0)
+    col0_w = jnp.where(want, end2, 0)
+
+    def active(row, col):
+        return (row >= 1) | (col > 0)
+
+    def cond(st):
+        row, col, prev, n, ops = st
+        return jnp.any(active(row, col)) & jnp.all(n < cap)
+
+    def body(st):
+        row, col, prev, n, ops = st
+        act = active(row, col)
+        inblk = (kiota[None, :] < nblk[:, None]) & \
+            (row[:, None] >= row_lo)
+        blk = jnp.maximum(
+            jnp.sum(inblk.astype(jnp.int32), axis=1) - 1, 0)
+        lo = row_lo[biota, blk]
+        local = jnp.clip(row - (lo - 1), 0, R1 - 1)
+        lane = jnp.clip(col - col0[biota, blk], 0, W - 1)
+        link = tb_all[biota, blk, local, lane].astype(jnp.int32)
+        op = link & CID_BITS
+        op = jnp.where((prev == C_FROM_I) & ((link & I_EXTEND) != 0),
+                       C_FROM_I, op)
+        op = jnp.where((prev == C_FROM_D) & ((link & D_EXTEND) != 0),
+                       C_FROM_D, op)
+        op = jnp.where(row == 0, C_FROM_I, op)
+        code = jnp.where(op == C_FROM_I, OP_I,
+                         jnp.where(op == C_FROM_D, OP_D, OP_S))
+        ops = ops.at[biota, jnp.minimum(n, cap - 1)].set(
+            jnp.where(act, code.astype(jnp.uint8), 0))
+        row_n = jnp.where(op == C_FROM_I, row, row - 1)
+        col_n = jnp.where(op == C_FROM_D, col, col - 1)
+        row = jnp.where(act, row_n, row)
+        col = jnp.where(act, col_n, col)
+        prev = jnp.where(act, op, prev)
+        n = n + act.astype(jnp.int32)
+        return row, col, prev, n, ops
+
+    ops0 = jnp.zeros((B, cap), jnp.uint8)
+    n0 = jnp.zeros((B,), jnp.int32)
+    prev0 = jnp.zeros((B,), jnp.int32)
+    row, col, prev, n, ops = jax.lax.while_loop(
+        cond, body, (row0, col0_w, prev0, n0, ops0))
+    return ops, n, row, col
+
+
 OP_S = 1
 OP_I = 2
 OP_D = 3

@@ -1,0 +1,321 @@
+"""Device-resident seed search: orchestrates ops/hitgen.py so that the
+candidate hit list never crosses to the host (reference
+seed_hit_search, seed_search.c:322-810 + the simple processor
+:1056-1198 + xdrop_extend_seed_hit :2528).
+
+This is the production search path on an attached accelerator.  The
+host replay (search/batched.py) remains the oracle and the fallback
+for anything the device gate declines; both produce hit-for-hit
+identical results to the scalar engine.
+
+Residency & caching:
+  * the position-table CSR is uploaded once per table build and cached
+    on the PositionTable object (keyed by array identity, so dynamic-
+    masking rebuilds invalidate it) — the TPU analogue of the capsule
+    mmap share (capsule.c:6-15);
+  * the target's compact-alphabet codes are cached per (sequence,
+    alphabet); query codes are uploaded per strand;
+  * the 64K diagonal-extent state lives on device for the whole
+    search and chains through launches.
+
+Launch plan: query windows are processed in fixed-size chunks; each
+chunk's candidate total is computed on device (one scalar fetched),
+then sliced into fixed HIT_BUDGET launches whose only outputs are the
+compacted threshold survivors.  An overflowing launch (more survivors
+than OUT_CAP) leaves the diagonal state untouched and is re-run as
+two half-budget ranges.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..config import GFEX_NO_EXTEND, GFEX_XDROP
+from ..core.scoring import entropy
+from .batched import _probe_xors, supported as _batched_supported
+
+_DEF_PCHUNK = 1 << 20
+
+
+def _device_search_enabled() -> bool:
+    forced = os.environ.get("LASTZ_TPU_HITGEN", "")
+    if forced != "":
+        return forced != "0"
+    return os.environ.get("LASTZ_TPU_DEVICE", "") not in ("", "0")
+
+
+def supported(engine) -> bool:
+    if not _batched_supported(engine):
+        return False
+    if engine.seed.rev_comp:
+        return False
+    hp = engine.hp
+    sub = engine._sub
+    if hp.gf_extend == GFEX_XDROP:
+        if sub is None or sub.dtype != np.int64:
+            return False
+        if np.abs(sub).max() >= (1 << 31):
+            return False
+        if hp.x_drop >= (1 << 30):
+            return False
+    if max(len(engine.seq1), len(engine.seq2)) >= (1 << 31):
+        return False
+    t = engine.hp.hsp_threshold
+    if t.t == "S" and abs(t.s) >= (1 << 30):
+        return False
+    return True
+
+
+def _pt_device_arrays(pt):
+    """Upload (and cache) the CSR on device; invalidated whenever the
+    table's arrays are rebuilt (dynamic masking, limiting)."""
+    import jax.numpy as jnp
+    key = (id(pt.csr_start), id(pt.csr_pos),
+           id(pt.alive) if pt.alive is not None else None)
+    cached = getattr(pt, "_hitgen_dev", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    csr_start = jnp.asarray(pt.csr_start.astype(np.int32))
+    csr_pos = jnp.asarray(pt.csr_pos.astype(np.int32))
+    alive = (jnp.asarray(pt.alive.astype(np.uint8))
+             if pt.alive is not None else None)
+    arrs = (csr_start, csr_pos, alive)
+    pt._hitgen_dev = (key, arrs)
+    return arrs
+
+
+_seq_cache: dict = {}
+
+
+def _seq_device(seq, code_map):
+    """Compact-alphabet codes of `seq` on device (cached)."""
+    import jax.numpy as jnp
+    key = (id(seq), seq.tobytes()[:64].__hash__(), len(seq),
+           code_map.tobytes().__hash__())
+    hit = _seq_cache.get(key)
+    if hit is not None:
+        return hit
+    dev = jnp.asarray(code_map[seq].astype(np.int8))
+    if len(_seq_cache) > 8:
+        _seq_cache.clear()
+    _seq_cache[key] = dev
+    return dev
+
+
+def device_search(engine, start: int = 0, end: int = 0):
+    """Drop-in replacement for SeedSearchEngine.search via the device
+    hit generator; returns bases_hit, or None when unsupported."""
+    if not supported(engine):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.hitgen import (
+        HIT_BUDGET, OUT_CAP, hit_launch, pack_query_words, pair_counts)
+    from ..ops.ydrop_exact import make_compact_alphabet
+
+    if end == 0:
+        end = len(engine.seq2)
+    seed = engine.seed
+    L = seed.length
+    if end - start < L:
+        return 0
+    hp = engine.hp
+    no_extend = hp.gf_extend == GFEX_NO_EXTEND
+
+    if no_extend:
+        # no scoring needed; a trivial 1-symbol alphabet suffices
+        code_map = np.zeros(256, np.int32)
+        subsmall = np.zeros((1, 1), np.int32)
+    else:
+        cmap = make_compact_alphabet(
+            [engine.seq1, engine.seq2], engine._sub, max_k=16)
+        if cmap is None:
+            return None
+        code_map, subsmall = cmap
+    K = subsmall.shape[0]
+
+    csr_start_d, csr_pos_d, alive_d = _pt_device_arrays(engine.pt)
+    seq1_d = _seq_device(engine.seq1, code_map)
+    q_codes = engine.char_to_bits[engine.seq2[start:end]].astype(np.int8)
+    seq2_d = _seq_device(engine.seq2, code_map)
+    subflat_d = jnp.asarray(
+        np.ascontiguousarray(subsmall.reshape(-1)))
+
+    xors_np = _probe_xors(seed).astype(np.uint32)
+    nprobe = len(xors_np)
+    xors_d = jnp.asarray(xors_np)
+
+    qdev = jnp.asarray(q_codes)
+    packed, valid = pack_query_words(
+        qdev, seed.bit_map, L, seed.bits_per_base)
+    num_w = end - start - L + 1
+    PCHUNK = min(_DEF_PCHUNK, max(1 << 14, (1 << 24) // nprobe),
+                 1 << max(8, (num_w - 1).bit_length()))
+    n_chunks = (num_w + PCHUNK - 1) // PCHUNK
+    pad = n_chunks * PCHUNK - num_w
+    if pad:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros(pad, packed.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+
+    from .. import stats as _stats
+    st = _stats.current
+    st.words_in_queries += int(jnp.sum(valid))
+
+    # phase 1: per-chunk pair prefix sums (device) + totals (one fetch)
+    pks = []
+    cums = []
+    tots = []
+    for c in range(n_chunks):
+        pk = jax.lax.dynamic_slice_in_dim(packed, c * PCHUNK, PCHUNK)
+        vd = jax.lax.dynamic_slice_in_dim(valid, c * PCHUNK, PCHUNK)
+        cum, tot = pair_counts(pk, vd, xors_d, csr_start_d)
+        pks.append(pk)
+        cums.append(cum)
+        tots.append(tot)
+    totals = [int(t) for t in jax.device_get(tots)]
+
+    de = jnp.full((65536,), -1, jnp.int32)
+
+    # launch budgets: env-overridable; modest sizes for small runs so
+    # CPU-backend tests don't pay multi-million-lane launches
+    H = int(os.environ.get("LASTZ_TPU_HIT_BUDGET", "0")) or HIT_BUDGET
+    total_all = sum(totals)
+    while H > (1 << 15) and total_all <= H // 4:
+        H //= 2
+    out_cap = int(os.environ.get("LASTZ_TPU_HIT_OUTCAP", "0")) \
+        or min(OUT_CAP, max(1 << 12, H // 8))
+
+    thresh_is_score = hp.hsp_threshold.t == "S"
+    thresh = int(hp.hsp_threshold.s) if thresh_is_score else 0
+    use_thresh = thresh_is_score and thresh > 0
+    band = engine.band_width if (engine.same_strand
+                                 and engine.band_width > 0) else (1 << 30)
+
+    static_kw = dict(
+        no_extend=no_extend, self_compare=bool(engine.self_compare),
+        same_strand=bool(engine.same_strand), use_thresh=use_thresh,
+        has_alive=alive_d is not None, K=K)
+    alive_arg = alive_d if alive_d is not None else jnp.zeros(
+        1, jnp.uint8)
+
+    x_drop = int(hp.x_drop) if not no_extend else 0
+    common = (seq1_d, seq2_d, subflat_d, csr_start_d, csr_pos_d,
+              alive_arg)
+
+    sub = engine._sub
+    seq1 = engine.seq1
+    seq2 = engine.seq2
+    diag_end = engine.diag_end
+    bases_hit = 0
+    trip_pos = -1
+    from ..core.scoring import SCORE_TYPE
+
+    def process_candidates(out_np, n):
+        """Host replay of the per-candidate reporting sequence
+        (search/batched.py:322-378; the engine is the contract)."""
+        nonlocal bases_hit, trip_pos
+        (pos1a, pos2a, grpa, lsc, lst, rsc, rst, de_b,
+         bind) = [out_np[r, :n] for r in range(9)]
+        for i in range(n):
+            g = int(grpa[i])
+            if trip_pos >= 0 and g > trip_pos:
+                engine.limit_exceeded = True
+                if engine.on_limit_exceeded is not None:
+                    engine.on_limit_exceeded()
+                return False
+            pos1 = int(pos1a[i])
+            pos2 = int(pos2a[i])
+            diag = pos1 - pos2
+            if no_extend:
+                bases_hit += engine._report(pos1, pos2, L, 0)
+            elif bind[i]:
+                hh = diag & 65535
+                diag_end[hh] = int(de_b[i])
+                engine._unblocked_left = False
+                r = engine._xdrop_extend(pos1, pos2, L)
+                if r is not None:
+                    bases_hit += engine._report(*r)
+            else:
+                similarity = int(lsc[i]) + int(rsc[i])
+                new_pos1 = int(rst[i])
+                new_pos2 = new_pos1 - diag
+                new_length = new_pos1 - int(lst[i])
+                adjust = False
+                if hp.entropic_hsp:
+                    if thresh_is_score:
+                        adjust = (similarity >= hp.hsp_zero_threshold
+                                  and similarity <= 3 * thresh)
+                    elif similarity > 0:
+                        anch = engine.anchors
+                        adjust = (anch is not None and len(anch) > 0
+                                  and similarity >= anch.low_score)
+                if adjust:
+                    q = entropy(
+                        seq1[new_pos1 - new_length: new_pos1],
+                        seq2[new_pos2 - new_length: new_pos2])
+                    similarity = (similarity * q if SCORE_TYPE == "D"
+                                  else int(similarity * q))
+                if thresh_is_score and similarity < thresh:
+                    continue
+                bases_hit += engine._report(new_pos1, new_pos2,
+                                            new_length, similarity)
+                st.hsps += 1
+            if (engine.search_limit > 0 and engine.search_to_go < 0
+                    and trip_pos < 0):
+                trip_pos = g
+        return True
+
+    for c in range(n_chunks):
+        total = totals[c]
+        if total == 0:
+            continue
+        chunk_lo = start + c * PCHUNK
+        cum = cums[c]
+        ranges = [(b, min(b + H, total))
+                  for b in range(0, total, H)]
+        while ranges:
+            lo, hi = ranges.pop(0)
+            de2, out, scalars = hit_launch(
+                *common, pks[c], cum, xors_d, de,
+                jnp.int32(lo), jnp.int32(hi),
+                jnp.int32(chunk_lo),
+                jnp.int32(engine.pt.adj_start),
+                jnp.int32(engine.pt.step), jnp.int32(L),
+                jnp.int32(x_drop), jnp.int32(thresh),
+                jnp.int32(band),
+                jnp.int32(len(engine.seq1)),
+                jnp.int32(len(engine.seq2)),
+                H=H, out_cap=out_cap, **static_kw)
+            sc = np.asarray(scalars)
+            n_keep = int(sc[0])
+            if not int(sc[4]):
+                return None  # unconverged chain fixpoint: host replay
+            if n_keep > out_cap:
+                mid = (lo + hi) // 2
+                if mid == lo:
+                    return None
+                ranges[:0] = [(lo, mid), (mid, hi)]
+                continue
+            de = de2
+            st.raw_seed_hits += int(sc[1])
+            st.hash_dropped_hits += int(sc[2])
+            st.ungapped_extensions += int(sc[3])
+            if n_keep:
+                out_np = np.asarray(out[:, :n_keep])
+                if not process_candidates(out_np, n_keep):
+                    return bases_hit
+        if trip_pos >= 0 and c < n_chunks - 1:
+            engine.limit_exceeded = True
+            if engine.on_limit_exceeded is not None:
+                engine.on_limit_exceeded()
+            return bases_hit
+
+    if trip_pos >= 0:
+        engine.limit_exceeded = True
+        if engine.on_limit_exceeded is not None:
+            engine.on_limit_exceeded()
+    return bases_hit

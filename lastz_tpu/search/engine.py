@@ -143,6 +143,11 @@ class SeedSearchEngine:
     def search(self, start: int = 0, end: int = 0) -> int:
         import os
         if os.environ.get("LASTZ_TPU_SCALAR_SEARCH", "") in ("", "0"):
+            from .device_hits import _device_search_enabled, device_search
+            if _device_search_enabled():
+                r = device_search(self, start, end)
+                if r is not None:
+                    return r
             from .batched import batched_search
             r = batched_search(self, start, end)
             if r is not None:
