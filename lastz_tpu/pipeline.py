@@ -9,6 +9,7 @@ chaining + gapped extension, filtering, interpolation and output.
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Optional
 
@@ -237,6 +238,26 @@ class Pipeline:
         self._search_limit_exceeded = 0
         self._limit_warned_once = False
         self._paired_warned_once = False
+        self._farm_cache = None
+
+    def _farm_devices(self):
+        """Mesh devices for multi-chip query farm-out
+        (LASTZ_TPU_FARM=1 + an attached multi-device backend)."""
+        if self._farm_cache is not None:
+            return self._farm_cache
+        devs = []
+        if (os.environ.get("LASTZ_TPU_FARM", "") not in ("", "0")
+                and os.environ.get("LASTZ_TPU_DEVICE", "")
+                not in ("", "0")):
+            try:
+                import jax
+                devs = jax.devices()
+            except Exception:
+                devs = []
+            if len(devs) < 2:
+                devs = []
+        self._farm_cache = devs
+        return devs
 
     # -- configuration finalization (lastz.c:8900-9400) --------------------
 
@@ -536,8 +557,22 @@ class Pipeline:
             if cfg.which_strand < 0 and query.chore is None:
                 self._rev_comp_query(query)
 
-            self._run_query(target, pt, query,
-                            collect_from_both, collect_separately)
+            farm = self._farm_devices()
+            if farm:
+                # multi-chip query farm-out: pin each query's device
+                # work (seed search + gapped kernels) to a mesh device
+                # round-robin — the TPU-native form of the reference's
+                # capsule farm-out over processes (capsule.c:6-15).
+                # Per-query results are host-gathered in stream order,
+                # so output is identical for any device count.
+                import jax
+                dev = farm[(num_queries - 1) % len(farm)]
+                with jax.default_device(dev):
+                    self._run_query(target, pt, query,
+                                    collect_from_both, collect_separately)
+            else:
+                self._run_query(target, pt, query,
+                                collect_from_both, collect_separately)
 
         # --outputmasking files (lastz.c:1731-1759): written before the
         # m-stanza; the dynamic file reports census runs over threshold,

@@ -68,21 +68,35 @@ def supported(engine) -> bool:
     return True
 
 
+def _current_device():
+    """The device new arrays land on (honors jax.default_device, the
+    farm-out router's per-query pin)."""
+    import jax
+    d = jax.config.jax_default_device
+    return d if d is not None else jax.devices()[0]
+
+
 def _pt_device_arrays(pt):
     """Upload (and cache) the CSR on device; invalidated whenever the
-    table's arrays are rebuilt (dynamic masking, limiting)."""
+    table's arrays are rebuilt (dynamic masking, limiting).  Cached
+    per device so farm-out replicates the index across the mesh, like
+    the reference capsule replicates it across processes."""
     import jax.numpy as jnp
     key = (id(pt.csr_start), id(pt.csr_pos),
-           id(pt.alive) if pt.alive is not None else None)
+           id(pt.alive) if pt.alive is not None else None,
+           _current_device())
     cached = getattr(pt, "_hitgen_dev", None)
-    if cached is not None and cached[0] == key:
-        return cached[1]
+    if cached is None or cached.get("id") != key[:3]:
+        cached = {"id": key[:3]}
+        pt._hitgen_dev = cached
+    if key in cached:
+        return cached[key]
     csr_start = jnp.asarray(pt.csr_start.astype(np.int32))
     csr_pos = jnp.asarray(pt.csr_pos.astype(np.int32))
     alive = (jnp.asarray(pt.alive.astype(np.uint8))
              if pt.alive is not None else None)
     arrs = (csr_start, csr_pos, alive)
-    pt._hitgen_dev = (key, arrs)
+    cached[key] = arrs
     return arrs
 
 
@@ -90,15 +104,15 @@ _seq_cache: dict = {}
 
 
 def _seq_device(seq, code_map):
-    """Compact-alphabet codes of `seq` on device (cached)."""
+    """Compact-alphabet codes of `seq` on device (cached per device)."""
     import jax.numpy as jnp
     key = (id(seq), seq.tobytes()[:64].__hash__(), len(seq),
-           code_map.tobytes().__hash__())
+           code_map.tobytes().__hash__(), _current_device())
     hit = _seq_cache.get(key)
     if hit is not None:
         return hit
     dev = jnp.asarray(code_map[seq].astype(np.int8))
-    if len(_seq_cache) > 8:
+    if len(_seq_cache) > 16:
         _seq_cache.clear()
     _seq_cache[key] = dev
     return dev

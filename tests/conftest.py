@@ -2,13 +2,21 @@ import os
 import sys
 
 # TPU sharding tests run on a virtual CPU mesh; the real-chip bench is
-# exercised separately by bench.py.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    (os.environ.get("XLA_FLAGS", "") +
-     " --xla_force_host_platform_device_count=8").strip(),
-)
+# exercised separately by bench.py.  The session environment may
+# pre-register a tunneled accelerator backend (and override
+# JAX_PLATFORMS via its site hook), so force the platform through
+# jax.config — tests must never contend for the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
+if "--xla_force_host_platform_device_count" not in \
+        os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") +
+        " --xla_force_host_platform_device_count=8").strip()
+try:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
