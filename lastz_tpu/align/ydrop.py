@@ -1166,18 +1166,29 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
             p2 = query.lookup_partition(mp.pos2)
             aligner.low2, aligner.high2 = p2.sep_before + 1, p2.sep_after
 
-        use_dev = (device is not None
-                   and mp.left_seg1 is None and mp.right_seg1 is None
-                   and not _in_accepted_bbox(mp.pos1, mp.pos2))
+        from .. import stats as _stats
+        _x = _stats.current.extra
+        use_dev = device is not None
+        if use_dev and not (mp.left_seg1 is None
+                            and mp.right_seg1 is None):
+            use_dev = False
+            _x["dev-skip bounded"] = _x.get("dev-skip bounded", 0) + 1
+        if use_dev and _in_accepted_bbox(mp.pos1, mp.pos2):
+            use_dev = False
+            _x["dev-skip in-bbox"] = _x.get("dev-skip in-bbox", 0) + 1
         if use_dev:
             device.result_for(k)
             use_dev = device.statuses_ok(k)
+            if not use_dev:
+                _x["dev-skip status"] = _x.get("dev-skip status", 0) + 1
         if use_dev and acc_bb:
             r1lo, r1hi, r2lo, r2hi = device.explored_rect(k)
             for (b1lo, b1hi, b2lo, b2hi) in acc_bb:
                 if not (b1hi < r1lo or b1lo > r1hi
                         or b2hi < r2lo or b2lo > r2hi):
                     use_dev = False
+                    _x["dev-skip overlap"] = \
+                        _x.get("dev-skip overlap", 0) + 1
                     break
         if use_dev:
             device.stats_device += 1
@@ -1186,8 +1197,10 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
         else:
             if device is not None:
                 device.stats_host += 1
-            s, start1, start2, stop1, stop2, script = aligner.ydrop_align(
-                mp.pos1, mp.pos2)
+            from .. import stats as _stats
+            with _stats.current.time("ydrop host"):
+                s, start1, start2, stop1, stop2, script = \
+                    aligner.ydrop_align(mp.pos1, mp.pos2)
         if device is not None:
             device.release(k)
         anchor_pos1 = mp.pos1

@@ -192,6 +192,9 @@ class DeviceYDrop:
                   trim_to_peak=self.trim_to_peak, tb_cap=self.tb_cap)
         subsmall = jnp.asarray(self.subsmall)
 
+        from .. import stats as _stats
+        t_launch = _stats.current.time("ydrop device")
+        t_launch.__enter__()
         state, prev_off, packed, tb_all, row_lo, row_hi, col0 = \
             ydrop_mega(*args, state, prev_off, subsmall,
                        with_tb=True, **kw)
@@ -226,6 +229,7 @@ class DeviceYDrop:
         meta = np.asarray(jnp.stack([
             n_d, row_d, col_d]))
         n_np, row_np, col_np = meta[0], meta[1], meta[2]
+        t_launch.__exit__()
         ops_ok = want & (n_np < cap) & (row_np <= 0) & (col_np <= 0)
         ops_np = np.asarray(ops_d)
 

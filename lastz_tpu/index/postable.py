@@ -177,6 +177,132 @@ def build_seed_position_table(
     )
 
 
+class DevicePositionTable(PositionTable):
+    """Position table whose CSR lives on the accelerator, built there
+    (the 1-core host needs ~60s for a 4 Mbp target; the device builds
+    the same arrays in well under a second).  Host arrays materialize
+    lazily on first access, so device-path runs never pay the
+    device->host transfer."""
+
+    def __init__(self, seed, step, start, end, adj_start,
+                 dev_csr_start, dev_csr_pos, n_entries):
+        self.seed = seed
+        self.step = step
+        self.start = start
+        self.end = end
+        self.adj_start = adj_start
+        self.dev_csr_start = dev_csr_start
+        self.dev_csr_pos = dev_csr_pos
+        self.n_entries = int(n_entries)
+        self.csr_resolve = None
+        self.alive = None
+        self._host_start = None
+        self._host_pos = None
+
+    @property
+    def num_words(self) -> int:
+        return 1 << self.seed.weight
+
+    @property
+    def csr_start(self):
+        if self._host_start is None:
+            self._host_start = np.asarray(self.dev_csr_start)
+        return self._host_start
+
+    @csr_start.setter
+    def csr_start(self, v):
+        self._host_start = v
+
+    @property
+    def csr_pos(self):
+        if self._host_pos is None:
+            self._host_pos = np.asarray(
+                self.dev_csr_pos)[: self.n_entries]
+        return self._host_pos
+
+    @csr_pos.setter
+    def csr_pos(self, v):
+        self._host_pos = v
+
+
+def build_seed_position_table_device(
+    seq_v: np.ndarray,
+    start: int,
+    end: int,
+    char_to_bits: np.ndarray,
+    seed: Seed,
+    step: int = 1,
+) -> DevicePositionTable:
+    """Device-side equivalent of build_seed_position_table: word
+    packing, selection, stable sort, and the scatter-add/cumsum CSR
+    construction all run on the accelerator.  Entry order per word is
+    ascending position — identical to the host build (and hence to
+    the reference's last/prev enumeration when read descending)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.hitgen import pack_query_words
+
+    if step < 1:
+        raise ValueError("step must be >= 1")
+    if end == 0:
+        end = len(seq_v)
+    if end <= start:
+        raise ValueError("interval is void")
+    adj_start = start - (start % step)
+    codes = char_to_bits[seq_v[start:end]].astype(np.int8)
+    cdev = jnp.asarray(codes)
+    packed, valid = pack_query_words(
+        cdev, seed.bit_map, seed.length, seed.bits_per_base)
+    csr_start, csr_pos, n = _build_csr_dev(
+        packed, valid, nw=1 << seed.weight, step=step,
+        length=seed.length, start=start, adj=adj_start)
+    return DevicePositionTable(
+        seed=seed, step=step, start=start, end=end,
+        adj_start=adj_start, dev_csr_start=csr_start,
+        dev_csr_pos=csr_pos, n_entries=int(n))
+
+
+def _build_csr_dev(packed, valid, *, nw, step, length, start, adj):
+    import functools
+
+    import jax
+
+    global _BUILD_CSR_JIT
+    if _BUILD_CSR_JIT is None:
+        _BUILD_CSR_JIT = jax.jit(
+            _build_csr_impl,
+            static_argnames=("nw", "step", "length", "start", "adj"))
+    return _BUILD_CSR_JIT(packed, valid, nw=nw, step=step,
+                          length=length, start=start, adj=adj)
+
+
+_BUILD_CSR_JIT = None
+
+
+def _build_csr_impl(packed, valid, *, nw, step, length, start, adj):
+    import jax.numpy as jnp
+    num = packed.shape[0]
+    end_pos = start + length + jnp.arange(num, dtype=jnp.int64 if
+                                          start + length + num >= (1 << 31)
+                                          else jnp.int32)
+    sel = valid
+    if step != 1:
+        sel = sel & (end_pos % step == 0)
+    stored = ((end_pos - adj) // step).astype(jnp.int32)
+    key = jnp.where(sel, packed, jnp.uint32(nw))  # sentinel sorts last
+    order = jnp.argsort(key, stable=True)
+    sorted_pos = stored[order]
+    cnt = jnp.zeros((nw,), jnp.int32).at[
+        jnp.minimum(key, nw - 1).astype(jnp.int32)].add(
+        sel.astype(jnp.int32))
+    csr_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)])
+    return csr_start, sorted_pos, jnp.sum(sel.astype(jnp.int32))
+
+
 def build_quantum_seed_position_table(
     seq_v: np.ndarray,
     start: int,

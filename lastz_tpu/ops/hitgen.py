@@ -45,10 +45,12 @@ DIAG_HASH_SIZE = 65536
 MIN32 = jnp.int32(-(1 << 30))
 
 # default launch geometry (overridable; passed as static jit args)
-HIT_BUDGET = 1 << 21      # candidate hits per launch
+HIT_BUDGET = 1 << 22      # candidate hits per launch
 OUT_CAP = 1 << 18         # max survivors per launch
 XD_SLICE = 1 << 15        # hits per x-drop sub-batch
-XD_CHUNK = 256            # cells per x-drop round
+XD_CHUNK = 256            # cells per x-drop continuation round
+XD_FIRST = 64             # cells in the universal first pass
+SEQ_PAD = 512             # sentinel padding around device sequences
 MAX_RESOLVE_ROUNDS = 64
 
 
@@ -91,14 +93,28 @@ def pack_query_words(codes, bit_map: tuple, length: int, bits_per: int):
 def pair_counts(packed, valid, xors, csr_start):
     """packed/valid: (P,) padded query-word chunk; xors: (nprobe,)
     uint32.  Returns (cum (P*nprobe+1,) int32 exclusive prefix sum of
-    per-(position,probe)-pair candidate counts, total scalar)."""
+    per-(position,probe)-pair candidate counts, ends (P*nprobe,) CSR
+    end offsets per pair, total scalar)."""
     words = (packed[:, None] ^ xors[None, :]).ravel()
     nw = csr_start.shape[0] - 1
     w = jnp.minimum(words, nw - 1).astype(jnp.int32)
-    cnt = (csr_start[w + 1] - csr_start[w]).astype(jnp.int32)
+    ends = csr_start[w + 1]
+    cnt = (ends - csr_start[w]).astype(jnp.int32)
     cnt = jnp.where(jnp.repeat(valid, xors.shape[0]), cnt, 0)
     cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)])
-    return cum, cum[-1]
+    return cum, ends, cum[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("total_pad",))
+def expand_chunk(cum, total_pad: int):
+    """Pair index per hit for a whole chunk, via one scatter-add of
+    pair-start markers + a prefix sum (replaces a per-launch
+    searchsorted over the 10M+-entry pair prefix array; empty pairs
+    collapse onto the next start and the cumsum picks the last pair
+    whose start <= the hit index — i.e. the containing pair)."""
+    seg = jnp.zeros((total_pad,), jnp.int32).at[cum[:-1]].add(
+        1, mode="drop")
+    return jnp.cumsum(seg) - 1
 
 
 # ---------------------------------------------------------------------------
@@ -106,74 +122,138 @@ def pair_counts(packed, valid, xors, csr_start):
 # ---------------------------------------------------------------------------
 
 
-def _xdrop_slice(seq1, seq2, subflat, K, p1, p2, n, x_drop, step):
-    """Fused multi-round scan for one slice (ops/xdrop_batch.py
-    _jax_fused_impl math, compact-alphabet int32 edition)."""
-    H = p1.shape[0]
-    offs = jnp.arange(XD_CHUNK, dtype=jnp.int32)
-    L1 = seq1.shape[0]
-    L2 = seq2.shape[0]
-
-    def round_body(st):
-        base, cum, runmax, best, kbest, consumed, live = st
-        i1 = p1[:, None] + step * (base[:, None] + offs[None, :])
-        i2 = p2[:, None] + step * (base[:, None] + offs[None, :])
-        rem = n - base
-        valid = (offs[None, :] < rem[:, None]) & live[:, None]
-        ch1 = seq1[jnp.clip(i1, 0, L1 - 1)].astype(jnp.int32)
-        ch2 = seq2[jnp.clip(i2, 0, L2 - 1)].astype(jnp.int32)
-        sc = jnp.where(valid, subflat[ch1 * K + ch2], 0)
-        c = cum[:, None] + jnp.cumsum(sc, axis=1)
-        m = jnp.maximum(jax.lax.cummax(c, axis=1), runmax[:, None])
-        bad = (c < jnp.maximum(m, 0) - x_drop) & valid
-        any_bad = jnp.any(bad, axis=1)
-        first_bad = jnp.where(
-            any_bad, jnp.argmax(bad, axis=1).astype(jnp.int32),
-            XD_CHUNK)
-        take = jnp.minimum(jnp.minimum(first_bad + 1, rem), XD_CHUNK)
-        take = jnp.maximum(take, 0)
-        inpref = (offs[None, :] < take[:, None]) & live[:, None]
-        cc = jnp.where(inpref, c, MIN32)
-        chunk_best = jnp.max(cc, axis=1)
-        chunk_arg = jnp.argmax(cc, axis=1).astype(jnp.int32)
-        better = live & (chunk_best > best)
-        best = jnp.where(better, chunk_best, best)
-        kbest = jnp.where(better, base + chunk_arg, kbest)
-        consumed = jnp.where(live, base + take, consumed)
-        last = jnp.maximum(take - 1, 0)
-        cum2 = jnp.take_along_axis(c, last[:, None], axis=1)[:, 0]
-        runmax2 = jnp.take_along_axis(m, last[:, None], axis=1)[:, 0]
-        cum = jnp.where(live, cum2, cum)
-        runmax = jnp.where(live, runmax2, runmax)
-        base = jnp.where(live, base + XD_CHUNK, base)
-        live = live & (~any_bad) & (rem > XD_CHUNK)
-        return base, cum, runmax, best, kbest, consumed, live
-
-    z = jnp.zeros((H,), jnp.int32)
-    st = (z, z, z, z, jnp.full((H,), -1, jnp.int32), z, n > 0)
-    st = jax.lax.while_loop(lambda s: jnp.any(s[6]), round_body, st)
-    _, _, _, best, kbest, consumed, _ = st
-    kbest = jnp.where(best > 0, kbest, -1)
-    return consumed, best, kbest
+def _rows(seqp, start, step, C):
+    """(Hs, C) codes where row[:, j] = seq[start + step*j], gathered
+    as per-row contiguous dynamic slices from a SEQ_PAD-padded
+    sequence (the padding keeps every slice in bounds, so no clamping
+    can shift valid cells; out-of-range cells read sentinel 0 and are
+    masked by the caller's validity test)."""
+    if step > 0:
+        s = start + SEQ_PAD
+        rows = jax.vmap(
+            lambda i: jax.lax.dynamic_slice(seqp, (i,), (C,)))(s)
+    else:
+        s = start - (C - 1) + SEQ_PAD
+        rows = jax.vmap(
+            lambda i: jax.lax.dynamic_slice(seqp, (i,), (C,)))(s)
+        rows = rows[:, ::-1]
+    return rows.astype(jnp.int32)
 
 
-def _xdrop_all(seq1, seq2, subflat, K, p1, p2, n, x_drop, step):
-    """All-H scan as a sequential map over XD_SLICE sub-batches (the
-    body compiles once; memory stays bounded at (XD_SLICE, XD_CHUNK))."""
+def _xdrop_round(seq1p, seq2p, subflat, K, p1, p2, n, x_drop, step,
+                 chunk, st):
+    """One chunk-sized scan round resuming per-lane carried state
+    (identical continuation math to ops/xdrop_batch._jax_fused_impl)."""
+    base, cum, runmax, best, kbest, consumed, live = st
+    offs = jnp.arange(chunk, dtype=jnp.int32)
+    ch1 = _rows(seq1p, p1 + step * base, step, chunk)
+    ch2 = _rows(seq2p, p2 + step * base, step, chunk)
+    rem = n - base
+    valid = (offs[None, :] < rem[:, None]) & live[:, None]
+    sc = jnp.where(valid, subflat[ch1 * K + ch2], 0)
+    c = cum[:, None] + jnp.cumsum(sc, axis=1)
+    m = jnp.maximum(jax.lax.cummax(c, axis=1), runmax[:, None])
+    bad = (c < jnp.maximum(m, 0) - x_drop) & valid
+    any_bad = jnp.any(bad, axis=1)
+    first_bad = jnp.where(
+        any_bad, jnp.argmax(bad, axis=1).astype(jnp.int32), chunk)
+    take = jnp.minimum(jnp.minimum(first_bad + 1, rem), chunk)
+    take = jnp.maximum(take, 0)
+    inpref = (offs[None, :] < take[:, None]) & live[:, None]
+    cc = jnp.where(inpref, c, MIN32)
+    chunk_best = jnp.max(cc, axis=1)
+    chunk_arg = jnp.argmax(cc, axis=1).astype(jnp.int32)
+    better = live & (chunk_best > best)
+    best = jnp.where(better, chunk_best, best)
+    kbest = jnp.where(better, base + chunk_arg, kbest)
+    consumed = jnp.where(live, base + take, consumed)
+    last = jnp.maximum(take - 1, 0)
+    cum2 = jnp.take_along_axis(c, last[:, None], axis=1)[:, 0]
+    runmax2 = jnp.take_along_axis(m, last[:, None], axis=1)[:, 0]
+    cum = jnp.where(live, cum2, cum)
+    runmax = jnp.where(live, runmax2, runmax)
+    base = jnp.where(live, base + chunk, base)
+    live = live & (~any_bad) & (rem > chunk)
+    return base, cum, runmax, best, kbest, consumed, live
+
+
+def _xdrop_all(seq1p, seq2p, subflat, K, p1, p2, n, x_drop, step):
+    """Two-phase all-H scan.
+
+    Phase A: ONE fixed XD_FIRST-cell round over every hit (sliced to
+    bound memory).  Random background hits — the overwhelming
+    majority — die inside it, so the bulk of the work touches
+    XD_FIRST cells per hit instead of XD_CHUNK.
+
+    Phase B: survivors are COMPACTED into XD_SLICE-wide waves and
+    only those lanes run the multi-round continuation scan; dead
+    lanes never occupy gather bandwidth again (the per-element gather
+    throughput is the stage's wall on TPU).
+    """
     H = p1.shape[0]
     sl = min(XD_SLICE, H)
     ns = H // sl
-    shape3 = (ns, sl)
 
     def one(args):
         p1s, p2s, nss = args
-        return _xdrop_slice(seq1, seq2, subflat, K, p1s, p2s, nss,
-                            x_drop, step)
+        z = jnp.zeros((sl,), jnp.int32)
+        st = (z, z, z, z, jnp.full((sl,), -1, jnp.int32), z, nss > 0)
+        return _xdrop_round(seq1p, seq2p, subflat, K, p1s, p2s, nss,
+                            x_drop, step, XD_FIRST, st)
 
-    consumed, best, kbest = jax.lax.map(
-        one, (p1.reshape(shape3), p2.reshape(shape3),
-              n.reshape(shape3)))
-    return (consumed.reshape(H), best.reshape(H), kbest.reshape(H))
+    sh = (ns, sl)
+    stA = jax.lax.map(one, (p1.reshape(sh), p2.reshape(sh),
+                            n.reshape(sh)))
+    base, cum, runmax, best, kbest, consumed, live = \
+        [a.reshape(H) for a in stA]
+
+    HC = sl
+    iota_h = jnp.arange(H, dtype=jnp.int32)
+
+    def wave_cond(st):
+        return jnp.any(st[6])
+
+    def wave_body(st):
+        base, cum, runmax, best, kbest, consumed, mask = st
+        idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        sel = mask & (idx < HC)
+        slot = jnp.where(sel, idx, HC)
+        # src[j] = hit index occupying wave lane j; H = empty lane
+        src = jnp.full((HC + 1,), H, jnp.int32).at[slot].set(
+            iota_h, mode="drop")[:HC]
+        vslot = src < H
+        srcc = jnp.minimum(src, H - 1)
+
+        def g(a, fill):
+            return jnp.where(vslot, a[srcc], fill)
+
+        st_s = (g(base, 0), g(cum, 0), g(runmax, 0), g(best, 0),
+                g(kbest, -1), g(consumed, 0), vslot)
+        p1s = g(p1, 0)
+        p2s = g(p2, 0)
+        ns2 = g(n, 0)
+
+        def rcond(s):
+            return jnp.any(s[6])
+
+        def rbody(s):
+            return _xdrop_round(seq1p, seq2p, subflat, K, p1s, p2s,
+                                ns2, x_drop, step, XD_CHUNK, s)
+
+        st_s = jax.lax.while_loop(rcond, rbody, st_s)
+        b2, c2, r2, be2, k2, co2, _ = st_s
+        # empty lanes carry src == H and fall off the scatter
+        upd = lambda full, s: full.at[src].set(s, mode="drop")
+        return (upd(base, b2), upd(cum, c2), upd(runmax, r2),
+                upd(best, be2), upd(kbest, k2), upd(consumed, co2),
+                mask & ~sel)
+
+    st = jax.lax.while_loop(
+        wave_cond, wave_body,
+        (base, cum, runmax, best, kbest, consumed, live))
+    _, _, _, best, kbest, consumed, _ = st
+    kbest = jnp.where(best > 0, kbest, -1)
+    return consumed, best, kbest
 
 
 # ---------------------------------------------------------------------------
@@ -234,38 +314,34 @@ def _resolve_chains_dev(extent_s, pos2mL_s, de0_s, seg_id, live_s):
     jax.jit,
     static_argnames=("no_extend", "self_compare", "same_strand",
                      "use_thresh", "has_alive", "K", "H", "out_cap"))
-def hit_launch(seq1c, seq2c, subflat, csr_start, csr_pos, alive_tab,
-               packed, cum, xors, de,
+def hit_launch(seq1p, seq2p, subflat, csr_pos, alive_tab,
+               cum, ends, karr, de,
                hit_base, total, chunk_lo,
                adj_start, step, seed_len, x_drop, thresh, band,
                len1, len2,
                *, no_extend: bool, self_compare: bool,
                same_strand: bool, use_thresh: bool, has_alive: bool,
-               K: int, H: int = HIT_BUDGET, out_cap: int = OUT_CAP):
+               K: int, nprobe: int,
+               H: int = HIT_BUDGET, out_cap: int = OUT_CAP):
     """One budgeted slice [hit_base, hit_base+H) of the chunk's
-    candidate hits.  Returns (de', out (9, out_cap) int32,
+    candidate hits.  seq1p/seq2p are SEQ_PAD-padded compact codes;
+    karr is this slice's precomputed pair index per hit
+    (expand_chunk).  Returns (de', out (9, out_cap) int32,
     scalars (6,) int32).
 
     out rows: pos1, pos2, qidx (absolute query window index), lscore,
     lstart, rscore, rstop, de_before, bind.
     scalars: n_keep, n_live, n_dropped, n_alive, converged, 0.
     """
-    nprobe = xors.shape[0]
     i = jnp.arange(H, dtype=jnp.int32)
     abs_i = hit_base + i
     live = abs_i < total
 
     # expansion: pair index k, then the (descending) CSR entry
-    k = jnp.searchsorted(cum, abs_i, side="right").astype(jnp.int32) - 1
-    k = jnp.clip(k, 0, cum.shape[0] - 2)
+    k = jnp.clip(karr, 0, ends.shape[0] - 1)
     within = abs_i - cum[k]
     pidx = k // nprobe
-    xor_ix = k - pidx * nprobe
-    word = packed[pidx] ^ xors[xor_ix]
-    nw = csr_start.shape[0] - 1
-    w = jnp.minimum(word, nw - 1).astype(jnp.int32)
-    ends = csr_start[w + 1]
-    csr_idx = jnp.clip(ends - 1 - within, 0, csr_pos.shape[0] - 1)
+    csr_idx = jnp.clip(ends[k] - 1 - within, 0, csr_pos.shape[0] - 1)
     pos1 = adj_start + step * csr_pos[csr_idx]
     pos2 = chunk_lo + seed_len + pidx
     if has_alive:
@@ -292,14 +368,14 @@ def hit_launch(seq1c, seq2c, subflat, csr_start, csr_pos, alive_tab,
     else:
         # left: from pos1-1 down to max(diag, 0)
         n_l = jnp.where(live, pos1 - jnp.maximum(diag, 0), 0)
-        lc, lb, lk = _xdrop_all(seq1c, seq2c, subflat, K,
+        lc, lb, lk = _xdrop_all(seq1p, seq2p, subflat, K,
                                 pos1 - 1, pos2 - 1, n_l, x_drop, -1)
         lscore = jnp.maximum(lb, 0)
         lstart = jnp.where(lb > 0, pos1 - 1 - lk, pos1)
         # right: from pos1 to min(len1, len2+diag)
         stop1r = jnp.minimum(len1, len2 + diag)
         n_r = jnp.where(live, jnp.maximum(stop1r - pos1, 0), 0)
-        rc, rb, rk = _xdrop_all(seq1c, seq2c, subflat, K,
+        rc, rb, rk = _xdrop_all(seq1p, seq2p, subflat, K,
                                 pos1, pos2, n_r, x_drop, +1)
         rscore = jnp.maximum(rb, 0)
         rstop = jnp.where(rb > 0, pos1 + rk + 1, pos1)

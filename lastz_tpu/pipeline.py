@@ -427,9 +427,8 @@ class Pipeline:
                     target.v, 0, len(target.v), cfg.masked_scoring,
                     cfg.seed, cfg.step)
             else:
-                pt = build_seed_position_table(
-                    target.v, 0, len(target.v), UPPER_NUC_TO_BITS,
-                    cfg.seed, cfg.step)
+                with self.stats.time("pos table"):
+                    pt = self._build_position_table(target)
             if cfg.word_count_limit > 0 or cfg.word_count_keep > 0:
                 from .index.postable import limit_position_table
                 limit_position_table(pt, cfg.word_count_limit,
@@ -463,8 +462,12 @@ class Pipeline:
 
         self.stats.target_length = len(target.v)
         self.stats.step = cfg.step
-        if pt is not None and getattr(pt, "csr_pos", None) is not None:
-            self.stats.words_in_table = len(pt.csr_pos)
+        if pt is not None:
+            n = getattr(pt, "n_entries", None)
+            if n is None and getattr(pt, "csr_pos", None) is not None:
+                n = len(pt.csr_pos)
+            if n is not None:
+                self.stats.words_in_table = n
 
         if cfg.write_capsule:
             # write the index snapshot and quit (lastz.c:1361-1376)
@@ -715,6 +718,35 @@ class Pipeline:
             self._finish_one_strand(target, pt, query)
         self._chore = None
 
+    def _build_position_table(self, target):
+        """Build the target index, on device when the device search
+        path will use it (reference build_seed_position_table,
+        pos_table.c:118; the device build is the capsule-style
+        'build once, share' path of SURVEY.md section 2 item 6)."""
+        cfg = self.cfg
+        from .align.ydrop_device import device_enabled
+        use_dev = (
+            device_enabled()
+            and os.environ.get("LASTZ_TPU_DEV_PT", "1") != "0"
+            and cfg.seed.type != "R" and not cfg.seed.rev_comp
+            and cfg.seed.weight <= 26
+            and not cfg.write_capsule and not cfg.show_pos_table
+            and cfg.word_count_limit == 0 and cfg.word_count_keep == 0
+            and cfg.dynamic_masking == 0
+            and len(target.v) < (1 << 31))
+        if use_dev:
+            try:
+                from .index.postable import (
+                    build_seed_position_table_device)
+                return build_seed_position_table_device(
+                    target.v, 0, len(target.v), UPPER_NUC_TO_BITS,
+                    cfg.seed, cfg.step)
+            except Exception:
+                pass  # fall back to the host build
+        return build_seed_position_table(
+            target.v, 0, len(target.v), UPPER_NUC_TO_BITS,
+            cfg.seed, cfg.step)
+
     # -- strand processing ----------------------------------------------------
 
     def _reporter_mode(self) -> str:
@@ -865,10 +897,12 @@ class Pipeline:
                            _fence_interval(query.v,
                                            chore.query_interval)))
         try:
-            if cfg.query_is_quantum:
-                engine.search_quantum(cfg.ball_score, 0, len(query.v))
-            else:
-                engine.search(0, len(query.v))
+            with self.stats.time("seed search"):
+                if cfg.query_is_quantum:
+                    engine.search_quantum(cfg.ball_score, 0,
+                                          len(query.v))
+                else:
+                    engine.search(0, len(query.v))
         finally:
             for v, saved in fences:
                 for pos, ch in saved:
@@ -982,20 +1016,21 @@ class Pipeline:
                 import math
                 max_paired = int(
                     math.ceil(cfg.max_paired_depth * len(query.v)))
-            align_list = gapped_extend(
-                target, query, cfg.scoring, anchors,
-                inhibit_trivial=cfg.inhibit_trivial,
-                y_drop=cfg.y_drop,
-                trim_to_peak=not cfg.y_drop_untrimmed,
-                score_thresh=gapped_threshold,
-                traceback_mem=cfg.traceback_mem,
-                max_paired_bases=max_paired,
-                overly_paired_warn=cfg.overly_paired_warn,
-                overly_paired_keep=cfg.overly_paired_keep,
-                on_overly_paired=self._make_paired_warner(
-                    query, max_paired),
-                truncation_report=not cfg.no_truncation_report,
-            )
+            with self.stats.time("gapped"):
+                align_list = gapped_extend(
+                    target, query, cfg.scoring, anchors,
+                    inhibit_trivial=cfg.inhibit_trivial,
+                    y_drop=cfg.y_drop,
+                    trim_to_peak=not cfg.y_drop_untrimmed,
+                    score_thresh=gapped_threshold,
+                    traceback_mem=cfg.traceback_mem,
+                    max_paired_bases=max_paired,
+                    overly_paired_warn=cfg.overly_paired_warn,
+                    overly_paired_keep=cfg.overly_paired_keep,
+                    on_overly_paired=self._make_paired_warner(
+                        query, max_paired),
+                    truncation_report=not cfg.no_truncation_report,
+                )
             align_list = self._filter_aligns(target, query, align_list)
             if align_list and cfg.inner_threshold > 0:
                 from .align.tweener import tweener_interpolate

@@ -77,14 +77,32 @@ def _current_device():
 
 
 def _pt_device_arrays(pt):
-    """Upload (and cache) the CSR on device; invalidated whenever the
-    table's arrays are rebuilt (dynamic masking, limiting).  Cached
-    per device so farm-out replicates the index across the mesh, like
-    the reference capsule replicates it across processes."""
+    """CSR arrays on the current device.  Device-built tables
+    (DevicePositionTable) are used in place (or copied across the
+    mesh for farm-out); host tables are uploaded and cached,
+    invalidated whenever the arrays are rebuilt (dynamic masking,
+    limiting).  Per-device caching replicates the index across the
+    mesh, like the reference capsule replicates it across processes."""
+    import jax
     import jax.numpy as jnp
+    dev = _current_device()
+    native = getattr(pt, "dev_csr_start", None)
+    if native is not None and pt.alive is None \
+            and pt._host_start is None:
+        # device-built table, never mutated on host
+        if list(native.devices())[0] == dev:
+            return native, pt.dev_csr_pos, None
+        cached = getattr(pt, "_hitgen_copies", None)
+        if cached is None:
+            cached = {}
+            pt._hitgen_copies = cached
+        if dev not in cached:
+            cached[dev] = (jax.device_put(native, dev),
+                           jax.device_put(pt.dev_csr_pos, dev))
+        return cached[dev] + (None,)
     key = (id(pt.csr_start), id(pt.csr_pos),
            id(pt.alive) if pt.alive is not None else None,
-           _current_device())
+           dev)
     cached = getattr(pt, "_hitgen_dev", None)
     if cached is None or cached.get("id") != key[:3]:
         cached = {"id": key[:3]}
@@ -104,14 +122,20 @@ _seq_cache: dict = {}
 
 
 def _seq_device(seq, code_map):
-    """Compact-alphabet codes of `seq` on device (cached per device)."""
+    """Compact-alphabet codes of `seq` on device, padded with SEQ_PAD
+    sentinel zeros on both sides so x-drop row slices never clamp
+    (cached per device)."""
     import jax.numpy as jnp
+
+    from ..ops.hitgen import SEQ_PAD
     key = (id(seq), seq.tobytes()[:64].__hash__(), len(seq),
            code_map.tobytes().__hash__(), _current_device())
     hit = _seq_cache.get(key)
     if hit is not None:
         return hit
-    dev = jnp.asarray(code_map[seq].astype(np.int8))
+    host = np.zeros(len(seq) + 2 * SEQ_PAD, np.int8)
+    host[SEQ_PAD:SEQ_PAD + len(seq)] = code_map[seq]
+    dev = jnp.asarray(host)
     if len(_seq_cache) > 16:
         _seq_cache.clear()
     _seq_cache[key] = dev
@@ -151,46 +175,49 @@ def device_search(engine, start: int = 0, end: int = 0):
         code_map, subsmall = cmap
     K = subsmall.shape[0]
 
-    csr_start_d, csr_pos_d, alive_d = _pt_device_arrays(engine.pt)
-    seq1_d = _seq_device(engine.seq1, code_map)
-    q_codes = engine.char_to_bits[engine.seq2[start:end]].astype(np.int8)
-    seq2_d = _seq_device(engine.seq2, code_map)
-    subflat_d = jnp.asarray(
-        np.ascontiguousarray(subsmall.reshape(-1)))
-
-    xors_np = _probe_xors(seed).astype(np.uint32)
-    nprobe = len(xors_np)
-    xors_d = jnp.asarray(xors_np)
-
-    qdev = jnp.asarray(q_codes)
-    packed, valid = pack_query_words(
-        qdev, seed.bit_map, L, seed.bits_per_base)
-    num_w = end - start - L + 1
-    PCHUNK = min(_DEF_PCHUNK, max(1 << 14, (1 << 24) // nprobe),
-                 1 << max(8, (num_w - 1).bit_length()))
-    n_chunks = (num_w + PCHUNK - 1) // PCHUNK
-    pad = n_chunks * PCHUNK - num_w
-    if pad:
-        packed = jnp.concatenate(
-            [packed, jnp.zeros(pad, packed.dtype)])
-        valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
-
     from .. import stats as _stats
     st = _stats.current
-    st.words_in_queries += int(jnp.sum(valid))
 
-    # phase 1: per-chunk pair prefix sums (device) + totals (one fetch)
-    pks = []
-    cums = []
-    tots = []
-    for c in range(n_chunks):
-        pk = jax.lax.dynamic_slice_in_dim(packed, c * PCHUNK, PCHUNK)
-        vd = jax.lax.dynamic_slice_in_dim(valid, c * PCHUNK, PCHUNK)
-        cum, tot = pair_counts(pk, vd, xors_d, csr_start_d)
-        pks.append(pk)
-        cums.append(cum)
-        tots.append(tot)
-    totals = [int(t) for t in jax.device_get(tots)]
+    with st.time("hitgen setup"):
+        csr_start_d, csr_pos_d, alive_d = _pt_device_arrays(engine.pt)
+        seq1_d = _seq_device(engine.seq1, code_map)
+        q_codes = engine.char_to_bits[
+            engine.seq2[start:end]].astype(np.int8)
+        seq2_d = _seq_device(engine.seq2, code_map)
+        subflat_d = jnp.asarray(
+            np.ascontiguousarray(subsmall.reshape(-1)))
+
+        xors_np = _probe_xors(seed).astype(np.uint32)
+        nprobe = len(xors_np)
+        xors_d = jnp.asarray(xors_np)
+
+        qdev = jnp.asarray(q_codes)
+        packed, valid = pack_query_words(
+            qdev, seed.bit_map, L, seed.bits_per_base)
+        num_w = end - start - L + 1
+        PCHUNK = min(_DEF_PCHUNK, max(1 << 14, (1 << 24) // nprobe),
+                     1 << max(8, (num_w - 1).bit_length()))
+        n_chunks = (num_w + PCHUNK - 1) // PCHUNK
+        pad = n_chunks * PCHUNK - num_w
+        if pad:
+            packed = jnp.concatenate(
+                [packed, jnp.zeros(pad, packed.dtype)])
+            valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+        st.words_in_queries += int(jnp.sum(valid))
+
+    # phase 1: per-chunk candidate totals (one small fetch; the pair
+    # arrays themselves are recomputed per chunk in phase 2 so only
+    # one chunk's expansion is ever resident)
+    with st.time("hitgen counts"):
+        tots = []
+        for c in range(n_chunks):
+            pk = jax.lax.dynamic_slice_in_dim(
+                packed, c * PCHUNK, PCHUNK)
+            vd = jax.lax.dynamic_slice_in_dim(
+                valid, c * PCHUNK, PCHUNK)
+            _, _, tot = pair_counts(pk, vd, xors_d, csr_start_d)
+            tots.append(tot)
+        totals = [int(t) for t in jax.device_get(tots)]
 
     de = jnp.full((65536,), -1, jnp.int32)
 
@@ -212,13 +239,12 @@ def device_search(engine, start: int = 0, end: int = 0):
     static_kw = dict(
         no_extend=no_extend, self_compare=bool(engine.self_compare),
         same_strand=bool(engine.same_strand), use_thresh=use_thresh,
-        has_alive=alive_d is not None, K=K)
+        has_alive=alive_d is not None, K=K, nprobe=nprobe)
     alive_arg = alive_d if alive_d is not None else jnp.zeros(
         1, jnp.uint8)
 
     x_drop = int(hp.x_drop) if not no_extend else 0
-    common = (seq1_d, seq2_d, subflat_d, csr_start_d, csr_pos_d,
-              alive_arg)
+    common = (seq1_d, seq2_d, subflat_d, csr_pos_d, alive_arg)
 
     sub = engine._sub
     seq1 = engine.seq1
@@ -283,18 +309,33 @@ def device_search(engine, start: int = 0, end: int = 0):
                 trip_pos = g
         return True
 
+    from ..ops.hitgen import expand_chunk
+
     for c in range(n_chunks):
         total = totals[c]
         if total == 0:
             continue
         chunk_lo = start + c * PCHUNK
-        cum = cums[c]
+        t_setup = st.time("hitgen expand")
+        t_setup.__enter__()
+        pk = jax.lax.dynamic_slice_in_dim(packed, c * PCHUNK, PCHUNK)
+        vd = jax.lax.dynamic_slice_in_dim(valid, c * PCHUNK, PCHUNK)
+        cum, ends, _ = pair_counts(pk, vd, xors_d, csr_start_d)
+        # one extra H of padding so an overflow-split launch at an
+        # unaligned offset can still slice a full window
+        n_launches = (total + H - 1) // H
+        total_pad = (n_launches + 1) * H
+        karr = expand_chunk(cum, total_pad)
+        t_setup.__exit__()
         ranges = [(b, min(b + H, total))
                   for b in range(0, total, H)]
         while ranges:
             lo, hi = ranges.pop(0)
+            t_launch = st.time("hitgen device")
+            t_launch.__enter__()
+            kslice = jax.lax.dynamic_slice_in_dim(karr, lo, H)
             de2, out, scalars = hit_launch(
-                *common, pks[c], cum, xors_d, de,
+                *common, cum, ends, kslice, de,
                 jnp.int32(lo), jnp.int32(hi),
                 jnp.int32(chunk_lo),
                 jnp.int32(engine.pt.adj_start),
@@ -307,8 +348,10 @@ def device_search(engine, start: int = 0, end: int = 0):
             sc = np.asarray(scalars)
             n_keep = int(sc[0])
             if not int(sc[4]):
-                return None  # unconverged chain fixpoint: host replay
+                t_launch.__exit__()
+                return None  # unconverged fixpoint: host replay
             if n_keep > out_cap:
+                t_launch.__exit__()
                 mid = (lo + hi) // 2
                 if mid == lo:
                     return None
@@ -318,10 +361,12 @@ def device_search(engine, start: int = 0, end: int = 0):
             st.raw_seed_hits += int(sc[1])
             st.hash_dropped_hits += int(sc[2])
             st.ungapped_extensions += int(sc[3])
+            out_np = (np.asarray(out[:, :n_keep]) if n_keep else None)
+            t_launch.__exit__()
             if n_keep:
-                out_np = np.asarray(out[:, :n_keep])
-                if not process_candidates(out_np, n_keep):
-                    return bases_hit
+                with st.time("hitgen report"):
+                    if not process_candidates(out_np, n_keep):
+                        return bases_hit
         if trip_pos >= 0 and c < n_chunks - 1:
             engine.limit_exceeded = True
             if engine.on_limit_exceeded is not None:

@@ -38,6 +38,12 @@ class RunStats:
     gapped_host: int = 0
     alignments: int = 0
     extra: dict = field(default_factory=dict)
+    # wall-clock buckets (reference dbgTiming, lastz.c:283-305)
+    timers: dict = field(default_factory=dict)
+
+    def time(self, bucket: str):
+        """Context manager accumulating wall time into a bucket."""
+        return _Timer(self, bucket)
 
     def show(self, f=None):
         f = f or sys.stderr
@@ -67,7 +73,29 @@ class RunStats:
         w(f"        alignments: {_c(self.alignments)}\n")
         for k, v in self.extra.items():
             w(f"{k:>18}: {_c(v)}\n")
+        if self.timers:
+            w("wall clock:\n")
+            for k, v in self.timers.items():
+                w(f"{k:>18}: {v:.3f}s\n")
         w("-------------------\n")
+
+
+class _Timer:
+    def __init__(self, st, bucket):
+        self.st = st
+        self.bucket = bucket
+
+    def __enter__(self):
+        import time
+        self.t0 = time.monotonic()
+        return self
+
+    def __exit__(self, *exc):
+        import time
+        self.st.timers[self.bucket] = (
+            self.st.timers.get(self.bucket, 0.0)
+            + time.monotonic() - self.t0)
+        return False
 
 
 # one active collector per process run; Pipeline resets it

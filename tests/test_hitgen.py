@@ -130,3 +130,58 @@ def test_device_hits_halfweight_seed():
     dev = _collect(s1, s2, "TTT0T0TTT0TT0TTTT", 0, GFEX_XDROP, 2000,
                    env=DEVICE)
     assert dev == ref
+
+
+def test_device_position_table_matches_host():
+    from lastz_tpu.index.postable import (
+        build_seed_position_table, build_seed_position_table_device)
+    s1, _ = _related_pair(5000, seed=17)
+    seed = parse_seed("1110100110010101111", with_trans=1)
+    host = build_seed_position_table(s1, 0, 0, UPPER_NUC_TO_BITS,
+                                     seed, 1)
+    for step in (1, 3):
+        h = build_seed_position_table(s1, 0, 0, UPPER_NUC_TO_BITS,
+                                      seed, step)
+        d = build_seed_position_table_device(
+            s1, 0, 0, UPPER_NUC_TO_BITS, seed, step)
+        assert d.n_entries == len(h.csr_pos)
+        assert np.array_equal(d.csr_start, h.csr_start)
+        assert np.array_equal(d.csr_pos, h.csr_pos)
+        assert d.adj_start == h.adj_start
+
+
+def test_device_search_with_device_pt():
+    from lastz_tpu.index.postable import build_seed_position_table_device
+    s1, s2 = _related_pair(4000, seed=19)
+    seed = parse_seed("1110100110010101111", with_trans=1)
+    sc = new_dna_score_set()
+    hp = HitProcessorParams(
+        gf_extend=GFEX_XDROP, scoring=sc, x_drop=910,
+        hsp_threshold=ScoreThreshold("S", 3000))
+
+    def run(pt, env):
+        hits = []
+        eng = SeedSearchEngine(
+            s1, pt, s2, seed, UPPER_NUC_TO_BITS, hp,
+            lambda p1, p2, ln, s: hits.append((p1, p2, ln, s)) or ln)
+        saved = {}
+        for k, v in env.items():
+            saved[k] = os.environ.get(k)
+            os.environ[k] = v
+        try:
+            eng.search(0, len(s2))
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        return hits
+
+    from lastz_tpu.index.postable import build_seed_position_table
+    ref = run(build_seed_position_table(s1, 0, 0, UPPER_NUC_TO_BITS,
+                                        seed, 1), SCALAR)
+    dev = run(build_seed_position_table_device(
+        s1, 0, 0, UPPER_NUC_TO_BITS, seed, 1), DEVICE)
+    assert len(ref) > 0
+    assert dev == ref
