@@ -1,0 +1,243 @@
+"""Pallas TPU kernel for the gap-free x-drop scan (reference
+xdrop_extend_seed_hit, seed_search.c:2528-2801).
+
+XLA's gather lowering moves ~1.3e8 elements/s on this part no matter
+how the indices are shaped; measured Mosaic window loads from VMEM run
+>2.5e10 elements/s.  This kernel therefore owns the scan's inner
+loop; the math is cell-for-cell the continuation algebra of
+ops/hitgen._xdrop_round, verified by the same oracle tests.
+
+Layout:
+  * hits are sorted by target position and processed in blocks of NB;
+    each grid program DMAs one (TS_ROWS, 128) int32 window of the
+    target around its block (window row base via scalar prefetch) and
+    keeps the launch's whole query chunk window resident in VMEM;
+  * per hit, both directions scan in 128-cell chunks: two one-row
+    loads + a roll produce the cell windows, scores come from a
+    static K*K select chain, and the prefix sum/max run as log-shift
+    roll chains (ascending or descending lane order depending on the
+    scan direction);
+  * a hit whose scan would leave either window ESCAPES with its
+    carried state (base/cum/runmax/best/kbest); the XLA wave
+    continuation (hitgen._xdrop_waves) finishes those rare long
+    scans exactly.
+
+Everything is int32 — (1, 128) vectors, SMEM scalars, pltpu.roll —
+the vocabulary proven against this environment's remote Mosaic
+compiler.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NB = 2048            # hits per grid program
+TS_ROWS = 256        # target window rows (32768 codes)
+LMARGIN = 12288      # window codes kept left of a block's first hit
+QMARGIN = 16384      # query window margin beyond the chunk
+MIN32 = jnp.int32(-(1 << 30))
+BIG32 = jnp.int32(1 << 30)
+
+_SH = (1, 2, 4, 8, 16, 32, 64)
+
+
+def _prefix_sum(x, l_iota, asc: bool):
+    from jax.experimental.pallas import tpu as pltpu
+    for sh in _SH:
+        if asc:
+            x = x + jnp.where(l_iota >= sh, pltpu.roll(x, sh, 1), 0)
+        else:
+            x = x + jnp.where(l_iota <= 127 - sh,
+                              pltpu.roll(x, -sh, 1), 0)
+    return x
+
+
+def _prefix_max(x, l_iota, asc: bool):
+    from jax.experimental.pallas import tpu as pltpu
+    for sh in _SH:
+        if asc:
+            x = jnp.maximum(
+                x, jnp.where(l_iota >= sh, pltpu.roll(x, sh, 1),
+                             MIN32))
+        else:
+            x = jnp.maximum(
+                x, jnp.where(l_iota <= 127 - sh,
+                             pltpu.roll(x, -sh, 1), MIN32))
+    return x
+
+
+def _window(ref, w):
+    """(1, 128) int32 codes at flat offsets [w, w+128) of a rows-of-128
+    ref (two row loads + a roll; caller guarantees bounds)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    r = w // 128
+    off = w % 128
+    two = jnp.concatenate(
+        [ref[pl.ds(r, 1), :], ref[pl.ds(r + 1, 1), :]], axis=1)
+    return pltpu.roll(two, -off, 1)[:, :128]
+
+
+def _make_kernel(sub_tuple: tuple, K: int, x_drop: int,
+                 q_rows: int, nblk: int):
+    import jax.experimental.pallas as pl
+
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    TS = TS_ROWS * 128
+    QTS = q_rows * 128
+
+    def scores(c1, c2):
+        idx = c1 * K + c2
+        s = jnp.zeros((1, 128), jnp.int32)
+        for v, val in enumerate(sub_tuple):
+            if val != 0:
+                s = jnp.where(idx == v, jnp.int32(val), s)
+        return s
+
+    def scan_dir(t_ref, q_ref, p1, p2, n, asc: bool):
+        l_scan = l_iota if asc else (127 - l_iota)
+
+        def cond(st):
+            base, cum, runmax, best, kbest, consumed, live, esc = st
+            return live & (esc == 0)
+
+        def body(st):
+            base, cum, runmax, best, kbest, consumed, live, esc = st
+            if asc:
+                w1 = p1 + base
+                w2 = p2 + base
+            else:
+                w1 = p1 - base - 127
+                w2 = p2 - base - 127
+            esc_now = ((w1 < 0) | (w1 > TS - 129)
+                       | (w2 < 0) | (w2 > QTS - 129))
+
+            def escaped(st):
+                base, cum, runmax, best, kbest, consumed, live, _ = st
+                return (base, cum, runmax, best, kbest, consumed,
+                        live, jnp.int32(1))
+
+            def chunk(st):
+                base, cum, runmax, best, kbest, consumed, live, esc \
+                    = st
+                c1 = _window(t_ref, w1)
+                c2 = _window(q_ref, w2)
+                rem = n - base
+                valid = l_scan < rem
+                x = jnp.where(valid, scores(c1, c2), 0)
+                c = _prefix_sum(x, l_iota, asc) + cum
+                m = jnp.maximum(_prefix_max(c, l_iota, asc), runmax)
+                bad = (c < jnp.maximum(m, 0) - x_drop) & valid
+                any_bad = jnp.max(jnp.where(bad, 1, 0)) > 0
+                first_bad = jnp.min(jnp.where(bad, l_scan, 128))
+                take = jnp.minimum(jnp.minimum(first_bad + 1, rem),
+                                   128)
+                cc = jnp.where(l_scan < take, c, MIN32)
+                chunk_best = jnp.max(cc)
+                chunk_arg = jnp.min(
+                    jnp.where(cc == chunk_best, l_scan, BIG32))
+                better = chunk_best > best
+                best = jnp.where(better, chunk_best, best)
+                kbest = jnp.where(better, base + chunk_arg, kbest)
+                consumed = base + take
+                pick = l_scan == (take - 1)
+                cum = jnp.sum(jnp.where(pick, c, 0))
+                runmax = jnp.sum(jnp.where(pick, m, 0))
+                base = base + 128
+                live = jnp.logical_not(any_bad) & (rem > 128)
+                return (base, cum, runmax, best, kbest, consumed,
+                        live, esc)
+
+            return jax.lax.cond(esc_now, escaped, chunk, st)
+
+        z = jnp.int32(0)
+        st = (z, z, z, z, jnp.int32(-1), z, n > 0, z)
+        st = jax.lax.while_loop(cond, body, st)
+        base, cum, runmax, best, kbest, consumed, live, esc = st
+        return (consumed, best, kbest, base, cum, runmax,
+                (live & (esc > 0)).astype(jnp.int32))
+
+    def kernel(base_ref, t_ref, q_ref, p1_ref, p2_ref, nl_ref,
+               nr_ref, *outs):
+        (rc_o, rb_o, rk_o, rbase_o, rcum_o, rrun_o, resc_o,
+         lc_o, lb_o, lk_o, lbase_o, lcum_o, lrun_o, lesc_o) = outs
+
+        def hit(i, carry):
+            hi = i // 256
+            lo = i % 256
+            p1 = p1_ref[0, hi, lo]
+            p2 = p2_ref[0, hi, lo]
+            nl = nl_ref[0, hi, lo]
+            nr = nr_ref[0, hi, lo]
+            r = scan_dir(t_ref, q_ref, p1, p2, nr, True)
+            rc_o[0, hi, lo] = r[0]
+            rb_o[0, hi, lo] = r[1]
+            rk_o[0, hi, lo] = r[2]
+            rbase_o[0, hi, lo] = r[3]
+            rcum_o[0, hi, lo] = r[4]
+            rrun_o[0, hi, lo] = r[5]
+            resc_o[0, hi, lo] = r[6]
+            l = scan_dir(t_ref, q_ref, p1 - 1, p2 - 1, nl, False)
+            lc_o[0, hi, lo] = l[0]
+            lb_o[0, hi, lo] = l[1]
+            lk_o[0, hi, lo] = l[2]
+            lbase_o[0, hi, lo] = l[3]
+            lcum_o[0, hi, lo] = l[4]
+            lrun_o[0, hi, lo] = l[5]
+            lesc_o[0, hi, lo] = l[6]
+            return carry
+
+        jax.lax.fori_loop(0, NB, hit, 0)
+
+    return kernel
+
+
+def xdrop_scan_pallas(seq1_rows, qwin_rows, base_rows,
+                      p1rel, p2rel, n_l, n_r,
+                      sub_tuple: tuple, K: int, x_drop: int,
+                      interpret: bool = False):
+    """Both-direction scans for H = NBLK*NB hits (already sorted by
+    target position and made window-relative by the caller).
+
+    seq1_rows: (R1, 128) int32 target codes (HBM; windows DMA'd per
+    block); qwin_rows: (q_rows, 128) int32 query chunk window (VMEM);
+    base_rows: (NBLK,) int32 target window row base per block;
+    p1rel/p2rel/n_l/n_r: (NBLK, 8, 256) int32 per-hit.
+
+    Returns 14 arrays (NBLK, 8, 256) int32:
+      right: consumed, best, kbest, base, cum, runmax, escaped
+      left:  consumed, best, kbest, base, cum, runmax, escaped
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nblk = p1rel.shape[0]
+    q_rows = qwin_rows.shape[0]
+    kernel = _make_kernel(sub_tuple, K, int(x_drop), q_rows, nblk)
+
+    hit_spec = pl.BlockSpec((1, 8, 256), lambda b, base: (b, 0, 0),
+                            memory_space=pltpu.SMEM)
+    out_sh = jax.ShapeDtypeStruct((nblk, 8, 256), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((TS_ROWS, 128),
+                         lambda b, base: (base[b], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_rows, 128), lambda b, base: (0, 0),
+                         memory_space=pltpu.VMEM),
+            hit_spec, hit_spec, hit_spec, hit_spec,
+        ],
+        out_specs=[hit_spec] * 14,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[out_sh] * 14,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(base_rows, seq1_rows, qwin_rows, p1rel, p2rel, n_l, n_r)

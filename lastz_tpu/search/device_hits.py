@@ -142,6 +142,27 @@ def _seq_device(seq, code_map):
     return dev
 
 
+def _seq_rows32(seq, code_map):
+    """(R, 128) int32 rows of the padded compact codes (the Pallas
+    kernel's window layout), cached per device."""
+    import jax.numpy as jnp
+    key = ("rows32", id(seq), len(seq),
+           code_map.tobytes().__hash__(), _current_device())
+    hit = _seq_cache.get(key)
+    if hit is not None:
+        return hit
+    base = _seq_device(seq, code_map)
+    n = int(base.shape[0])
+    R = (n + 127) // 128
+    pad = R * 128 - n
+    arr = base
+    if pad:
+        arr = jnp.concatenate([arr, jnp.zeros(pad, jnp.int8)])
+    dev = arr.astype(jnp.int32).reshape(R, 128)
+    _seq_cache[key] = dev
+    return dev
+
+
 def device_search(engine, start: int = 0, end: int = 0):
     """Drop-in replacement for SeedSearchEngine.search via the device
     hit generator; returns bases_hit, or None when unsupported."""
@@ -240,6 +261,24 @@ def device_search(engine, start: int = 0, end: int = 0):
         no_extend=no_extend, self_compare=bool(engine.self_compare),
         same_strand=bool(engine.same_strand), use_thresh=use_thresh,
         has_alive=alive_d is not None, K=K, nprobe=nprobe)
+
+    # Pallas scan path: sorted-window kernel on a real TPU (or in
+    # interpreter mode for tests via LASTZ_TPU_PALLAS=interp)
+    use_pallas = False
+    seq1_rows = seq2_rows = None
+    pmode = os.environ.get("LASTZ_TPU_PALLAS", "auto")
+    if not no_extend and pmode != "0":
+        from ..ops.xdrop_pallas import NB
+        backend = jax.default_backend()
+        if ((backend == "tpu" or pmode == "interp")
+                and K <= 12 and H % NB == 0 and H >= NB
+                and np.abs(subsmall).max() < (1 << 30)):
+            use_pallas = True
+            static_kw["sub_tuple"] = tuple(
+                int(v) for v in subsmall.reshape(-1))
+            static_kw["pallas_interpret"] = backend != "tpu"
+            seq1_rows = _seq_rows32(engine.seq1, code_map)
+            seq2_rows = _seq_rows32(engine.seq2, code_map)
     alive_arg = alive_d if alive_d is not None else jnp.zeros(
         1, jnp.uint8)
 
@@ -258,6 +297,7 @@ def device_search(engine, start: int = 0, end: int = 0):
         """Host replay of the per-candidate reporting sequence
         (search/batched.py:322-378; the engine is the contract)."""
         nonlocal bases_hit, trip_pos
+        engine._dev_reported = True
         (pos1a, pos2a, grpa, lsc, lst, rsc, rst, de_b,
          bind) = [out_np[r, :n] for r in range(9)]
         for i in range(n):
@@ -326,6 +366,18 @@ def device_search(engine, start: int = 0, end: int = 0):
         n_launches = (total + H - 1) // H
         total_pad = (n_launches + 1) * H
         karr = expand_chunk(cum, total_pad)
+        pall_args = ()
+        if use_pallas:
+            from ..ops.hitgen import SEQ_PAD
+            from ..ops.xdrop_pallas import QMARGIN
+            R2 = int(seq2_rows.shape[0])
+            QTSR = min(R2, -(-(PCHUNK + L + 2 * QMARGIN + 256) // 128))
+            s0r = min(max((chunk_lo - QMARGIN + SEQ_PAD) // 128, 0),
+                      R2 - QTSR)
+            qwin = jax.lax.dynamic_slice_in_dim(
+                seq2_rows, s0r, QTSR, axis=0)
+            pall_args = (seq1_rows, qwin,
+                         jnp.int32(SEQ_PAD - s0r * 128))
         t_setup.__exit__()
         ranges = [(b, min(b + H, total))
                   for b in range(0, total, H)]
@@ -344,6 +396,7 @@ def device_search(engine, start: int = 0, end: int = 0):
                 jnp.int32(band),
                 jnp.int32(len(engine.seq1)),
                 jnp.int32(len(engine.seq2)),
+                *pall_args,
                 H=H, out_cap=out_cap, **static_kw)
             sc = np.asarray(scalars)
             n_keep = int(sc[0])

@@ -145,7 +145,21 @@ class SeedSearchEngine:
         if os.environ.get("LASTZ_TPU_SCALAR_SEARCH", "") in ("", "0"):
             from .device_hits import _device_search_enabled, device_search
             if _device_search_enabled():
-                r = device_search(self, start, end)
+                self._dev_reported = False
+                try:
+                    r = device_search(self, start, end)
+                except Exception as e:  # device trouble: host replay
+                    if self._dev_reported:
+                        raise  # hits already delivered; can't replay
+                    import sys
+                    if not getattr(SeedSearchEngine,
+                                   "_dev_fail_warned", False):
+                        SeedSearchEngine._dev_fail_warned = True
+                        sys.stderr.write(
+                            "lastz_tpu: device search failed (%s); "
+                            "falling back to host replay\n"
+                            % type(e).__name__)
+                    r = None
                 if r is not None:
                     return r
             from .batched import batched_search

@@ -185,3 +185,42 @@ def test_device_search_with_device_pt():
         s1, 0, 0, UPPER_NUC_TO_BITS, seed, 1), DEVICE)
     assert len(ref) > 0
     assert dev == ref
+
+
+PALLAS = dict(DEVICE)
+PALLAS["LASTZ_TPU_PALLAS"] = "interp"
+PALLAS["LASTZ_TPU_HIT_BUDGET"] = str(1 << 12)
+
+
+def test_pallas_scan_matches_scalar():
+    import lastz_tpu.ops.xdrop_pallas as xp
+    orig_nb, orig_lm = xp.NB, xp.LMARGIN
+    xp.NB, xp.LMARGIN = 512, 2048
+    try:
+        s1, s2 = _related_pair(4000, seed=23)
+        ref = _collect(s1, s2, "1110100110010101111", 1,
+                       GFEX_XDROP, 3000, env=SCALAR)
+        dev = _collect(s1, s2, "1110100110010101111", 1,
+                       GFEX_XDROP, 3000, env=PALLAS)
+        assert len(ref) > 0
+        assert dev == ref
+    finally:
+        xp.NB, xp.LMARGIN = orig_nb, orig_lm
+
+
+def test_pallas_scan_escape_path():
+    # tiny margins force window escapes; the wave continuation must
+    # finish those scans exactly
+    import lastz_tpu.ops.xdrop_pallas as xp
+    saved = (xp.NB, xp.LMARGIN, xp.TS_ROWS, xp.QMARGIN)
+    xp.NB, xp.LMARGIN, xp.TS_ROWS, xp.QMARGIN = 512, 256, 8, 256
+    try:
+        s1, s2 = _related_pair(3000, seed=29, ident=0.95)
+        ref = _collect(s1, s2, "11111111111", 0, GFEX_XDROP, 1500,
+                       env=SCALAR)
+        dev = _collect(s1, s2, "11111111111", 0, GFEX_XDROP, 1500,
+                       env=PALLAS)
+        assert len(ref) > 0
+        assert dev == ref
+    finally:
+        xp.NB, xp.LMARGIN, xp.TS_ROWS, xp.QMARGIN = saved
