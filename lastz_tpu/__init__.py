@@ -19,3 +19,27 @@ Layers (bottom to top; see SURVEY.md for the reference layer map):
 """
 
 __version__ = "0.1.0"
+
+
+def _setup_jax_cache():
+    """Persistent XLA compilation cache: every compile in this
+    environment runs on the (weak) local host, so cache hits are
+    worth minutes.  Applied at package import so all entry points
+    (CLI, tests, benches, direct module use) share it."""
+    import os
+    import tempfile
+    cache_dir = os.environ.get(
+        "LASTZ_TPU_JAX_CACHE",
+        os.path.join(tempfile.gettempdir(), "lastz_tpu_jax_cache"))
+    if not cache_dir or cache_dir == "0":
+        return
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+
+_setup_jax_cache()

@@ -333,29 +333,64 @@ def _seg_cummax_exclusive(x, seg_id):
     return out
 
 
-def _resolve_chains_dev(extent_s, pos2mL_s, de0_s, seg_id, live_s):
-    """Jacobi fixpoint of the drop protocol over hash-sorted hits
-    (search/batched.py:_resolve_chains math).  Returns (alive_s,
-    de_before_s, converged)."""
+RESOLVE_CHAIN_CAP = 16384  # longest chain walked on device
 
-    def body(st):
-        alive, _, _, rounds = st
-        contrib = jnp.where(alive & live_s, extent_s, MIN32)
-        run = _seg_cummax_exclusive(contrib, seg_id)
-        de_before = jnp.maximum(run, de0_s)
-        new_alive = ~(de_before > pos2mL_s)
-        changed = jnp.any((new_alive != alive) & live_s)
-        return new_alive, de_before, changed, rounds + 1
+
+def _resolve_chains_dev(extent_s, pos2mL_s, de0_s, seg_start, live_s):
+    """Exact drop-protocol scan over hash-sorted hits.
+
+    The per-chain recurrence (process_for_simple_hit,
+    seed_search.c:1056-1198) starts from a KNOWN de0 — there is no
+    cross-chain feedback — so every chain is a plain sequential scan.
+    Chains are keyed by the 64K diagonal hash, so there are at most
+    65537 of them per launch: all chains advance in LOCKSTEP, one
+    chain position per step, over (num-chains,)-sized state.  Work is
+    O(max_chain_len * 64K) instead of the Jacobi fixpoint's
+    O(depth * H * log H).
+
+    seg_start: bool array marking the first element of each chain.
+    Returns (alive_s, de_before_s, converged); converged is False
+    only when a chain exceeds RESOLVE_CHAIN_CAP (host replay takes
+    over, mirroring the fixpoint-cap semantics)."""
+    H = extent_s.shape[0]
+    NCH = DIAG_HASH_SIZE + 1
+    iota = jnp.arange(H, dtype=jnp.int32)
+    seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
+    # chain start offsets and lengths, padded to NCH with empties
+    starts = jnp.full((NCH,), H, jnp.int32).at[seg_id].min(
+        iota, mode="drop")
+    lens = jnp.zeros((NCH,), jnp.int32).at[seg_id].add(
+        1, mode="drop")
+    # the dead-hit tail sorts into one sentinel chain; skip it
+    lens = jnp.where(live_s[jnp.minimum(starts, H - 1)], lens, 0)
+    max_len = jnp.max(lens)
+    cur0 = de0_s[jnp.minimum(starts, H - 1)]
 
     def cond(st):
-        _, _, changed, rounds = st
-        return changed & (rounds < MAX_RESOLVE_ROUNDS)
+        r, cur, alive, de_before = st
+        return r < max_len
 
-    alive0 = jnp.ones_like(live_s)
-    st = body((alive0, jnp.zeros_like(extent_s), True, 0))
-    st = jax.lax.while_loop(cond, body, st)
-    alive, de_before, changed, _ = st
-    return alive, de_before, ~changed
+    def body(st):
+        r, cur, alive, de_before = st
+        idx = starts + r
+        act = r < lens
+        safe = jnp.minimum(idx, H - 1)
+        t = pos2mL_s[safe]
+        e = extent_s[safe]
+        lv = live_s[safe]
+        ok = cur <= t
+        de_before = de_before.at[jnp.where(act, idx, H)].set(
+            cur, mode="drop")
+        alive = alive.at[jnp.where(act, idx, H)].set(
+            ok, mode="drop")
+        cur = jnp.where(act & lv & ok, jnp.maximum(cur, e), cur)
+        return r + 1, cur, alive, de_before
+
+    alive0 = jnp.ones((H,), bool)
+    deb0 = jnp.zeros((H,), jnp.int32)
+    _, _, alive, de_before = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cur0, alive0, deb0))
+    return alive, de_before, max_len <= RESOLVE_CHAIN_CAP
 
 
 # ---------------------------------------------------------------------------
@@ -451,11 +486,10 @@ def hit_launch(seq1p, seq2p, subflat, csr_pos, alive_tab,
     key_s = key[order]
     starts = jnp.concatenate([
         jnp.ones(1, bool), key_s[1:] != key_s[:-1]])
-    seg_id = jnp.cumsum(starts.astype(jnp.int32)) - 1
     de0 = de[jnp.clip(key_s, 0, DIAG_HASH_SIZE - 1)]
     de0 = jnp.maximum(de0, 0)  # HASH_INACTIVE (-1) activates to 0
     alive_s, de_before_s, converged = _resolve_chains_dev(
-        extent[order], (pos2 - seed_len)[order], de0, seg_id,
+        extent[order], (pos2 - seed_len)[order], de0, starts,
         live[order])
     inv = jnp.zeros((H,), jnp.int32).at[order].set(i)
     alive = alive_s[inv] & live

@@ -86,112 +86,123 @@ def _make_kernel(sub_tuple: tuple, K: int, x_drop: int,
                  q_rows: int, nblk: int):
     import jax.experimental.pallas as pl
 
-    l_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    G = 8  # hits processed together: per-hit window loads feed one
+    #        (8, 128)-wide vector pipeline, amortizing the scalar loop
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
     TS = TS_ROWS * 128
     QTS = q_rows * 128
 
     def scores(c1, c2):
         idx = c1 * K + c2
-        s = jnp.zeros((1, 128), jnp.int32)
+        s = jnp.zeros((G, 128), jnp.int32)
         for v, val in enumerate(sub_tuple):
             if val != 0:
                 s = jnp.where(idx == v, jnp.int32(val), s)
         return s
 
-    def scan_dir(t_ref, q_ref, p1, p2, n, asc: bool):
+    def scan_group(t_ref, q_ref, p1v, p2v, nv, asc: bool):
+        """p1v/p2v/nv: (G, 1) int32.  Returns 7 (G, 1) arrays."""
         l_scan = l_iota if asc else (127 - l_iota)
 
         def cond(st):
             base, cum, runmax, best, kbest, consumed, live, esc = st
-            return live & (esc == 0)
+            return jnp.any(live & (esc == 0))
 
         def body(st):
             base, cum, runmax, best, kbest, consumed, live, esc = st
             if asc:
-                w1 = p1 + base
-                w2 = p2 + base
+                w1 = p1v + base
+                w2 = p2v + base
             else:
-                w1 = p1 - base - 127
-                w2 = p2 - base - 127
+                w1 = p1v - base - 127
+                w2 = p2v - base - 127
             esc_now = ((w1 < 0) | (w1 > TS - 129)
                        | (w2 < 0) | (w2 > QTS - 129))
+            act = live & (esc == 0) & jnp.logical_not(esc_now)
+            esc = jnp.where(live & (esc == 0) & esc_now,
+                            jnp.int32(1), esc)
 
-            def escaped(st):
-                base, cum, runmax, best, kbest, consumed, live, _ = st
-                return (base, cum, runmax, best, kbest, consumed,
-                        live, jnp.int32(1))
+            rows1 = []
+            rows2 = []
+            for j in range(G):
+                ok = act[j, 0]
+                rows1.append(_window(
+                    t_ref, jnp.where(ok, w1[j, 0], 0)))
+                rows2.append(_window(
+                    q_ref, jnp.where(ok, w2[j, 0], 0)))
+            c1 = jnp.concatenate(rows1, axis=0)
+            c2 = jnp.concatenate(rows2, axis=0)
 
-            def chunk(st):
-                base, cum, runmax, best, kbest, consumed, live, esc \
-                    = st
-                c1 = _window(t_ref, w1)
-                c2 = _window(q_ref, w2)
-                rem = n - base
-                valid = l_scan < rem
-                x = jnp.where(valid, scores(c1, c2), 0)
-                c = _prefix_sum(x, l_iota, asc) + cum
-                m = jnp.maximum(_prefix_max(c, l_iota, asc), runmax)
-                bad = (c < jnp.maximum(m, 0) - x_drop) & valid
-                any_bad = jnp.max(jnp.where(bad, 1, 0)) > 0
-                first_bad = jnp.min(jnp.where(bad, l_scan, 128))
-                take = jnp.minimum(jnp.minimum(first_bad + 1, rem),
-                                   128)
-                cc = jnp.where(l_scan < take, c, MIN32)
-                chunk_best = jnp.max(cc)
-                chunk_arg = jnp.min(
-                    jnp.where(cc == chunk_best, l_scan, BIG32))
-                better = chunk_best > best
-                best = jnp.where(better, chunk_best, best)
-                kbest = jnp.where(better, base + chunk_arg, kbest)
-                consumed = base + take
-                pick = l_scan == (take - 1)
-                cum = jnp.sum(jnp.where(pick, c, 0))
-                runmax = jnp.sum(jnp.where(pick, m, 0))
-                base = base + 128
-                live = jnp.logical_not(any_bad) & (rem > 128)
-                return (base, cum, runmax, best, kbest, consumed,
-                        live, esc)
+            rem = nv - base
+            valid = (l_scan < rem) & act
+            x = jnp.where(valid, scores(c1, c2), 0)
+            c = _prefix_sum(x, l_iota, asc) + cum
+            m = jnp.maximum(_prefix_max(c, l_iota, asc), runmax)
+            bad = (c < jnp.maximum(m, 0) - x_drop) & valid
+            any_bad = jnp.max(jnp.where(bad, 1, 0), axis=1,
+                              keepdims=True) > 0
+            first_bad = jnp.min(jnp.where(bad, l_scan, 128), axis=1,
+                                keepdims=True)
+            take = jnp.minimum(jnp.minimum(first_bad + 1, rem), 128)
+            cc = jnp.where((l_scan < take) & act, c, MIN32)
+            chunk_best = jnp.max(cc, axis=1, keepdims=True)
+            chunk_arg = jnp.min(
+                jnp.where(cc == chunk_best, l_scan, BIG32), axis=1,
+                keepdims=True)
+            better = act & (chunk_best > best)
+            best = jnp.where(better, chunk_best, best)
+            kbest = jnp.where(better, base + chunk_arg, kbest)
+            consumed = jnp.where(act, base + take, consumed)
+            pick = (l_scan == take - 1) & act
+            cum = jnp.where(
+                act, jnp.sum(jnp.where(pick, c, 0), axis=1,
+                             keepdims=True), cum)
+            runmax = jnp.where(
+                act, jnp.sum(jnp.where(pick, m, 0), axis=1,
+                             keepdims=True), runmax)
+            base = jnp.where(act, base + 128, base)
+            live = jnp.where(
+                act, jnp.logical_not(any_bad) & (rem > 128), live)
+            return (base, cum, runmax, best, kbest, consumed, live,
+                    esc)
 
-            return jax.lax.cond(esc_now, escaped, chunk, st)
-
-        z = jnp.int32(0)
-        st = (z, z, z, z, jnp.int32(-1), z, n > 0, z)
+        z = jnp.zeros((G, 1), jnp.int32)
+        st = (z, z, z, z, jnp.full((G, 1), -1, jnp.int32), z,
+              nv > 0, z)
         st = jax.lax.while_loop(cond, body, st)
         base, cum, runmax, best, kbest, consumed, live, esc = st
-        return (consumed, best, kbest, base, cum, runmax,
-                (live & (esc > 0)).astype(jnp.int32))
+        escf = (live & (esc > 0)).astype(jnp.int32)
+        return consumed, best, kbest, base, cum, runmax, escf
 
     def kernel(base_ref, t_ref, q_ref, p1_ref, p2_ref, nl_ref,
                nr_ref, *outs):
-        (rc_o, rb_o, rk_o, rbase_o, rcum_o, rrun_o, resc_o,
-         lc_o, lb_o, lk_o, lbase_o, lcum_o, lrun_o, lesc_o) = outs
+        r_outs = outs[:7]
+        l_outs = outs[7:]
 
-        def hit(i, carry):
-            hi = i // 256
-            lo = i % 256
-            p1 = p1_ref[0, hi, lo]
-            p2 = p2_ref[0, hi, lo]
-            nl = nl_ref[0, hi, lo]
-            nr = nr_ref[0, hi, lo]
-            r = scan_dir(t_ref, q_ref, p1, p2, nr, True)
-            rc_o[0, hi, lo] = r[0]
-            rb_o[0, hi, lo] = r[1]
-            rk_o[0, hi, lo] = r[2]
-            rbase_o[0, hi, lo] = r[3]
-            rcum_o[0, hi, lo] = r[4]
-            rrun_o[0, hi, lo] = r[5]
-            resc_o[0, hi, lo] = r[6]
-            l = scan_dir(t_ref, q_ref, p1 - 1, p2 - 1, nl, False)
-            lc_o[0, hi, lo] = l[0]
-            lb_o[0, hi, lo] = l[1]
-            lk_o[0, hi, lo] = l[2]
-            lbase_o[0, hi, lo] = l[3]
-            lcum_o[0, hi, lo] = l[4]
-            lrun_o[0, hi, lo] = l[5]
-            lesc_o[0, hi, lo] = l[6]
+        def group(g, carry):
+            i0 = g * G
+            idx = [((i0 + j) // 256, (i0 + j) % 256)
+                   for j in range(G)]
+            p1v = jnp.stack(
+                [p1_ref[0, hi, lo] for hi, lo in idx]).reshape(G, 1)
+            p2v = jnp.stack(
+                [p2_ref[0, hi, lo] for hi, lo in idx]).reshape(G, 1)
+            nlv = jnp.stack(
+                [nl_ref[0, hi, lo] for hi, lo in idx]).reshape(G, 1)
+            nrv = jnp.stack(
+                [nr_ref[0, hi, lo] for hi, lo in idx]).reshape(G, 1)
+            r = scan_group(t_ref, q_ref, p1v, p2v, nrv, True)
+            for a in range(7):
+                for j, (hi, lo) in enumerate(idx):
+                    r_outs[a][0, hi, lo] = r[a][j, 0]
+            l = scan_group(t_ref, q_ref, p1v - 1, p2v - 1, nlv,
+                           False)
+            for a in range(7):
+                for j, (hi, lo) in enumerate(idx):
+                    l_outs[a][0, hi, lo] = l[a][j, 0]
             return carry
 
-        jax.lax.fori_loop(0, NB, hit, 0)
+        jax.lax.fori_loop(0, NB // G, group, 0)
 
     return kernel
 

@@ -34,3 +34,14 @@ def lav_equal(golden_path: str, got_text: str) -> tuple[bool, str]:
         if a != b:
             return False, f"first difference at stripped line {i + 1}:\n  golden: {a}\n  got:    {b}"
     return False, f"length mismatch: golden {len(golden)} lines, got {len(mine)}"
+
+
+if __name__ == "__main__":
+    import sys
+    if len(sys.argv) != 3:
+        sys.exit("usage: lav_diff.py GOLDEN GOT")
+    with open(sys.argv[2]) as f:
+        ok, msg = lav_equal(sys.argv[1], f.read())
+    if not ok:
+        print(msg)
+        sys.exit(1)
