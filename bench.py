@@ -124,15 +124,18 @@ def run_ours():
     from lastz_tpu.pipeline import Pipeline
     from lastz_tpu import stats as _stats
 
-    # warm-up: compile the kernels on a small pair
-    wt = os.path.join(REF_DIR, "test_data", "pseudocat.fa")
-    wq = os.path.join(REF_DIR, "test_data", "pseudopig.fa")
-    if not os.path.exists(wt):
-        subprocess.run(["cp", "-r", "/root/reference/test_data",
-                        REF_DIR], check=True)
-    cfg = parse_options([wt, wq])
+    # Warm-up at the REAL shapes: XLA compiles are shape-specialized
+    # and the backend defeats the cross-process compile cache, so the
+    # only reliable way to exclude compile time is to run the bench
+    # pair once in this process and measure the second run (the
+    # steady state a long-running service would see).
+    t_warm = time.time()
+    cfg = parse_options([BENCH_T, BENCH_Q])
     Pipeline(cfg, io.StringIO()).run()
+    sys.stderr.write(
+        f"warm-up (cold, incl. compiles): {time.time() - t_warm:.1f}s\n")
 
+    _stats.reset()
     t0 = time.time()
     cfg = parse_options([BENCH_T, BENCH_Q])
     buf = io.StringIO()

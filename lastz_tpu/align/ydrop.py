@@ -83,6 +83,10 @@ class GAlign:
     right_seg2: Optional[AliSeg] = None
     next: Optional["GAlign"] = None
     prev: Optional["GAlign"] = None
+    # cached global-coordinate segment arrays for the native sweep
+    # (segments are immutable once the alignment is accepted)
+    flat_fwd: Optional[np.ndarray] = field(default=None, repr=False)
+    flat_rev: Optional[np.ndarray] = field(default=None, repr=False)
 
     def save_seg(self, b1, b2, e1, e2):
         """reference save_seg: append a diagonal segment, inserting the
@@ -155,6 +159,30 @@ def reduce_to_points(v1: np.ndarray, v2: np.ndarray, scoring, anchors):
 
 def signed_diff(a, b):
     return a - b
+
+
+def _sweep_disabled() -> bool:
+    import os
+    return os.environ.get("LASTZ_TPU_NO_SWEEP", "") not in ("", "0")
+
+
+def _add_ops(script: EditScript, ops, reverse: bool):
+    """Append single-step ops (list of 'S'/'I'/'D' or uint8 ndarray of
+    their ASCII codes) to the script, optionally in reversed order;
+    ndarrays are run-length compressed first."""
+    if isinstance(ops, np.ndarray):
+        a = ops[::-1] if reverse else ops
+        if a.size == 0:
+            return
+        change = np.flatnonzero(a[1:] != a[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [a.size]])
+        for s, e in zip(starts, ends):
+            script.add(chr(a[s]), int(e - s))
+        return
+    it = reversed(ops) if reverse else ops
+    for op in it:
+        script.add(op, 1)
 
 
 class YDropAligner:
@@ -251,6 +279,17 @@ class YDropAligner:
         right_align = self.right_align
         left_align = self.left_align
         align_list = self.below_list if reversed_ else self.above_list
+
+        # whole-extension native sweep (no per-row FFI / bookkeeping);
+        # LASTZ_TPU_NO_SWEEP=1 falls back to the per-row path so tests
+        # can compare the two.
+        if native is not None and not _sweep_disabled():
+            lib, _ = native
+            if hasattr(lib, "ydrop_sweep"):
+                return self._one_sided_native(
+                    lib, reversed_, anchor1, anchor2, M, N, L, R,
+                    left_seg, right_seg, left_align, right_align,
+                    align_list, y_drop_tail)
 
         # traceback rows: tb_row[r] + c indexes tb
         tb_row = [0]
@@ -591,6 +630,182 @@ class YDropAligner:
             return boundary_score, end1, end2, ops
         return best_score, end1, end2, ops
 
+    # -- native whole-extension sweep ---------------------------------------
+
+    def _flatten_bound(self, seg, align, init, last_row_of, advance,
+                       delta, M, anchor1, anchor2):
+        """Pre-walk one side's _update_lr_bounds transitions into
+        piecewise-linear records (from_row, to_row, base, slope): the
+        bound at row r in [from_row, to_row] is base+slope*(r-from_row);
+        uncovered rows have no bound.  Walk cost is O(#segments
+        visited), not O(rows)."""
+        recs = []
+        val = init
+        row = 1
+        while row <= M and seg is not None:
+            lr = last_row_of(seg)
+            if lr >= row:
+                slope = 1 if seg.type == DIAG_SEG else 0
+                r_end = min(lr, M)
+                recs.append((row, r_end, val + slope, slope))
+                val += slope * (r_end - row + 1)
+                row = r_end + 1
+            else:
+                val, seg, align = advance(seg, align, row, anchor1,
+                                          anchor2)
+                val += delta
+                if seg is None:
+                    break
+                recs.append((row, row, val, 0))
+                row += 1
+        if not recs:
+            return np.zeros((1, 4), np.int64), 0
+        return np.asarray(recs, np.int64), len(recs)
+
+    @staticmethod
+    def _flat_segs(mp: GAlign, reversed_) -> np.ndarray:
+        """(n, 5) global-coordinate segment rows (type, b1, b2, e1, e2)
+        in sweep traversal order, cached on the alignment."""
+        cached = mp.flat_rev if reversed_ else mp.flat_fwd
+        if cached is not None:
+            return cached
+        rows = []
+        bp = mp.last_seg if reversed_ else mp.first_seg
+        while bp is not None:
+            rows.append((bp.type, bp.b1, bp.b2, bp.e1, bp.e2))
+            bp = bp.prev_seg if reversed_ else bp.next_seg
+        arr = np.asarray(rows, np.int64).reshape(len(rows), 5)
+        if reversed_:
+            mp.flat_rev = arr
+        else:
+            mp.flat_fwd = arr
+        return arr
+
+    def _flatten_actives(self, reversed_, align_list, anchor1, anchor2,
+                         M):
+        """Marshal the sweep's align_list walk (update_active_segs
+        activation order) into arrays for the native sweep."""
+        act_rows = []
+        parts = []
+        mp = align_list
+        while mp is not None:
+            r = (anchor1 - mp.end1) if reversed_ else (mp.pos1 - anchor1)
+            if r > M:
+                break
+            act_rows.append(r)
+            parts.append(self._flat_segs(mp, reversed_))
+            mp = mp.prev if reversed_ else mp.next
+        if not act_rows:
+            z = np.zeros(1, np.int64)
+            return z, z, z, 0, np.zeros((1, 4), np.int64)
+        cnt = np.asarray([p.shape[0] for p in parts], np.int64)
+        off = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int64)
+        g = np.concatenate(parts)  # (total, 5) type,b1,b2,e1,e2
+        segs = np.empty((g.shape[0], 4), np.int64)
+        segs[:, 0] = g[:, 0]
+        if reversed_:
+            segs[:, 1] = anchor2 - g[:, 4]   # x
+            segs[:, 2] = anchor1 - g[:, 1]   # last_row
+            segs[:, 3] = anchor2 - g[:, 2]   # horz_end
+        else:
+            segs[:, 1] = g[:, 2] - anchor2
+            segs[:, 2] = g[:, 3] - anchor1
+            segs[:, 3] = g[:, 4] - anchor2
+        return (np.asarray(act_rows, np.int64), off, cnt,
+                len(act_rows), segs)
+
+    def _one_sided_native(self, lib, reversed_, anchor1, anchor2, M, N,
+                          L, R, left_seg, right_seg, left_align,
+                          right_align, align_list, y_drop_tail):
+        import ctypes
+        from ..native import SweepResult
+
+        if y_drop_tail > self.tb_len:
+            raise TracebackLimit("not enough space in trace_back array")
+
+        if reversed_:
+            lrow = lambda s: anchor1 - s.b1
+            ladv = lambda s, a, r, a1, a2: self._prev_sweep_seg(
+                True, s, a, r, a1, a2)
+            radv = lambda s, a, r, a1, a2: self._prev_sweep_seg(
+                False, s, a, r, a1, a2)
+            lrec, n_l = self._flatten_bound(
+                right_seg, right_align, L, lrow, ladv, +1, M,
+                anchor1, anchor2)
+            rrec, n_r = self._flatten_bound(
+                left_seg, left_align, R, lrow, radv, -1, M,
+                anchor1, anchor2)
+        else:
+            frow = lambda s: s.e1 - anchor1
+            ladv = lambda s, a, r, a1, a2: self._next_sweep_seg(
+                False, s, a, r, a1, a2)
+            radv = lambda s, a, r, a1, a2: self._next_sweep_seg(
+                True, s, a, r, a1, a2)
+            lrec, n_l = self._flatten_bound(
+                left_seg, left_align, L, frow, ladv, +1, M,
+                anchor1, anchor2)
+            rrec, n_r = self._flatten_bound(
+                right_seg, right_align, R, frow, radv, -1, M,
+                anchor1, anchor2)
+
+        act_rows, seg_off, seg_cnt, n_acts, segs = \
+            self._flatten_actives(reversed_, align_list, anchor1,
+                                  anchor2, M)
+
+        tb = getattr(self, "_tb_buf", None)
+        if tb is None or tb.shape[0] < self.tb_len:
+            tb = self._tb_buf = np.empty(self.tb_len, np.uint8)
+        ops_cap = len(self.v1) + len(self.v2) + 4
+        ops = getattr(self, "_ops_buf", None)
+        if ops is None or ops.shape[0] < ops_cap:
+            ops = self._ops_buf = np.empty(ops_cap, np.uint8)
+
+        if reversed_:
+            a_origin, a_step = anchor1 + 1, -1
+            b_origin, b_step = anchor2 + 1, -1
+        else:
+            a_origin, a_step = anchor1, 1
+            b_origin, b_step = anchor2, 1
+
+        i64 = ctypes.c_int64
+        p_i64 = ctypes.POINTER(ctypes.c_int64)
+        p_u8 = ctypes.POINTER(ctypes.c_uint8)
+        res = SweepResult()
+        lib.ydrop_sweep(
+            self.v1.ctypes.data_as(p_u8), self.v2.ctypes.data_as(p_u8),
+            self.sub.ctypes.data_as(p_i64),
+            i64(a_origin), i64(a_step), i64(b_origin), i64(b_step),
+            i64(M), i64(N),
+            i64(self.gap_e), i64(self.gap_oe), i64(self.y_drop),
+            i64(y_drop_tail), i64(neg_infinity_score()),
+            i64(1 if self.trim_to_peak else 0),
+            lrec.ctypes.data_as(p_i64), i64(n_l),
+            rrec.ctypes.data_as(p_i64), i64(n_r),
+            act_rows.ctypes.data_as(p_i64),
+            seg_off.ctypes.data_as(p_i64),
+            seg_cnt.ctypes.data_as(p_i64), i64(n_acts),
+            segs.ctypes.data_as(p_i64),
+            tb.ctypes.data_as(p_u8), i64(self.tb_len),
+            ops.ctypes.data_as(p_u8),
+            ctypes.byref(res))
+
+        end1, end2 = res.end1, res.end2
+        if res.truncated and self.report_truncations:
+            if not reversed_:
+                sys.stderr.write(
+                    f"truncating alignment ending at ({end1 + anchor1 + 1}"
+                    f",{end2 + anchor2 + 1});")
+            else:
+                sys.stderr.write(
+                    f"truncating alignment starting at ({anchor1 + 2 - end1}"
+                    f",{anchor2 + 2 - end2});")
+            sys.stderr.write(f"  anchor at ({anchor1},{anchor2})\n")
+            if not self.truncation_reported:
+                self.truncation_reported = True
+                sys.stderr.write(
+                    "truncation can be reduced by increasing traceback memory\n")
+        return res.score, end1, end2, ops[: res.n_ops].copy()
+
     # -- bounds maintenance --------------------------------------------------
 
     def _update_lr_bounds(self, reversed_, right_seg, left_seg,
@@ -766,10 +981,8 @@ class YDropAligner:
 
         # left traceback order == forward order; right needs reversal
         script = EditScript()
-        for op in ops_left:
-            script.add(op, 1)
-        for op in reversed(ops_right):
-            script.add(op, 1)
+        _add_ops(script, ops_left, reverse=False)
+        _add_ops(script, ops_right, reverse=True)
 
         s = score_left + score_right
 

@@ -22,6 +22,17 @@ _SRCS = [
 ]
 
 
+class SweepResult(ctypes.Structure):
+    _fields_ = [
+        ("score", ctypes.c_int64),
+        ("end1", ctypes.c_int64),
+        ("end2", ctypes.c_int64),
+        ("truncated", ctypes.c_int64),
+        ("n_ops", ctypes.c_int64),
+        ("tbp", ctypes.c_int64),
+    ]
+
+
 class RowResult(ctypes.Structure):
     _fields_ = [
         ("LY", ctypes.c_int64),
@@ -90,6 +101,22 @@ def get_lib():
         i64, i64,                 # trim_to_peak, have_active
         i64,                      # tbp
         ctypes.POINTER(RowResult),
+    ]
+    lib.ydrop_sweep.restype = None
+    lib.ydrop_sweep.argtypes = [
+        p_u8, p_u8,               # v1, v2
+        p_i64,                    # sub (256x256)
+        i64, i64, i64, i64,       # a_origin, a_step, b_origin, b_step
+        i64, i64,                 # M, N
+        i64, i64, i64, i64,       # gap_e, gap_oe, y_drop, y_drop_tail
+        i64, i64,                 # neg_inf, trim_to_peak
+        p_i64, i64,               # lrec, n_lrec
+        p_i64, i64,               # rrec, n_rrec
+        p_i64, p_i64, p_i64, i64, # act_row, seg_off, seg_cnt, n_acts
+        p_i64,                    # segs
+        p_u8, i64,                # tb, tb_cap
+        p_u8,                     # ops_out
+        ctypes.POINTER(SweepResult),
     ]
     lib.ydrop_bench.restype = ctypes.c_int64
     lib.ydrop_bench.argtypes = [

@@ -10,6 +10,7 @@
 // Build:  g++ -O3 -march=native -shared -fPIC ydrop_row.cpp -o libydrop.so
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 
 extern "C" {
@@ -235,6 +236,323 @@ void xdrop_extend(
     *out_right_stop = right_stop;
     *out_right_score = best;
     *out_right_block = s1i;
+}
+
+// ---------------------------------------------------------------------------
+// Whole-extension sweep: the entire ydrop_one_sided_align row loop
+// (gapped_extend.c:3388-3860) in one native call, including L/R bound
+// maintenance (update_LR_bounds, flattened by the Python caller into
+// piecewise-linear records), active-segment masking
+// (update_active_segs, flattened into per-alignment segment arrays)
+// and the traceback walk.  Eliminates the per-row FFI + Python
+// bookkeeping that dominates host-side gapped extension.
+//
+// LR bound records (one side): 4 int64 each — (from_row, to_row,
+// base, slope); the bound value at row r in [from_row, to_row] is
+// base + slope*(r - from_row).  Rows not covered by any record have
+// no bound on that side.  Records are contiguous and ascending.
+//
+// Actives: alignments activate when row == act_row[i] (caller orders
+// them exactly as the sweep's align_list walk).  Per alignment:
+// seg_off/seg_cnt index into segs[], 4 int64 per segment in traversal
+// order — (type, x, last_row, horz_end), precomputed in DP-local
+// coordinates (type 0=diag, 1=horz, 2=vert).
+
+struct SweepResult {
+    int64_t score;
+    int64_t end1, end2;
+    int64_t truncated;       // tb budget hit (caller reports)
+    int64_t n_ops;           // traceback ops written to ops_out
+    int64_t tbp;             // traceback bytes consumed
+};
+
+struct ActState {
+    int64_t cur;             // current global seg index
+    int64_t end;             // one past last seg index of this align
+    int64_t x, last_row, type;
+    int64_t filter;
+};
+
+static inline void build_active(
+    ActState& a, const int64_t* segs, int64_t* MASK,
+    int64_t prev_LY, int64_t row, int64_t LY, int64_t RY)
+{
+    const int64_t* s = segs + 4 * a.cur;
+    a.type = s[0];
+    a.x = s[1];
+    a.last_row = s[2];
+    if (a.type != 1) {
+        if (LY <= a.x && a.x <= RY)
+            MASK[a.x - prev_LY] = row;
+    } else {
+        int64_t horz_end = s[3];
+        int64_t i_min = LY > a.x ? LY : a.x;
+        int64_t i_max = RY < horz_end ? RY : horz_end;
+        for (int64_t i = i_min; i <= i_max; i++)
+            MASK[i - prev_LY] = row;
+    }
+}
+
+void ydrop_sweep(
+    const uint8_t* v1, const uint8_t* v2,
+    const int64_t* sub,                       // 256*256
+    int64_t a_origin, int64_t a_step,         // A[row] = v1[a_origin + a_step*row]
+    int64_t b_origin, int64_t b_step,         // B[col] = v2[b_origin + b_step*col]
+    int64_t M, int64_t N,
+    int64_t gap_e, int64_t gap_oe, int64_t y_drop, int64_t y_drop_tail,
+    int64_t neg_inf, int64_t trim_to_peak,
+    const int64_t* lrec, int64_t n_lrec,
+    const int64_t* rrec, int64_t n_rrec,
+    const int64_t* act_row, const int64_t* seg_off, const int64_t* seg_cnt,
+    int64_t n_acts, const int64_t* segs,
+    uint8_t* tb, int64_t tb_cap,
+    uint8_t* ops_out,
+    SweepResult* out)
+{
+    // scratch (per-call; sized to the band, grown as needed)
+    static thread_local int64_t* CC = nullptr;
+    static thread_local int64_t* DD = nullptr;
+    static thread_local int64_t* MASK = nullptr;
+    static thread_local int64_t cells_cap = 0;
+    static thread_local int64_t* tb_row = nullptr;
+    static thread_local int64_t tb_row_cap = 0;
+    static thread_local ActState* active = nullptr;
+    static thread_local int64_t active_cap = 0;
+
+    int64_t need0 = y_drop_tail + 1024;
+    if (need0 > cells_cap) {
+        int64_t nc = need0 * 2;
+        CC = (int64_t*)realloc(CC, nc * 8);
+        DD = (int64_t*)realloc(DD, nc * 8);
+        MASK = (int64_t*)realloc(MASK, nc * 8);
+        cells_cap = nc;
+    }
+    if (M + 2 > tb_row_cap) {
+        tb_row = (int64_t*)realloc(tb_row, (M + 2) * 8);
+        tb_row_cap = M + 2;
+    }
+    if (n_acts + 1 > active_cap) {
+        active = (ActState*)realloc(active, (n_acts + 1) * sizeof(ActState));
+        active_cap = n_acts + 1;
+    }
+    int64_t n_active = 0;
+    int64_t act_idx = 0;
+    int64_t l_idx = 0, r_idx = 0;
+
+    // -- first row (gapped_extend.c:3583-3605)
+    int64_t tbp = 0;
+    tb[tbp++] = 0;
+    CC[0] = 0;
+    DD[0] = -gap_oe;
+    int64_t c = -gap_oe;
+    int64_t c_temp = 0;
+    int64_t dq = 1;
+    int64_t col = 1;
+    while (col <= N && c_temp >= -y_drop) {
+        if (dq + 2 > cells_cap) {
+            int64_t nc = cells_cap * 2;
+            CC = (int64_t*)realloc(CC, nc * 8);
+            DD = (int64_t*)realloc(DD, nc * 8);
+            MASK = (int64_t*)realloc(MASK, nc * 8);
+            cells_cap = nc;
+        }
+        CC[dq] = c_temp = c;
+        DD[dq] = c - gap_oe;
+        dq++;
+        c -= gap_e;
+        tb[tbp++] = 1;                    // C_FROM_I
+        col++;
+    }
+    // MASK is read via `== row` with row >= 1 strictly increasing per
+    // call, so a single fill here (plus -1 fills on later growth)
+    // keeps every stale stamp unmatchable.
+    for (int64_t i = 0; i < cells_cap; i++) MASK[i] = -1;
+    tb_row[0] = 0;
+
+    int64_t LY = 0;
+    int64_t RY = col;                     // one beyond feasible
+    int64_t end1 = 0, end2 = 0;
+    int64_t best_score = 0;
+    int64_t boundary_score = neg_inf;
+    int64_t end_is_boundary = 0;
+    int64_t truncated = 0;
+
+    int64_t row = 1;
+    while (row <= M) {
+        int64_t prev_LY = LY;
+
+        // -- update_LR_bounds (flattened records)
+        while (l_idx < n_lrec && row > lrec[4 * l_idx + 1]) l_idx++;
+        bool l_act = l_idx < n_lrec && row >= lrec[4 * l_idx];
+        if (l_act) {
+            const int64_t* rec = lrec + 4 * l_idx;
+            int64_t L = rec[2] + rec[3] * (row - rec[0]);
+            if (L > LY) LY = L;
+        }
+        while (r_idx < n_rrec && row > rrec[4 * r_idx + 1]) r_idx++;
+        bool r_act = r_idx < n_rrec && row >= rrec[4 * r_idx];
+        int64_t R = 0;
+        if (r_act) {
+            const int64_t* rec = rrec + 4 * r_idx;
+            R = rec[2] + rec[3] * (row - rec[0]);
+            // _special_min
+            if (R <= 0) RY = 0;
+            else if (R < RY) RY = R;
+        }
+
+        // -- grow cells for this row's band
+        {
+            int64_t need = (RY - prev_LY) + y_drop_tail + 2 + (LY - prev_LY) + 2;
+            if (need > cells_cap) {
+                int64_t nc = need * 2;
+                CC = (int64_t*)realloc(CC, nc * 8);
+                DD = (int64_t*)realloc(DD, nc * 8);
+                MASK = (int64_t*)realloc(MASK, nc * 8);
+                for (int64_t i = cells_cap; i < nc; i++) MASK[i] = -1;
+                cells_cap = nc;
+            }
+        }
+
+        // -- update_active_segs
+        for (int64_t ai = 0; ai < n_active; ai++) {
+            ActState& a = active[ai];
+            if (a.last_row >= row) {
+                if (a.type == 0) a.x++;
+                if (LY <= a.x && a.x <= RY)
+                    MASK[a.x - prev_LY] = row;
+            } else {
+                if (a.cur + 1 < a.end) {
+                    a.cur++;
+                    build_active(a, segs, MASK, prev_LY, row, LY, RY);
+                    if (a.type == 1) {
+                        a.cur++;           // skip past the horizontal
+                        if (a.cur < a.end) {
+                            build_active(a, segs, MASK, prev_LY, row, LY, RY);
+                        } else {
+                            a.filter = 1;
+                        }
+                    }
+                } else {
+                    a.filter = 1;
+                }
+            }
+        }
+        while (act_idx < n_acts && act_row[act_idx] == row) {
+            ActState& a = active[n_active++];
+            a.cur = seg_off[act_idx];
+            a.end = seg_off[act_idx] + seg_cnt[act_idx];
+            a.filter = 0;
+            build_active(a, segs, MASK, prev_LY, row, LY, RY);
+            if (a.type == 1) {
+                a.cur++;
+                if (a.cur < a.end) {
+                    build_active(a, segs, MASK, prev_LY, row, LY, RY);
+                } else {
+                    a.filter = 1;
+                }
+            }
+            act_idx++;
+        }
+        // compact filtered actives
+        {
+            int64_t w = 0;
+            for (int64_t ai = 0; ai < n_active; ai++)
+                if (!active[ai].filter) active[w++] = active[ai];
+            n_active = w;
+        }
+
+        if (RY < LY) RY = LY;
+        int64_t tb_needed = RY - LY + y_drop_tail;
+        if (tb_needed < 0) tb_needed = 0;
+        if (tbp + tb_needed >= tb_cap) {
+            truncated = 1;
+            break;
+        }
+        tb_row[row] = tbp - LY;
+
+        // -- the row itself
+        RowResult res;
+        const uint8_t a_char = v1[a_origin + a_step * row];
+        ydrop_row(CC, DD, MASK, tb, sub + 256 * (int64_t)a_char,
+                  v2, b_origin, b_step,
+                  row, M, N, LY, RY, prev_LY,
+                  gap_e, gap_oe, y_drop, neg_inf,
+                  best_score, end1, end2,
+                  end_is_boundary, boundary_score,
+                  trim_to_peak, n_active > 0, tbp, &res);
+        LY = res.LY;
+        int64_t np_col = res.np_col;
+        int64_t i_val = res.i_val;
+        best_score = res.best_score;
+        end1 = res.end1; end2 = res.end2;
+        end_is_boundary = res.end_is_boundary;
+        boundary_score = res.boundary_score;
+        dq = res.dq;
+        tbp = res.tbp;
+
+        if (LY >= RY) break;
+
+        int64_t NN = (r_act && R > 0) ? R - 1 : N;
+        if (RY > np_col + 1) {
+            RY = np_col + 1;
+        } else {
+            while (i_val >= best_score - y_drop && RY <= NN) {
+                if (dq + 2 > cells_cap) {
+                    int64_t nc = cells_cap * 2;
+                    CC = (int64_t*)realloc(CC, nc * 8);
+                    DD = (int64_t*)realloc(DD, nc * 8);
+                    MASK = (int64_t*)realloc(MASK, nc * 8);
+                    for (int64_t i = cells_cap; i < nc; i++) MASK[i] = -1;
+                    cells_cap = nc;
+                }
+                if (tbp + 1 >= tb_cap) { truncated = 1; break; }
+                CC[dq] = i_val;
+                DD[dq] = i_val - gap_oe;
+                dq++;
+                i_val -= gap_e;
+                tb[tbp++] = 1;            // C_FROM_I
+                RY++;
+            }
+            if (truncated) break;
+        }
+        if (RY <= NN) {
+            if (dq + 2 > cells_cap) {
+                int64_t nc = cells_cap * 2;
+                CC = (int64_t*)realloc(CC, nc * 8);
+                DD = (int64_t*)realloc(DD, nc * 8);
+                MASK = (int64_t*)realloc(MASK, nc * 8);
+                for (int64_t i = cells_cap; i < nc; i++) MASK[i] = -1;
+                cells_cap = nc;
+            }
+            DD[dq] = neg_inf;
+            CC[dq] = neg_inf;
+            RY++;
+        }
+        row++;
+    }
+
+    // -- traceback (gapped_extend.c:3845-3860)
+    {
+        int64_t r = end1, cidx = end2;
+        int64_t n_ops = 0;
+        uint8_t prev_op = 0;
+        while (r >= 1 || cidx > 0) {
+            uint8_t link = tb[tb_row[r] + cidx];
+            uint8_t op = link & 3;
+            if (prev_op == 1 && (link & 4)) op = 1;
+            if (prev_op == 2 && (link & 8)) op = 2;
+            if (op == 1)      { cidx--;      ops_out[n_ops++] = 'I'; }
+            else if (op == 2) { r--;         ops_out[n_ops++] = 'D'; }
+            else              { r--; cidx--; ops_out[n_ops++] = 'S'; }
+            prev_op = op;
+        }
+        out->n_ops = n_ops;
+    }
+    out->score = end_is_boundary ? boundary_score : best_score;
+    out->end1 = end1;
+    out->end2 = end2;
+    out->truncated = truncated;
+    out->tbp = tbp;
 }
 
 // Single-core speed benchmark: run `rows` iterations of the row sweep

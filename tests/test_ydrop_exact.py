@@ -42,6 +42,14 @@ def _random_pair(rng, n, mutate=0.12, gap_rate=0.02):
     return s1, s2
 
 
+def _as_ops(ops):
+    """one_sided returns either a list of 'S'/'I'/'D' chars (per-row
+    path) or a uint8 ndarray of their ASCII codes (native sweep)."""
+    if isinstance(ops, np.ndarray):
+        return [chr(int(c)) for c in ops]
+    return list(ops)
+
+
 def _host_one_sided(v1, v2, scoring, y_drop, trim, reversed_, a1, a2):
     al = YDropAligner(v1, v2, scoring, y_drop, trim)
     if reversed_:
@@ -121,7 +129,8 @@ def test_kernel_matches_host(seed, trim):
             assert int(out["end2"][b]) == e2
             kops = traceback_ops(out["tb"][b], out["ly"][b],
                                  out["end1"][b], out["end2"][b])
-            assert kops == ops, f"ops mismatch anchor={b} rev={reversed_}"
+            assert kops == _as_ops(ops), (
+                f"ops mismatch anchor={b} rev={reversed_}")
 
 
 def test_kernel_truncation_matches_host():
@@ -158,4 +167,4 @@ def test_kernel_truncation_matches_host():
     assert (int(out["end1"][0]), int(out["end2"][0])) == (e1, e2)
     kops = traceback_ops(out["tb"][0], out["ly"][0],
                          out["end1"][0], out["end2"][0])
-    assert kops == ops
+    assert kops == _as_ops(ops)
