@@ -62,13 +62,22 @@ def _use_jax_backend() -> bool:
 
 def supported(engine) -> bool:
     hp = engine.hp
-    if engine.hit_mode != "simple":
+    if engine.hit_mode not in ("simple", "recover", "twin"):
         return False
     if hp.gf_extend not in (GFEX_XDROP, GFEX_NO_EXTEND):
         return False
     if hp.pos_filter or hp.min_matches >= 0:
         return False
     if engine.seed.type == "R":
+        return False
+    if engine.hit_mode in ("recover", "twin") \
+            and hp.gf_extend != GFEX_XDROP:
+        # without an extension the scalar processors' diagEnd/queue
+        # updates differ; rare, keep scalar
+        return False
+    if engine.hit_mode == "twin" and hp.hsp_threshold.t != "S":
+        # adaptive thresholds read the evolving anchor table during
+        # entropy adjustment; deferred twin dispatch would skew it
         return False
     return True
 
@@ -182,6 +191,51 @@ def _resolve_chains(extent, pos2mL, de0, seg_start, max_rounds=64):
     return None
 
 
+def _resolve_chains_recover(extent, start2, diag, de0, dact0,
+                            seg_start):
+    """Chain scan for --recoverseeds (process_for_recoverable_hit,
+    seed_search.c:1221-1420): a hit whose hashed diagonal was already
+    extended past it is dropped only when diagActual matches its TRUE
+    diagonal; a collision with a different diagonal is accepted with
+    an unblocked left extension.  All chains advance in lockstep, one
+    hit per step, vectorized over the chains present in the chunk.
+
+    Returns (alive, left_block, unblocked, final_de, final_dact);
+    final_* are per-chain end-of-chunk states in seg_start order."""
+    n = len(extent)
+    starts = np.nonzero(seg_start)[0]
+    lens = np.diff(np.concatenate([starts, [n]]))
+    cur = de0[starts].copy()          # may be HASH_INACTIVE
+    curd = dact0[starts].copy()
+    alive = np.ones(n, bool)
+    left_block = np.zeros(n, np.int64)
+    unblocked = np.zeros(n, bool)
+    for r in range(int(lens.max())):
+        act = r < lens
+        idx = starts + np.where(act, r, 0)
+        t = start2[idx]
+        e = extent[idx]
+        dg = diag[idx]
+        inactive = cur == HASH_INACTIVE
+        cur0 = np.where(inactive, 0, cur)
+        curd0 = np.where(inactive, dg, curd)
+        covered = (cur0 > t) & ~inactive
+        drop = covered & (curd0 == dg)
+        unb = covered & (curd0 != dg)
+        ok = ~drop
+        w = idx[act]
+        alive[w] = ok[act]
+        left_block[w] = np.where(unb, 0, cur0)[act]
+        unblocked[w] = unb[act]
+        # extension happens for every accepted hit and records the
+        # right-scan block (engine._xdrop_extend:637-642) — even when
+        # the HSP itself is discarded below threshold
+        upd = act & ok & (e > cur0)
+        cur = np.where(act, np.where(upd, e, cur0), cur)
+        curd = np.where(act, np.where(upd, dg, curd0), curd)
+    return alive, left_block, unblocked, cur, curd
+
+
 def batched_search(engine, start: int = 0, end: int = 0):
     """Drop-in replacement for SeedSearchEngine.search; returns
     bases_hit, or None when this configuration is not supported."""
@@ -248,6 +302,12 @@ def batched_search(engine, start: int = 0, end: int = 0):
 
     trip_pos = -1  # valid-position index where the search limit hit
 
+    twin = engine.hit_mode == "twin"
+    if twin:
+        from . import twins as _twins
+        twin_snap = _twins.snapshot(engine)
+        pending = []  # (g, pos1, pos2, length, score, counts_as_hsp)
+
     for pos_lo in range(0, n_pos, POS_CHUNK):
         pos_hi = min(pos_lo + POS_CHUNK, n_pos)
         pos1a, pos2a, grp = _build_hits(engine, start, pos_lo, pos_hi)
@@ -274,32 +334,47 @@ def batched_search(engine, start: int = 0, end: int = 0):
         hs = h_a[order]
         seg_start = np.ones(H, bool)
         seg_start[1:] = hs[1:] != hs[:-1]
-        de0 = de[hs]
-        de0 = np.where(de0 == HASH_INACTIVE, 0, de0)
-        res = _resolve_chains(extent[order], (pos2a - L)[order],
-                              de0, seg_start)
-        if res is None:
-            return None  # pathological; scalar engine takes over
-        alive_s, de_before_s = res
+        seg_first = np.nonzero(seg_start)[0]
+        touched_h = hs[seg_first]
+        recover = engine.hit_mode == "recover"
+        if twin:
+            try:
+                outcome_s, de_before_s = _twins.resolve_chunk(
+                    engine, extent[order], pos2a[order],
+                    diag_a[order], hs, order, seg_start, L)
+            except _twins.TwinOverflow:
+                # queue aging / ring depth would diverge from the
+                # reference; rewind and let the scalar engine replay
+                _twins.restore(engine, twin_snap)
+                return None
+            alive_s = outcome_s == _twins.OUT_FOUND
+        elif recover:
+            de0_raw = de[hs]  # HASH_INACTIVE kept distinct
+            alive_s, lb_s, _, fin_de, fin_da = _resolve_chains_recover(
+                extent[order], (pos2a - L)[order], diag_a[order],
+                de0_raw, da[hs], seg_start)
+            de_before_s = lb_s
+            de[touched_h] = fin_de
+            da[touched_h] = fin_da
+        else:
+            de0 = de[hs]
+            de0 = np.where(de0 == HASH_INACTIVE, 0, de0)
+            res = _resolve_chains(extent[order], (pos2a - L)[order],
+                                  de0, seg_start)
+            if res is None:
+                return None  # pathological; scalar engine takes over
+            alive_s, de_before_s = res
+            # advance the diagonal state to end-of-chunk values
+            contrib = np.where(alive_s, extent[order], MIN64)
+            seg_max = np.maximum.reduceat(
+                np.maximum(contrib, de0), seg_first)
+            de[touched_h] = np.maximum(de[touched_h], seg_max)
+            de[touched_h] = np.where(
+                de[touched_h] == HASH_INACTIVE, 0, de[touched_h])
         alive = np.zeros(H, bool)
         alive[order] = alive_s
         de_before = np.zeros(H, np.int64)
         de_before[order] = de_before_s
-
-        # advance the engine's diagonal state to end-of-chunk values
-        contrib = np.where(alive_s, extent[order], MIN64)
-        seg_ends = np.nonzero(
-            np.concatenate([seg_start[1:], [True]]))[0]
-        seg_first = np.nonzero(seg_start)[0]
-        seg_max = np.maximum.reduceat(
-            np.maximum(contrib, de0), seg_first)
-        touched_h = hs[seg_first]
-        # diagActual tracks the diagonal of the LAST extent update;
-        # only 'recover' mode reads it (unsupported here) but keep the
-        # array coherent for debugging
-        de[touched_h] = np.maximum(de[touched_h], seg_max)
-        de[touched_h] = np.where(de[touched_h] == HASH_INACTIVE, 0,
-                                 de[touched_h])
 
         if no_extend:
             cand_mask = alive
@@ -322,7 +397,7 @@ def batched_search(engine, start: int = 0, end: int = 0):
         cand_idx = np.nonzero(cand_mask)[0]
         for i in cand_idx:
             g = int(grp[i])
-            if trip_pos >= 0 and g > trip_pos:
+            if not twin and trip_pos >= 0 and g > trip_pos:
                 engine.limit_exceeded = True
                 if engine.on_limit_exceeded is not None:
                     engine.on_limit_exceeded()
@@ -333,16 +408,23 @@ def batched_search(engine, start: int = 0, end: int = 0):
             if no_extend:
                 bases_hit += engine._report(pos1, pos2, L, 0)
             elif bind[i]:
-                # exact scalar re-extension under the left block
+                # exact scalar re-extension under the left block; the
+                # extent it records was already folded into the chunk-
+                # final chain state, so restore that state afterwards
                 hh = int(h_a[i])
                 saved = int(de[hh])
+                saved_da = int(da[hh])
                 de[hh] = int(de_before[i])
                 engine._unblocked_left = False
                 r = engine._xdrop_extend(pos1, pos2, L)
                 de[hh] = max(saved, int(de[hh]))
+                da[hh] = saved_da
                 if r is None:
                     continue
-                bases_hit += engine._report(*r)
+                if twin:
+                    pending.append((g, *r, False))
+                else:
+                    bases_hit += engine._report(*r)
             else:
                 left_score = int(ext["left_score"][i])
                 left_start = int(ext["left_start"][i])
@@ -370,17 +452,37 @@ def batched_search(engine, start: int = 0, end: int = 0):
                                   else int(similarity * q))
                 if thresh_is_score and similarity < thresh:
                     continue
-                bases_hit += engine._report(new_pos1, new_pos2,
-                                            new_length, similarity)
-                st.hsps += 1
-            if (engine.search_limit > 0 and engine.search_to_go < 0
-                    and trip_pos < 0):
+                if twin:
+                    pending.append((g, new_pos1, new_pos2,
+                                    new_length, similarity, True))
+                else:
+                    bases_hit += engine._report(new_pos1, new_pos2,
+                                                new_length, similarity)
+                    st.hsps += 1
+            if (not twin and engine.search_limit > 0
+                    and engine.search_to_go < 0 and trip_pos < 0):
                 trip_pos = g
         if trip_pos >= 0 and pos_hi < n_pos:
             engine.limit_exceeded = True
             if engine.on_limit_exceeded is not None:
                 engine.on_limit_exceeded()
             return bases_hit
+
+    if twin:
+        # deferred dispatch in original order with the scalar
+        # engine's search-limit granularity
+        for (g, p1, p2, ln, s, is_hsp) in pending:
+            if trip_pos >= 0 and g > trip_pos:
+                engine.limit_exceeded = True
+                if engine.on_limit_exceeded is not None:
+                    engine.on_limit_exceeded()
+                return bases_hit
+            bases_hit += engine._report(p1, p2, ln, s)
+            if is_hsp:
+                st.hsps += 1
+            if (engine.search_limit > 0 and engine.search_to_go < 0
+                    and trip_pos < 0):
+                trip_pos = g
 
     if trip_pos >= 0 and trip_pos < n_pos - 1:
         engine.limit_exceeded = True

@@ -49,6 +49,10 @@ def _device_search_enabled() -> bool:
 def supported(engine) -> bool:
     if not _batched_supported(engine):
         return False
+    if engine.hit_mode != "simple":
+        # the device chain resolver tracks diagEnd only; recover mode
+        # also needs diagActual (host batched path handles it)
+        return False
     if engine.seed.rev_comp:
         return False
     hp = engine.hp

@@ -166,6 +166,16 @@ class SeedSearchEngine:
             r = batched_search(self, start, end)
             if r is not None:
                 return r
+            if (end or len(self.seq2)) - start > 200_000 \
+                    and not getattr(SeedSearchEngine,
+                                    "_scalar_warned", False):
+                SeedSearchEngine._scalar_warned = True
+                import sys
+                sys.stderr.write(
+                    "lastz_tpu: this configuration (hit mode '%s', "
+                    "seed type '%s') uses the per-base scalar search "
+                    "path, which is slow at this scale\n"
+                    % (self.hit_mode, self.seed.type))
         if end == 0:
             end = len(self.seq2)
         seed = self.seed

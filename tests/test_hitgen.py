@@ -32,7 +32,7 @@ def _related_pair(n, seed=3, ident=0.85):
 
 def _collect(s1, s2, seed_str, trans, gf_extend, thresh, x_drop=910,
              env=None, self_compare=False, same_strand=False,
-             band=0):
+             band=0, hit_mode="simple", twin_spans=None):
     seed = parse_seed(seed_str, with_trans=trans)
     pt = build_seed_position_table(
         s1, 0, 0, UPPER_NUC_TO_BITS, seed, 1)
@@ -41,11 +41,15 @@ def _collect(s1, s2, seed_str, trans, gf_extend, thresh, x_drop=910,
         gf_extend=gf_extend, scoring=sc, x_drop=x_drop,
         hsp_threshold=ScoreThreshold("S", thresh))
     hits = []
+    kw = {}
+    if twin_spans is not None:
+        kw = dict(twin_min_span=twin_spans[0],
+                  twin_max_span=twin_spans[1])
     eng = SeedSearchEngine(
         s1, pt, s2, seed, UPPER_NUC_TO_BITS, hp,
         lambda p1, p2, ln, s: hits.append((p1, p2, ln, s)) or ln,
         self_compare=self_compare, same_strand=same_strand,
-        band_width=band)
+        band_width=band, hit_mode=hit_mode, **kw)
     saved = {}
     env = dict(env or {})
     for k, v in env.items():
@@ -65,6 +69,7 @@ def _collect(s1, s2, seed_str, trans, gf_extend, thresh, x_drop=910,
 SCALAR = {"LASTZ_TPU_SCALAR_SEARCH": "1"}
 DEVICE = {"LASTZ_TPU_SCALAR_SEARCH": "0", "LASTZ_TPU_HITGEN": "1",
           "LASTZ_TPU_HIT_BUDGET": str(1 << 15)}
+BATCHED = {"LASTZ_TPU_SCALAR_SEARCH": "0", "LASTZ_TPU_HITGEN": "0"}
 
 
 @pytest.mark.parametrize("trans", [0, 1, 2])
@@ -130,6 +135,82 @@ def test_device_hits_halfweight_seed():
     dev = _collect(s1, s2, "TTT0T0TTT0TT0TTTT", 0, GFEX_XDROP, 2000,
                    env=DEVICE)
     assert dev == ref
+
+
+@pytest.mark.parametrize("trans", [0, 1])
+def test_recover_hits_match_scalar(trans):
+    """--recoverseeds routes through the batched path and matches the
+    scalar processor hit for hit (seed_search.c:1221-1420)."""
+    s1, s2 = _related_pair(6000)
+    ref = _collect(s1, s2, "1110100110010101111", trans,
+                   GFEX_XDROP, 3000, env=SCALAR, hit_mode="recover")
+    bat = _collect(s1, s2, "1110100110010101111", trans,
+                   GFEX_XDROP, 3000, env=BATCHED, hit_mode="recover")
+    assert len(ref) > 0
+    assert bat == ref
+
+
+def test_recover_hits_hash_collisions():
+    """Genuine 64K diagonal-hash collisions: a segment duplicated at
+    distance exactly DIAG_HASH_SIZE makes every query word hit two
+    true diagonals with the same hashed diagonal.  Recover mode must
+    accept the colliding hits (diagActual differs) where simple mode
+    drops them — and the batched resolver must agree with the scalar
+    engine on every hit."""
+    from lastz_tpu.search.engine import DIAG_HASH_SIZE
+    rng = np.random.default_rng(11)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    core = alpha[rng.integers(0, 4, 3000)]
+    fill = alpha[rng.integers(0, 4, DIAG_HASH_SIZE - 3000)]
+    s1 = np.concatenate([core, fill, core,
+                         alpha[rng.integers(0, 4, 500)]])
+    s2 = core.copy()
+    mut = rng.random(len(s2)) < 0.10
+    s2[mut] = alpha[rng.integers(0, 4, mut.sum())]
+
+    args = (s1, s2, "1110100110010101111", 0, GFEX_XDROP, 2000)
+    ref = _collect(*args, env=SCALAR, hit_mode="recover")
+    bat = _collect(*args, env=BATCHED, hit_mode="recover")
+    simple = _collect(*args, env=SCALAR, hit_mode="simple")
+    assert len(ref) > len(simple)  # collisions actually recovered
+    assert bat == ref
+
+
+@pytest.mark.parametrize("spans", [(0, 10), (0, 50), (5, 25)])
+def test_twin_hits_match_scalar(spans):
+    """--twins routes through the batched lockstep queue resolver and
+    matches the scalar processor hit for hit (seed_search.c:1526,
+    diag_hash.h:106-145)."""
+    L = 19
+    tw = (2 * L + spans[0], 2 * L + spans[1])
+    s1, s2 = _related_pair(6000, seed=4, ident=0.93)
+    ref = _collect(s1, s2, "1110100110010101111", 1, GFEX_XDROP,
+                   2000, env=SCALAR, hit_mode="twin", twin_spans=tw)
+    bat = _collect(s1, s2, "1110100110010101111", 1, GFEX_XDROP,
+                   2000, env=BATCHED, hit_mode="twin", twin_spans=tw)
+    assert len(ref) > 0
+    assert bat == ref
+
+
+def test_twin_hits_hash_collisions():
+    """Colliding hashed diagonals: the twin walk's early break on a
+    too-large span is taken on entries of ANY true diagonal, so a
+    duplicate segment at distance DIAG_HASH_SIZE exercises it."""
+    from lastz_tpu.search.engine import DIAG_HASH_SIZE
+    rng = np.random.default_rng(23)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    core = alpha[rng.integers(0, 4, 2500)]
+    fill = alpha[rng.integers(0, 4, DIAG_HASH_SIZE - 2500)]
+    s1 = np.concatenate([core, fill, core])
+    s2 = core.copy()
+    mut = rng.random(len(s2)) < 0.06
+    s2[mut] = alpha[rng.integers(0, 4, mut.sum())]
+    tw = (2 * 19, 2 * 19 + 30)
+    args = (s1, s2, "1110100110010101111", 0, GFEX_XDROP, 1500)
+    ref = _collect(*args, env=SCALAR, hit_mode="twin", twin_spans=tw)
+    bat = _collect(*args, env=BATCHED, hit_mode="twin", twin_spans=tw)
+    assert len(ref) > 0
+    assert bat == ref
 
 
 def test_device_position_table_matches_host():
