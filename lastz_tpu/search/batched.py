@@ -98,28 +98,18 @@ def _probe_xors(seed):
     return np.array(xors, dtype=np.int64)
 
 
-def _build_hits(engine, start, pos_lo, pos_hi):
-    """Candidate hits for valid-word indices [pos_lo, pos_hi) of the
-    window-word array, in reference order.  Returns (pos1, pos2,
-    group) arrays; `group` indexes the valid-position list."""
-    seed = engine.seed
-    L = seed.length
+def _gather_csr(engine, words):
+    """Expand per-candidate-word CSR ranges into target positions in
+    reference (descending last/prev) order.  Returns (cand_of_hit,
+    pos1)."""
     pt = engine.pt
-    valid_idx = engine._batched_valid_idx
-    packed_all = engine._batched_packed
-    sel = valid_idx[pos_lo:pos_hi]
-    packed = packed_all[sel].astype(np.int64)
-    xors = engine._batched_xors
-    nprobe = len(xors)
-    wmat = (packed[:, None] ^ xors[None, :]).ravel()
     csr_start = pt.csr_start
-    starts = csr_start[wmat].astype(np.int64)
-    ends = csr_start[wmat + 1].astype(np.int64)
+    starts = csr_start[words].astype(np.int64)
+    ends = csr_start[words + 1].astype(np.int64)
     cnt = ends - starts
     total = int(cnt.sum())
     if total == 0:
-        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
-                np.zeros(0, np.int64))
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
     grp = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
     cum = np.concatenate([[0], np.cumsum(cnt)])
     within = np.arange(total, dtype=np.int64) - cum[grp]
@@ -129,9 +119,12 @@ def _build_hits(engine, start, pos_lo, pos_hi):
         grp = grp[keep]
         csr_idx = csr_idx[keep]
     pos1 = pt.adj_start + pt.step * pt.csr_pos[csr_idx].astype(np.int64)
-    pidx = grp // nprobe  # index into sel
-    pos2 = start + L + sel[pidx]
-    # self-comparison / band filters (seed_search.c:841-847)
+    return grp, pos1
+
+
+def _filter_hits(engine, pos1, pos2, pidx):
+    """Self-comparison / band filters (seed_search.c:841-847)."""
+    L = engine.seed.length
     keep = np.ones(len(pos1), bool)
     if engine.self_compare:
         if engine.same_strand:
@@ -146,7 +139,118 @@ def _build_hits(engine, start, pos_lo, pos_hi):
         pos1 = pos1[keep]
         pos2 = pos2[keep]
         pidx = pidx[keep]
+    return pos1, pos2, pidx
+
+
+def _build_hits(engine, start, pos_lo, pos_hi):
+    """Candidate hits for valid-word indices [pos_lo, pos_hi) of the
+    window-word array, in reference order.  Returns (pos1, pos2,
+    group) arrays; `group` indexes the valid-position list."""
+    seed = engine.seed
+    L = seed.length
+    valid_idx = engine._batched_valid_idx
+    packed_all = engine._batched_packed
+    sel = valid_idx[pos_lo:pos_hi]
+    packed = packed_all[sel].astype(np.int64)
+    xors = engine._batched_xors
+    nprobe = len(xors)
+    wmat = (packed[:, None] ^ xors[None, :]).ravel()
+    grp, pos1 = _gather_csr(engine, wmat)
+    if len(pos1) == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
+    pidx = grp // nprobe  # index into sel
+    pos2 = start + L + sel[pidx]
+    pos1, pos2, pidx = _filter_hits(engine, pos1, pos2, pidx)
     return pos1, pos2, pos_lo + pidx
+
+
+def batched_search_quantum(engine, ball_score, start: int = 0,
+                           end: int = 0):
+    """Vectorized quantum-DNA seed search: the per-position ball
+    expansion (quantum_seed_hit_search, quantum.c:128) runs as a flat
+    level-by-level numpy expansion over position chunks, feeding the
+    standard resolve/extend/report machinery.  Returns bases_hit, or
+    None when unsupported (scalar replay takes over)."""
+    hp = engine.hp
+    seed = engine.seed
+    if engine.hit_mode != "simple":
+        return None
+    if hp.gf_extend not in (GFEX_XDROP, GFEX_NO_EXTEND):
+        return None
+    if hp.pos_filter or hp.min_matches >= 0:
+        return None
+    if seed.type != "S" or seed.with_trans != 0:
+        return None
+    if end == 0:
+        end = len(engine.seq2)
+    L = seed.length
+    n_pos = end - start - L + 1
+    if n_pos <= 0:
+        return 0
+
+    # seed match-position layout (engine.search_quantum prologue)
+    w = seed.weight // 2
+    offsets = [None] * w
+    for src, dst in seed.bit_map:
+        if dst % 2 == 0:
+            offsets[dst // 2] = L - 1 - src // 2
+    if any(o is None for o in offsets):
+        return None
+    level_offsets = [offsets[w - 1 - i] for i in range(w)]
+    ss = hp.scoring
+    if ss is not None and not ss.rows_are_dna and ss.bottleneck:
+        sym_codes = np.frombuffer(
+            ss.bottleneck, dtype=np.uint8).astype(np.int64)
+    else:
+        sym_codes = np.frombuffer(
+            b"ACGT", dtype=np.uint8).astype(np.int64)
+    if len(sym_codes) != 4:
+        return None
+    sub = engine._sub
+    four = np.arange(4, dtype=np.int64)
+
+    def build(engine, start_, pos_lo, pos_hi):
+        qpe = start_ + L + np.arange(pos_lo, pos_hi, dtype=np.int64)
+        P = len(qpe)
+        # (P, 4) citizen scores per level
+        lvl = [np.ascontiguousarray(
+                   sub[np.ix_(sym_codes, engine.seq2[qpe - L + off])].T)
+               for off in level_offsets]
+        best = np.stack([l.max(axis=1) for l in lvl], axis=1)
+        minneed = np.empty((P, w), sub.dtype)
+        minneed[:, w - 1] = ball_score
+        for i in range(w - 1, 0, -1):
+            minneed[:, i - 1] = minneed[:, i] - best[:, i]
+        posidx = np.nonzero(best.sum(axis=1) >= ball_score)[0]
+        packed = np.zeros(len(posidx), np.int64)
+        score = np.zeros(len(posidx), sub.dtype)
+        # level-by-level 4-way expansion; order stays (position asc,
+        # packed word asc) = the reference DFS enumeration order
+        for i in range(w):
+            if len(packed) == 0:
+                break
+            packed = (packed[:, None] * 4 + four).ravel()
+            score = (score[:, None] + lvl[i][posidx]).ravel()
+            posidx = np.repeat(posidx, 4)
+            keep = score >= minneed[posidx, i]
+            packed = packed[keep]
+            score = score[keep]
+            posidx = posidx[keep]
+        if len(packed) == 0:
+            z = np.zeros(0, np.int64)
+            return z, z, z
+        grp, pos1 = _gather_csr(engine, packed)
+        if len(pos1) == 0:
+            z = np.zeros(0, np.int64)
+            return z, z, z
+        pidx = posidx[grp]
+        pos2 = start_ + L + (pos_lo + pidx)
+        pos1, pos2, pidx = _filter_hits(engine, pos1, pos2, pidx)
+        return pos1, pos2, pos_lo + pidx
+
+    return batched_search(engine, start, end, _builder=build,
+                          _n_pos=n_pos)
 
 
 def _seg_cummax_exclusive(x, seg_start):
@@ -236,10 +340,13 @@ def _resolve_chains_recover(extent, start2, diag, de0, dact0,
     return alive, left_block, unblocked, cur, curd
 
 
-def batched_search(engine, start: int = 0, end: int = 0):
+def batched_search(engine, start: int = 0, end: int = 0,
+                   _builder=None, _n_pos=None):
     """Drop-in replacement for SeedSearchEngine.search; returns
-    bases_hit, or None when this configuration is not supported."""
-    if not supported(engine):
+    bases_hit, or None when this configuration is not supported.
+    _builder/_n_pos inject an alternative candidate generator over
+    the same chunked resolve/extend/report machinery (quantum)."""
+    if _builder is None and not supported(engine):
         return None
     if end == 0:
         end = len(engine.seq2)
@@ -248,12 +355,17 @@ def batched_search(engine, start: int = 0, end: int = 0):
     if end - start < L:
         return 0
 
-    codes = engine.char_to_bits[engine.seq2[start:end]]
-    words, valid = _window_words(codes, L, seed.bits_per_base)
-    engine._batched_packed = seed.pack(words)
-    engine._batched_valid_idx = np.nonzero(valid)[0]
-    engine._batched_xors = _probe_xors(seed)
-    n_pos = len(engine._batched_valid_idx)
+    if _builder is None:
+        codes = engine.char_to_bits[engine.seq2[start:end]]
+        words, valid = _window_words(codes, L, seed.bits_per_base)
+        engine._batched_packed = seed.pack(words)
+        engine._batched_valid_idx = np.nonzero(valid)[0]
+        engine._batched_xors = _probe_xors(seed)
+        n_pos = len(engine._batched_valid_idx)
+        build = _build_hits
+    else:
+        n_pos = _n_pos
+        build = _builder
     if n_pos == 0:
         return 0
 
@@ -310,7 +422,7 @@ def batched_search(engine, start: int = 0, end: int = 0):
 
     for pos_lo in range(0, n_pos, POS_CHUNK):
         pos_hi = min(pos_lo + POS_CHUNK, n_pos)
-        pos1a, pos2a, grp = _build_hits(engine, start, pos_lo, pos_hi)
+        pos1a, pos2a, grp = build(engine, start, pos_lo, pos_hi)
         H = len(pos1a)
         if H == 0:
             continue

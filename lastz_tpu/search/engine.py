@@ -266,6 +266,13 @@ class SeedSearchEngine:
         # DFS levels assign the packed word MSB-first
         level_offsets = [offsets[w - 1 - i] for i in range(w)]
 
+        import os
+        if os.environ.get("LASTZ_TPU_SCALAR_SEARCH", "") in ("", "0"):
+            from .batched import batched_search_quantum
+            r = batched_search_quantum(self, ball_score, start, end)
+            if r is not None:
+                return r
+
         sub = self._sub
         # ball citizens are DNA for DNA rows, else bottleneck symbols
         # (quantum.c:184-185)

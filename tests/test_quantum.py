@@ -45,9 +45,14 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("scalar", [False, True],
+                         ids=["batched", "scalar"])
 @pytest.mark.parametrize("golden,qdna,scores,extra", CASES,
                          ids=[c[0] for c in CASES])
-def test_quantum_golden(golden, qdna, scores, extra):
+def test_quantum_golden(golden, qdna, scores, extra, scalar,
+                        monkeypatch):
+    if scalar:
+        monkeypatch.setenv("LASTZ_TPU_SCALAR_SEARCH", "1")
     got = run([f"{TD}/pseudocat.fa", f"{Q}/{qdna}[quantum]",
                f"Q={Q}/{scores}"] + extra)
     with open(os.path.join(Q, golden)) as f:
