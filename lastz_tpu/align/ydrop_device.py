@@ -193,6 +193,7 @@ class DeviceYDrop:
         subsmall = jnp.asarray(self.subsmall)
 
         from .. import stats as _stats
+        _x = _stats.current.extra
         t_launch = _stats.current.time("ydrop device")
         t_launch.__enter__()
         state, prev_off, packed, tb_all, row_lo, row_hi, col0 = \
@@ -202,6 +203,7 @@ class DeviceYDrop:
         done1 = pk[3].astype(bool)
         nblk1 = pk[12].copy()
         blocks = self.max_blocks
+        launches = 1
         # score-only continuation for extensions beyond the retained
         # blocks (their traceback falls back to the host, as before)
         while not pk[3].astype(bool).all() and blocks < self._MAX_CHUNKS:
@@ -209,6 +211,25 @@ class DeviceYDrop:
                 *args, state, prev_off, subsmall, with_tb=False, **kw)
             pk = np.asarray(packed)
             blocks += self.max_blocks
+            launches += 1
+        # utilization / fallback visibility (--stats):
+        # rows launched counts every lane of every block swept; rows
+        # used counts DP rows the lanes actually consumed
+        real = np.zeros(2 * B, bool)
+        real[: len(idxs)] = True
+        real[B: B + len(idxs)] = True
+        _x["ydrop launches"] = _x.get("ydrop launches", 0) + launches
+        _x["ydrop rows used"] = (_x.get("ydrop rows used", 0)
+                                 + int(pk[2][real].sum()))
+        _x["ydrop rows launched"] = (
+            _x.get("ydrop rows launched", 0)
+            + launches * self.max_blocks * self.rows * 2 * B)
+        tb_redo = int((real & ~done1).sum())
+        if tb_redo:
+            # extensions longer than the retained traceback blocks:
+            # device score kept, extension redone on host
+            _x["ydrop tb host-redo"] = (
+                _x.get("ydrop tb host-redo", 0) + tb_redo)
 
         small = dict(
             row=pk[0], LY=pk[1], rows_used=pk[2], done=pk[3],
