@@ -118,6 +118,14 @@ def get_lib():
         p_u8,                     # ops_out
         ctypes.POINTER(SweepResult),
     ]
+    lib.xdrop_scan_batch.restype = None
+    lib.xdrop_scan_batch.argtypes = [
+        p_u8, p_u8, p_i64,        # s1, s2, sub (256x256)
+        i64, i64, i64,            # len1, len2, x_drop
+        p_i64, p_i64, i64,        # pos1, pos2, H
+        p_i64, p_i64, p_i64,      # lc, ls, lstart
+        p_i64, p_i64, p_i64,      # rc, rs, rstop
+    ]
     lib.ydrop_bench.restype = ctypes.c_int64
     lib.ydrop_bench.argtypes = [
         p_i64, p_i64, p_i64, p_u8, p_i64, p_u8,

@@ -583,4 +583,57 @@ int64_t ydrop_bench(
     return best;
 }
 
+// ---------------------------------------------------------------------------
+// Batched unblocked two-sided x-drop (ops/xdrop_batch.batch_xdrop_np
+// semantics; reference xdrop_extend_seed_hit, seed_search.c:2528):
+// one call per hit chunk replaces the numpy multi-pass scan.  The
+// `consumed` count INCLUDES the element that triggered the x-drop
+// stop; `kbest` is the FIRST offset attaining the (positive) best.
+
+static inline void xdrop_scan_dir(
+    const uint8_t* s1, const uint8_t* s2, const int64_t* sub,
+    int64_t p1, int64_t p2, int64_t n, int64_t step, int64_t x_drop,
+    int64_t* out_consumed, int64_t* out_best, int64_t* out_kbest)
+{
+    int64_t c = 0, m = 0, b = 0, kb = -1, cons = n;
+    for (int64_t k = 0; k < n; ++k) {
+        c += sub[((int64_t)s1[p1 + step * k]) * 256 + s2[p2 + step * k]];
+        if (c > m) m = c;
+        if (c > b) { b = c; kb = k; }
+        if (c < m - x_drop) { cons = k + 1; break; }
+    }
+    *out_consumed = cons;
+    *out_best = b;
+    *out_kbest = kb;
+}
+
+void xdrop_scan_batch(
+    const uint8_t* s1, const uint8_t* s2, const int64_t* sub,
+    int64_t len1, int64_t len2, int64_t x_drop,
+    const int64_t* pos1, const int64_t* pos2, int64_t H,
+    int64_t* lc, int64_t* ls, int64_t* lstart,
+    int64_t* rc, int64_t* rs, int64_t* rstop)
+{
+    for (int64_t i = 0; i < H; ++i) {
+        int64_t p1 = pos1[i], p2 = pos2[i];
+        int64_t diag = p1 - p2;
+        int64_t c, b, k;
+        // left: from pos1-1 down to stop1 = max(diag, 0)
+        int64_t stop1 = diag > 0 ? diag : 0;
+        xdrop_scan_dir(s1, s2, sub, p1 - 1, p2 - 1, p1 - stop1, -1,
+                       x_drop, &c, &b, &k);
+        lc[i] = c;
+        ls[i] = b > 0 ? b : 0;
+        lstart[i] = b > 0 ? p1 - 1 - k : p1;
+        // right: from pos1 up to stop1r = min(len1, len2 + diag)
+        int64_t stop1r = len1 < len2 + diag ? len1 : len2 + diag;
+        int64_t nr = stop1r - p1 > 0 ? stop1r - p1 : 0;
+        xdrop_scan_dir(s1, s2, sub, p1, p2, nr, +1, x_drop,
+                       &c, &b, &k);
+        rc[i] = c;
+        rs[i] = b > 0 ? b : 0;
+        rstop[i] = b > 0 ? p1 + k + 1 : p1;
+    }
+}
+
 }  // extern "C"

@@ -99,6 +99,39 @@ def _np_scan(seq1, seq2, sub, p1, p2, n, step):
     return consumed, best, kbest
 
 
+def batch_xdrop_native(seq1, seq2, sub, pos1, pos2, x_drop, lib):
+    """batch_xdrop_np semantics via one native call per hit chunk
+    (native/ydrop_row.cpp xdrop_scan_batch) — the per-hit scans die
+    after a few dozen bases, which a scalar C loop handles at memory
+    speed while the numpy scan pays multi-pass array overheads."""
+    import ctypes
+    seq1 = np.ascontiguousarray(seq1, dtype=np.uint8)
+    seq2 = np.ascontiguousarray(seq2, dtype=np.uint8)
+    sub = np.ascontiguousarray(sub, dtype=np.int64)
+    pos1 = np.ascontiguousarray(pos1, dtype=np.int64)
+    pos2 = np.ascontiguousarray(pos2, dtype=np.int64)
+    H = len(pos1)
+    out = {k: np.empty(H, np.int64)
+           for k in ("left_consumed", "left_score", "left_start",
+                     "right_consumed", "right_score", "right_stop")}
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    lib.xdrop_scan_batch(
+        seq1.ctypes.data_as(p_u8), seq2.ctypes.data_as(p_u8),
+        sub.ctypes.data_as(p_i64),
+        ctypes.c_int64(len(seq1)), ctypes.c_int64(len(seq2)),
+        ctypes.c_int64(x_drop),
+        pos1.ctypes.data_as(p_i64), pos2.ctypes.data_as(p_i64),
+        ctypes.c_int64(H),
+        out["left_consumed"].ctypes.data_as(p_i64),
+        out["left_score"].ctypes.data_as(p_i64),
+        out["left_start"].ctypes.data_as(p_i64),
+        out["right_consumed"].ctypes.data_as(p_i64),
+        out["right_score"].ctypes.data_as(p_i64),
+        out["right_stop"].ctypes.data_as(p_i64))
+    return out
+
+
 def batch_xdrop_np(seq1, seq2, sub, pos1, pos2, x_drop,
                    precoded=None):
     """Unblocked two-sided x-drop extension for a hit batch (numpy).

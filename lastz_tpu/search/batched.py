@@ -384,9 +384,17 @@ def batched_search(engine, start: int = 0, end: int = 0,
         seq2_dev = jnp.asarray(engine.seq2)
         sub_dev = jnp.asarray(sub.astype(np.int32))
     elif not no_extend:
-        from ..ops.xdrop_batch import batch_xdrop_np
+        from ..ops.xdrop_batch import batch_xdrop_native, batch_xdrop_np
+        native_lib = None
+        if (sub is not None and sub.dtype == np.int64
+                and engine._native is not None
+                and os.environ.get("LASTZ_TPU_XDROP_NATIVE", "")
+                not in ("0",)
+                and hasattr(engine._native[0], "xdrop_scan_batch")):
+            native_lib = engine._native[0]
         precoded = None
-        if sub is not None and sub.dtype == np.int64 \
+        if native_lib is None and sub is not None \
+                and sub.dtype == np.int64 \
                 and np.abs(sub).max() < (1 << 31):
             from ..ops.ydrop_exact import make_compact_alphabet
             cmap = make_compact_alphabet(
@@ -436,6 +444,9 @@ def batched_search(engine, start: int = 0, end: int = 0,
             if use_jax:
                 ext = batch_xdrop_jax(seq1_dev, seq2_dev, sub_dev,
                                       pos1a, pos2a, x_drop)
+            elif native_lib is not None:
+                ext = batch_xdrop_native(seq1, seq2, sub, pos1a,
+                                         pos2a, x_drop, native_lib)
             else:
                 ext = batch_xdrop_np(seq1, seq2, sub, pos1a, pos2a,
                                      x_drop, precoded=precoded)

@@ -305,3 +305,24 @@ def test_pallas_scan_escape_path():
         assert dev == ref
     finally:
         xp.NB, xp.LMARGIN, xp.TS_ROWS, xp.QMARGIN = saved
+
+
+def test_native_xdrop_batch_matches_np():
+    """xdrop_scan_batch (native) == batch_xdrop_np on random hits."""
+    from lastz_tpu.native import get_lib
+    from lastz_tpu.ops.xdrop_batch import (batch_xdrop_native,
+                                           batch_xdrop_np)
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "xdrop_scan_batch"):
+        pytest.skip("native library unavailable")
+    s1, s2 = _related_pair(8000, seed=31, ident=0.88)
+    sub = new_dna_score_set().sub
+    rng = np.random.default_rng(2)
+    H = 4000
+    pos1 = rng.integers(19, len(s1), H)
+    pos2 = rng.integers(19, len(s2), H)
+    ref = batch_xdrop_np(s1, s2, sub, pos1, pos2, 910)
+    got = batch_xdrop_native(s1, s2, sub, pos1, pos2, 910, lib)
+    for k in ref:
+        np.testing.assert_array_equal(
+            np.asarray(ref[k], np.int64), got[k], err_msg=k)
