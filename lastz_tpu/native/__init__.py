@@ -22,6 +22,15 @@ _SRCS = [
 ]
 
 
+class SweepCounters(ctypes.Structure):
+    _fields_ = [
+        ("n_out", ctypes.c_int64),
+        ("raw_hits", ctypes.c_int64),
+        ("dropped", ctypes.c_int64),
+        ("extensions", ctypes.c_int64),
+    ]
+
+
 class SweepResult(ctypes.Structure):
     _fields_ = [
         ("score", ctypes.c_int64),
@@ -86,6 +95,7 @@ def get_lib():
     i64 = ctypes.c_int64
     p_i64 = ctypes.POINTER(ctypes.c_int64)
     p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_u32 = ctypes.POINTER(ctypes.c_uint32)
     lib.ydrop_row.restype = None
     lib.ydrop_row.argtypes = [
         p_i64, p_i64, p_i64,      # CC, DD, MASK
@@ -117,6 +127,22 @@ def get_lib():
         p_u8, i64,                # tb, tb_cap
         p_u8,                     # ops_out
         ctypes.POINTER(SweepResult),
+    ]
+    lib.hit_sweep.restype = None
+    lib.hit_sweep.argtypes = [
+        p_u8, p_u8, i64, i64,     # s1, s2, len1, len2
+        p_i64, i64,               # sub, x_drop
+        p_u32, p_i64, i64,        # packed, pos2, NP
+        p_i64, i64,               # xors, nx
+        p_i64, p_u32,             # csr_start, csr_pos
+        p_u8,                     # alive (or None)
+        i64, i64,                 # adj_start, step
+        p_i64, p_i64, i64,        # de, da, seed_len
+        i64, i64, i64,            # self_compare, same_strand, band
+        i64, i64,                 # hit_mode, no_extend
+        i64, i64, i64,            # thresh, entropic, zero_thresh
+        p_i64, p_i64, p_i64, p_i64, p_i64, i64,  # outputs, cap
+        ctypes.POINTER(SweepCounters),
     ]
     lib.xdrop_scan_batch.restype = None
     lib.xdrop_scan_batch.argtypes = [

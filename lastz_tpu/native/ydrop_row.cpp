@@ -9,6 +9,7 @@
 //
 // Build:  g++ -O3 -march=native -shared -fPIC ydrop_row.cpp -o libydrop.so
 
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -605,6 +606,156 @@ static inline void xdrop_scan_dir(
     *out_consumed = cons;
     *out_best = b;
     *out_kbest = kb;
+}
+
+// ---------------------------------------------------------------------------
+// Whole-strand sequential hit sweep: the scalar engine's probe loop
+// (SeedSearchEngine._probe + _process_simple/_process_recover;
+// reference private_hit_search/find_table_matches,
+// seed_search.c:464-810, processors :1056/:1221, x-drop :2528) in one
+// native call.  The host replay of the seed stage is memory-bound
+// numpy otherwise; this loop runs it at reference-C speed.  Survivors
+// are written out with their valid-position index so the caller can
+// dispatch reports in exactly the scalar order with search-limit
+// granularity.
+
+static double entropy_fn(const uint8_t* s, const uint8_t* t,
+                         int64_t len)
+{
+    // dna_utilities.c:2882 / core/scoring.entropy: matched uppercase
+    // ACGT composition, probabilities over the full length
+    int64_t counts[4] = {0, 0, 0, 0};
+    for (int64_t k = 0; k < len; ++k) {
+        uint8_t a = s[k];
+        if (a != t[k]) continue;
+        switch (a) {
+            case 'A': ++counts[0]; break;
+            case 'C': ++counts[1]; break;
+            case 'G': ++counts[2]; break;
+            case 'T': ++counts[3]; break;
+            default: break;
+        }
+    }
+    int64_t total = counts[0] + counts[1] + counts[2] + counts[3];
+    if (total < 20) return 1.0;
+    double acc = 0.0;
+    for (int c = 0; c < 4; ++c) {
+        if (counts[c]) {
+            double p = (double)counts[c] / (double)len;
+            acc += p * log(p);
+        }
+    }
+    return -acc / log(4.0);
+}
+
+struct SweepCounters {
+    int64_t n_out;       // survivors produced (may exceed out_cap)
+    int64_t raw_hits;    // hits examined after positional filters
+    int64_t dropped;     // diagonal-hash drops
+    int64_t extensions;  // gap-free extensions run
+};
+
+void hit_sweep(
+    const uint8_t* s1, const uint8_t* s2, int64_t len1, int64_t len2,
+    const int64_t* sub, int64_t x_drop,
+    const uint32_t* packed, const int64_t* pos2_arr, int64_t NP,
+    const int64_t* xors, int64_t nx,
+    const int64_t* csr_start, const uint32_t* csr_pos,
+    const uint8_t* alive,
+    int64_t adj_start, int64_t step,
+    int64_t* de, int64_t* da, int64_t seed_len,
+    int64_t self_compare, int64_t same_strand, int64_t band_width,
+    int64_t hit_mode,            // 0 = simple, 1 = recover
+    int64_t no_extend,
+    int64_t thresh, int64_t entropic, int64_t zero_thresh,
+    int64_t* out_pos1, int64_t* out_pos2, int64_t* out_len,
+    int64_t* out_score, int64_t* out_grp, int64_t out_cap,
+    SweepCounters* res)
+{
+    const int64_t HMASK = 65535;
+    int64_t n_out = 0, raw = 0, dropped = 0, exts = 0;
+    for (int64_t i = 0; i < NP; ++i) {
+        int64_t pos2 = pos2_arr[i];
+        for (int64_t xi = 0; xi < nx; ++xi) {
+            uint32_t w = packed[i] ^ (uint32_t)xors[xi];
+            int64_t lo = csr_start[w], hi = csr_start[w + 1];
+            for (int64_t e = hi - 1; e >= lo; --e) {
+                if (alive && !alive[e]) continue;
+                int64_t pos1 = adj_start + step * (int64_t)csr_pos[e];
+                if (self_compare) {
+                    if (same_strand) {
+                        if (pos1 >= pos2) continue;
+                    } else {
+                        int64_t p1 = pos1 - seed_len;
+                        int64_t p2 = (len2 - 1) - (pos2 - seed_len);
+                        if (p1 >= p2) continue;
+                    }
+                }
+                if (same_strand && band_width > 0
+                        && pos2 - pos1 > band_width) continue;
+                ++raw;
+                int64_t diag = pos1 - pos2;
+                int64_t h = diag & HMASK;
+                int unblocked = 0;
+                if (hit_mode == 0) {
+                    if (de[h] == -1) de[h] = 0;
+                    if (de[h] > pos2 - seed_len) { ++dropped; continue; }
+                } else {
+                    if (de[h] == -1) { de[h] = 0; da[h] = diag; }
+                    else if (de[h] > pos2 - seed_len) {
+                        if (da[h] == diag) { ++dropped; continue; }
+                        unblocked = 1;  // hash collision: recover
+                    }
+                }
+                if (no_extend) {
+                    de[h] = pos2;
+                    if (n_out < out_cap) {
+                        out_pos1[n_out] = pos1;
+                        out_pos2[n_out] = pos2;
+                        out_len[n_out] = seed_len;
+                        out_score[n_out] = 0;
+                        out_grp[n_out] = i;
+                    }
+                    ++n_out;
+                    continue;
+                }
+                ++exts;
+                int64_t block2 = unblocked ? 0 : de[h];
+                int64_t stop1 = block2 + diag > 0 ? block2 + diag : 0;
+                int64_t stop1r = len1 < len2 + diag ? len1
+                                                    : len2 + diag;
+                int64_t lstart, lscore, rstop, rscore, rblock;
+                xdrop_extend(s1, s2, sub, pos1, pos2, stop1, stop1r,
+                             x_drop, &lstart, &lscore, &rstop,
+                             &rscore, &rblock);
+                int64_t extent = rblock - diag;
+                if (extent > de[h]) { de[h] = extent; da[h] = diag; }
+                int64_t np1 = rstop;
+                int64_t np2 = rstop - diag;
+                int64_t nlen = rstop - lstart;
+                int64_t sim = lscore + rscore;
+                if (entropic && sim >= zero_thresh
+                        && sim <= 3 * thresh) {
+                    double q = entropy_fn(s1 + np1 - nlen,
+                                          s2 + np2 - nlen, nlen);
+                    sim = (int64_t)((double)sim * q);
+                }
+                if (sim < thresh) continue;
+                if (n_out < out_cap) {
+                    out_pos1[n_out] = np1;
+                    out_pos2[n_out] = np2;
+                    out_len[n_out] = nlen;
+                    out_score[n_out] = sim;
+                    out_grp[n_out] = i;
+                }
+                ++n_out;
+            }
+        }
+    }
+    res->n_out = n_out;
+    res->raw_hits = raw;
+    res->dropped = dropped;
+    res->extensions = exts;
 }
 
 void xdrop_scan_batch(

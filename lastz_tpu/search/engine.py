@@ -162,6 +162,10 @@ class SeedSearchEngine:
                     r = None
                 if r is not None:
                     return r
+            from .native_sweep import native_hit_search
+            r = native_hit_search(self, start, end)
+            if r is not None:
+                return r
             from .batched import batched_search
             r = batched_search(self, start, end)
             if r is not None:

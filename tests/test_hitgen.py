@@ -69,7 +69,10 @@ def _collect(s1, s2, seed_str, trans, gf_extend, thresh, x_drop=910,
 SCALAR = {"LASTZ_TPU_SCALAR_SEARCH": "1"}
 DEVICE = {"LASTZ_TPU_SCALAR_SEARCH": "0", "LASTZ_TPU_HITGEN": "1",
           "LASTZ_TPU_HIT_BUDGET": str(1 << 15)}
-BATCHED = {"LASTZ_TPU_SCALAR_SEARCH": "0", "LASTZ_TPU_HITGEN": "0"}
+BATCHED = {"LASTZ_TPU_SCALAR_SEARCH": "0", "LASTZ_TPU_HITGEN": "0",
+           "LASTZ_TPU_NATIVE_SEARCH": "0"}
+NATIVE = {"LASTZ_TPU_SCALAR_SEARCH": "0", "LASTZ_TPU_HITGEN": "0",
+          "LASTZ_TPU_NATIVE_SEARCH": "1"}
 
 
 @pytest.mark.parametrize("trans", [0, 1, 2])
@@ -137,17 +140,36 @@ def test_device_hits_halfweight_seed():
     assert dev == ref
 
 
+@pytest.mark.parametrize("env", [BATCHED, NATIVE],
+                         ids=["batched", "native"])
 @pytest.mark.parametrize("trans", [0, 1])
-def test_recover_hits_match_scalar(trans):
-    """--recoverseeds routes through the batched path and matches the
-    scalar processor hit for hit (seed_search.c:1221-1420)."""
+def test_recover_hits_match_scalar(trans, env):
+    """--recoverseeds routes through the batched/native paths and
+    matches the scalar processor hit for hit
+    (seed_search.c:1221-1420)."""
     s1, s2 = _related_pair(6000)
     ref = _collect(s1, s2, "1110100110010101111", trans,
                    GFEX_XDROP, 3000, env=SCALAR, hit_mode="recover")
     bat = _collect(s1, s2, "1110100110010101111", trans,
-                   GFEX_XDROP, 3000, env=BATCHED, hit_mode="recover")
+                   GFEX_XDROP, 3000, env=env, hit_mode="recover")
     assert len(ref) > 0
     assert bat == ref
+
+
+@pytest.mark.parametrize("env", [BATCHED, NATIVE],
+                         ids=["batched", "native"])
+@pytest.mark.parametrize("gfex,thresh", [(GFEX_XDROP, 3000),
+                                         (GFEX_NO_EXTEND, 0)])
+def test_simple_hits_host_paths_match_scalar(gfex, thresh, env):
+    """The host numpy and native-sweep paths both reproduce the
+    scalar engine for the default simple processor."""
+    s1, s2 = _related_pair(6000, seed=8)
+    ref = _collect(s1, s2, "1110100110010101111", 1, gfex, thresh,
+                   env=SCALAR)
+    got = _collect(s1, s2, "1110100110010101111", 1, gfex, thresh,
+                   env=env)
+    assert len(ref) > 0
+    assert got == ref
 
 
 def test_recover_hits_hash_collisions():
@@ -171,9 +193,11 @@ def test_recover_hits_hash_collisions():
     args = (s1, s2, "1110100110010101111", 0, GFEX_XDROP, 2000)
     ref = _collect(*args, env=SCALAR, hit_mode="recover")
     bat = _collect(*args, env=BATCHED, hit_mode="recover")
+    nat = _collect(*args, env=NATIVE, hit_mode="recover")
     simple = _collect(*args, env=SCALAR, hit_mode="simple")
     assert len(ref) > len(simple)  # collisions actually recovered
     assert bat == ref
+    assert nat == ref
 
 
 @pytest.mark.parametrize("spans", [(0, 10), (0, 50), (5, 25)])
