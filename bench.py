@@ -112,12 +112,44 @@ def run_reference(binpath) -> float:
     return time.time() - t0
 
 
+def _device_responsive(timeout_s=120.0) -> bool:
+    """Preflight: a tiny op must complete within timeout_s.  A remote
+    accelerator tunnel can be attached yet unresponsive; running the
+    bench through it would hang for hours before the per-stage
+    fallbacks fire."""
+    import threading
+    ok = []
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+            if jax.devices()[0].platform == "cpu":
+                return
+            x = jnp.ones((128, 128))
+            (x @ x).block_until_ready()
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def run_ours():
-    # device path on whenever a real accelerator is attached
+    # device path on whenever a real accelerator is attached AND alive
     try:
         import jax
         if jax.devices()[0].platform != "cpu":
-            os.environ.setdefault("LASTZ_TPU_DEVICE", "1")
+            if _device_responsive():
+                os.environ.setdefault("LASTZ_TPU_DEVICE", "1")
+            else:
+                sys.stderr.write(
+                    "bench: accelerator attached but unresponsive; "
+                    "running the host path\n")
+                os.environ["LASTZ_TPU_DEVICE"] = "0"
     except Exception:
         pass
     from lastz_tpu.cli import parse_options

@@ -135,6 +135,47 @@ def build_seed_position_table(
         raise ValueError("interval is void")
     adj_start = start - (start % step)
 
+    # whole-build native fast path (counting sort straight into the
+    # CSR; native/ydrop_row.cpp build_postable) — the numpy chain
+    # below is the oracle and covers overweight/rev-comp seeds
+    if seed.type != "R" and not seed.rev_comp \
+            and (end - start) < (1 << 31) and seed.weight <= 26:
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "build_postable"):
+            import ctypes
+            num_words = 1 << seed.weight
+            cap = max((end - start - seed.length) // step + 2, 1)
+            csr_start = np.zeros(num_words + 1, np.int32)
+            out_pos = np.empty(cap, np.uint32)
+            c2b = np.ascontiguousarray(char_to_bits, np.int8)
+            sv = np.ascontiguousarray(seq_v, np.uint8)
+            bm = np.asarray(seed.bit_map, np.int64).reshape(-1, 2)
+            bm_src = np.ascontiguousarray(bm[:, 0])
+            bm_dst = np.ascontiguousarray(bm[:, 1])
+            i64c = ctypes.c_int64
+            n = lib.build_postable(
+                sv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                i64c(start), i64c(end),
+                c2b.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                i64c(seed.length), i64c(seed.bits_per_base),
+                bm_src.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int64)),
+                bm_dst.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int64)),
+                i64c(len(bm)), i64c(step), i64c(adj_start),
+                i64c(num_words),
+                csr_start.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int32)),
+                out_pos.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint32)))
+            if n >= 0:
+                assert n <= cap
+                return PositionTable(
+                    seed=seed, step=step, start=start, end=end,
+                    adj_start=adj_start, csr_start=csr_start,
+                    csr_pos=np.ascontiguousarray(out_pos[:n]))
+
     codes = char_to_bits[seq_v[start:end]]
     L = seed.length
     words, valid = _window_words(codes, L, seed.bits_per_base)
@@ -157,9 +198,23 @@ def build_seed_position_table(
     # int32 slots unless the table is impossibly large)
     dt = np.int32 if len(sorted_pos) < (1 << 31) else np.int64
     csr_start = np.empty(num_words + 1, dtype=dt)
-    csr_start[:num_words] = np.searchsorted(
-        sorted_words, np.arange(num_words, dtype=np.uint32))
-    csr_start[num_words] = len(sorted_pos)
+    _filled = False
+    if dt is np.int32:
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "csr_fill"):
+            import ctypes
+            sw = np.ascontiguousarray(sorted_words, dtype=np.uint32)
+            lib.csr_fill(
+                sw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                ctypes.c_int64(len(sw)), ctypes.c_int64(num_words),
+                csr_start.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int32)))
+            _filled = True
+    if not _filled:
+        csr_start[:num_words] = np.searchsorted(
+            sorted_words, np.arange(num_words, dtype=np.uint32))
+        csr_start[num_words] = len(sorted_pos)
 
     csr_resolve = None
     if seed.type == "R":

@@ -128,6 +128,18 @@ def get_lib():
         p_u8,                     # ops_out
         ctypes.POINTER(SweepResult),
     ]
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_i8 = ctypes.POINTER(ctypes.c_int8)
+    lib.build_postable.restype = i64
+    lib.build_postable.argtypes = [
+        p_u8, i64, i64,           # seq, start, end
+        p_i8, i64, i64,           # char2bits, L, bits_per
+        p_i64, p_i64, i64,        # bm_src, bm_dst, n_bm
+        i64, i64, i64,            # step, adj_start, num_words
+        p_i32, p_u32,             # csr_start, out_pos
+    ]
+    lib.csr_fill.restype = None
+    lib.csr_fill.argtypes = [p_u32, i64, i64, p_i32]
     lib.hit_sweep.restype = None
     lib.hit_sweep.argtypes = [
         p_u8, p_u8, i64, i64,     # s1, s2, len1, len2

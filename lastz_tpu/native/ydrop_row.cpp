@@ -648,6 +648,87 @@ static double entropy_fn(const uint8_t* s, const uint8_t* t,
     return -acc / log(4.0);
 }
 
+// Whole position-table build (pos_table.c:118-470 equivalent): roll
+// the seed window over the target, pack via the seed's bit map, and
+// counting-sort positions by word straight into the CSR arrays.
+// Two passes over the target + two passes over the word space replace
+// the numpy window/pack/argsort/searchsorted chain.  Returns the
+// entry count, or -1 on allocation failure (caller falls back).
+int64_t build_postable(
+    const uint8_t* seq, int64_t start, int64_t end,
+    const int8_t* char2bits, int64_t L, int64_t bits_per,
+    const int64_t* bm_src, const int64_t* bm_dst, int64_t n_bm,
+    int64_t step, int64_t adj_start, int64_t num_words,
+    int32_t* csr_start, uint32_t* out_pos)
+{
+    int32_t* next = (int32_t*)malloc(
+        (size_t)(num_words + 1) * sizeof(int32_t));
+    if (!next) return -1;
+    const uint64_t keep = bits_per == 2
+        ? ((L * 2 >= 64) ? ~0ULL : ((1ULL << (L * 2)) - 1))
+        : ((L >= 64) ? ~0ULL : ((1ULL << L) - 1));
+
+    for (int64_t pass = 0; pass < 2; ++pass) {
+        if (pass == 0) {
+            memset(csr_start, 0,
+                   (size_t)(num_words + 1) * sizeof(int32_t));
+        } else {
+            // counts sit at slot w+1, so the inclusive prefix gives
+            // csr_start[w] = number of entries with word < w
+            int64_t acc = 0;
+            for (int64_t w = 0; w <= num_words; ++w) {
+                acc += csr_start[w];
+                csr_start[w] = (int32_t)acc;
+                next[w] = (int32_t)acc;
+            }
+        }
+        uint64_t win = 0;
+        int64_t run = 0;  // consecutive valid codes ending here
+        for (int64_t p = start; p < end; ++p) {
+            int8_t code = char2bits[seq[p]];
+            if (code < 0) {
+                run = 0;
+                win = bits_per == 2 ? (win << 2) : (win << 1);
+            } else {
+                ++run;
+                win = bits_per == 2 ? ((win << 2) | (uint64_t)code)
+                                    : ((win << 1)
+                                       | ((uint64_t)code & 1));
+            }
+            win &= keep;
+            int64_t end_pos = p + 1;  // window ends AFTER base p
+            if (run < L) continue;
+            if (end_pos % step != 0) continue;
+            uint64_t packed = 0;
+            for (int64_t b = 0; b < n_bm; ++b)
+                packed |= ((win >> bm_src[b]) & 1ULL) << bm_dst[b];
+            if (pass == 0) {
+                ++csr_start[packed + 1];
+            } else {
+                out_pos[next[packed]++] =
+                    (uint32_t)((end_pos - adj_start) / step);
+            }
+        }
+    }
+    free(next);
+    return csr_start[num_words];
+}
+
+// CSR word-start fill over sorted packed words: csr_start[w] = first
+// slot whose word >= w (pos_table.c last/prev build equivalent).  One
+// O(n + num_words) pass replaces a 4^W-probe searchsorted that costs
+// tens of seconds on this host class.
+void csr_fill(const uint32_t* sorted_words, int64_t n,
+              int64_t num_words, int32_t* csr_start)
+{
+    int64_t idx = 0;
+    for (int64_t w = 0; w < num_words; ++w) {
+        while (idx < n && (int64_t)sorted_words[idx] < w) ++idx;
+        csr_start[w] = (int32_t)idx;
+    }
+    csr_start[num_words] = (int32_t)n;
+}
+
 struct SweepCounters {
     int64_t n_out;       // survivors produced (may exceed out_cap)
     int64_t raw_hits;    // hits examined after positional filters
