@@ -28,6 +28,7 @@ class SweepCounters(ctypes.Structure):
         ("raw_hits", ctypes.c_int64),
         ("dropped", ctypes.c_int64),
         ("extensions", ctypes.c_int64),
+        ("n_pos", ctypes.c_int64),
     ]
 
 
@@ -144,7 +145,9 @@ def get_lib():
     lib.hit_sweep.argtypes = [
         p_u8, p_u8, i64, i64,     # s1, s2, len1, len2
         p_i64, i64,               # sub, x_drop
-        p_u32, p_i64, i64,        # packed, pos2, NP
+        i64, i64,                 # start, end (query interval)
+        p_i8, i64,                # char2bits, bits_per
+        p_i64, p_i64, i64,        # bm_src, bm_dst, n_bm
         p_i64, i64,               # xors, nx
         p_i64, p_u32,             # csr_start, csr_pos
         p_u8,                     # alive (or None)

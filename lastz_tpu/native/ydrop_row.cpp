@@ -734,12 +734,15 @@ struct SweepCounters {
     int64_t raw_hits;    // hits examined after positional filters
     int64_t dropped;     // diagonal-hash drops
     int64_t extensions;  // gap-free extensions run
+    int64_t n_pos;       // valid query words scanned
 };
 
 void hit_sweep(
     const uint8_t* s1, const uint8_t* s2, int64_t len1, int64_t len2,
     const int64_t* sub, int64_t x_drop,
-    const uint32_t* packed, const int64_t* pos2_arr, int64_t NP,
+    int64_t start, int64_t end,            // query scan interval
+    const int8_t* char2bits, int64_t bits_per,
+    const int64_t* bm_src, const int64_t* bm_dst, int64_t n_bm,
     const int64_t* xors, int64_t nx,
     const int64_t* csr_start, const uint32_t* csr_pos,
     const uint8_t* alive,
@@ -754,11 +757,33 @@ void hit_sweep(
     SweepCounters* res)
 {
     const int64_t HMASK = 65535;
+    const int64_t L = seed_len;
+    const uint64_t keep = bits_per == 2
+        ? ((L * 2 >= 64) ? ~0ULL : ((1ULL << (L * 2)) - 1))
+        : ((L >= 64) ? ~0ULL : ((1ULL << L) - 1));
     int64_t n_out = 0, raw = 0, dropped = 0, exts = 0;
-    for (int64_t i = 0; i < NP; ++i) {
-        int64_t pos2 = pos2_arr[i];
+    int64_t i = -1;  // valid-word ordinal (matches numpy valid_idx)
+    uint64_t win = 0;
+    int64_t run = 0;
+    for (int64_t p = start; p < end; ++p) {
+        int8_t code = char2bits[s2[p]];
+        if (code < 0) {
+            run = 0;
+            win = bits_per == 2 ? (win << 2) : (win << 1);
+        } else {
+            ++run;
+            win = bits_per == 2 ? ((win << 2) | (uint64_t)code)
+                                : ((win << 1) | ((uint64_t)code & 1));
+        }
+        win &= keep;
+        if (run < L) continue;
+        ++i;
+        int64_t pos2 = p + 1;
+        uint64_t base = 0;
+        for (int64_t b = 0; b < n_bm; ++b)
+            base |= ((win >> bm_src[b]) & 1ULL) << bm_dst[b];
         for (int64_t xi = 0; xi < nx; ++xi) {
-            uint32_t w = packed[i] ^ (uint32_t)xors[xi];
+            uint32_t w = (uint32_t)base ^ (uint32_t)xors[xi];
             int64_t lo = csr_start[w], hi = csr_start[w + 1];
             for (int64_t e = hi - 1; e >= lo; --e) {
                 if (alive && !alive[e]) continue;
@@ -837,6 +862,7 @@ void hit_sweep(
     res->raw_hits = raw;
     res->dropped = dropped;
     res->extensions = exts;
+    res->n_pos = i + 1;
 }
 
 void xdrop_scan_batch(

@@ -21,7 +21,6 @@ import os
 import numpy as np
 
 from ..config import GFEX_NO_EXTEND, GFEX_XDROP
-from ..index.postable import _window_words
 from .batched import DIAG_HASH_SIZE, _probe_xors
 
 HASH_INACTIVE = -1
@@ -39,7 +38,7 @@ def supported(engine) -> bool:
         return False
     if hp.pos_filter or hp.min_matches >= 0:
         return False
-    if engine.seed.type == "R":
+    if engine.seed.type == "R" or engine.seed.rev_comp:
         return False
     if engine._native is None \
             or not hasattr(engine._native[0], "hit_sweep"):
@@ -85,16 +84,10 @@ def native_hit_search(engine, start: int = 0, end: int = 0):
     lib = engine._native[0]
     hp = engine.hp
 
-    codes = engine.char_to_bits[engine.seq2[start:end]]
-    words, valid = _window_words(codes, L, seed.bits_per_base)
-    valid_idx = np.nonzero(valid)[0]
-    n_pos = len(valid_idx)
-    if n_pos == 0:
-        return 0
-    packed = np.ascontiguousarray(
-        seed.pack(words)[valid_idx], dtype=np.uint32)
-    pos2_arr = np.ascontiguousarray(start + L + valid_idx,
-                                    dtype=np.int64)
+    c2b = np.ascontiguousarray(engine.char_to_bits, np.int8)
+    bm = np.asarray(seed.bit_map, np.int64).reshape(-1, 2)
+    bm_src = np.ascontiguousarray(bm[:, 0])
+    bm_dst = np.ascontiguousarray(bm[:, 1])
     xors = np.ascontiguousarray(_probe_xors(seed), dtype=np.int64)
 
     pt = engine.pt
@@ -136,8 +129,11 @@ def native_hit_search(engine, start: int = 0, end: int = 0):
             seq1.ctypes.data_as(p_u8), seq2.ctypes.data_as(p_u8),
             i64(len(seq1)), i64(len(seq2)),
             sub.ctypes.data_as(p_i64), i64(int(hp.x_drop)),
-            packed.ctypes.data_as(p_u32),
-            pos2_arr.ctypes.data_as(p_i64), i64(n_pos),
+            i64(start), i64(end),
+            c2b.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            i64(seed.bits_per_base),
+            bm_src.ctypes.data_as(p_i64),
+            bm_dst.ctypes.data_as(p_i64), i64(len(bm)),
             xors.ctypes.data_as(p_i64), i64(len(xors)),
             csr_start.ctypes.data_as(p_i64),
             csr_pos.ctypes.data_as(p_u32),
@@ -167,6 +163,7 @@ def native_hit_search(engine, start: int = 0, end: int = 0):
 
     from .. import stats as _stats
     st = _stats.current
+    n_pos = int(res.n_pos)
     st.words_in_queries += n_pos
     st.raw_seed_hits += int(res.raw_hits)
     st.hash_dropped_hits += int(res.dropped)
