@@ -63,6 +63,7 @@ def _build_lib() -> str | None:
     for src_path in _SRCS:
         with open(src_path, "rb") as f:
             h.update(f.read())
+    h.update(b"-O3 -march=native")  # flags are part of the cache key
     tag = h.hexdigest()[:16]
     cache_dir = os.environ.get(
         "LASTZ_TPU_CACHE",
@@ -72,7 +73,8 @@ def _build_lib() -> str | None:
     if os.path.exists(lib_path):
         return lib_path
     tmp = lib_path + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", *_SRCS, "-o", tmp]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           *_SRCS, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except Exception:
@@ -149,7 +151,7 @@ def get_lib():
         p_i8, i64,                # char2bits, bits_per
         p_i64, p_i64, i64,        # bm_src, bm_dst, n_bm
         p_i64, i64,               # xors, nx
-        p_i64, p_u32,             # csr_start, csr_pos
+        p_i32, p_u32,             # csr_start, csr_pos
         p_u8,                     # alive (or None)
         i64, i64,                 # adj_start, step
         p_i64, p_i64, i64,        # de, da, seed_len

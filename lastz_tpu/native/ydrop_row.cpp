@@ -744,7 +744,7 @@ void hit_sweep(
     const int8_t* char2bits, int64_t bits_per,
     const int64_t* bm_src, const int64_t* bm_dst, int64_t n_bm,
     const int64_t* xors, int64_t nx,
-    const int64_t* csr_start, const uint32_t* csr_pos,
+    const int32_t* csr_start, const uint32_t* csr_pos,
     const uint8_t* alive,
     int64_t adj_start, int64_t step,
     int64_t* de, int64_t* da, int64_t seed_len,
@@ -757,6 +757,8 @@ void hit_sweep(
     SweepCounters* res)
 {
     const int64_t HMASK = 65535;
+    enum { MAX_PROBES = 264 };   // 1 + flips + flip pairs; caller gates
+    if (nx > MAX_PROBES) { res->n_out = -1; return; }
     const int64_t L = seed_len;
     const uint64_t keep = bits_per == 2
         ? ((L * 2 >= 64) ? ~0ULL : ((1ULL << (L * 2)) - 1))
@@ -782,9 +784,23 @@ void hit_sweep(
         uint64_t base = 0;
         for (int64_t b = 0; b < n_bm; ++b)
             base |= ((win >> bm_src[b]) & 1ULL) << bm_dst[b];
+        // batched probes: csr_start is tens of MB (beyond LLC), so a
+        // prefetch pass over all probe words overlaps the miss
+        // latencies ~nx-wide instead of paying them serially
+        uint32_t wv[MAX_PROBES];
+        int32_t lov[MAX_PROBES], hiv[MAX_PROBES];
         for (int64_t xi = 0; xi < nx; ++xi) {
-            uint32_t w = (uint32_t)base ^ (uint32_t)xors[xi];
-            int64_t lo = csr_start[w], hi = csr_start[w + 1];
+            wv[xi] = (uint32_t)base ^ (uint32_t)xors[xi];
+            __builtin_prefetch(&csr_start[wv[xi]], 0, 1);
+        }
+        for (int64_t xi = 0; xi < nx; ++xi) {
+            lov[xi] = csr_start[wv[xi]];
+            hiv[xi] = csr_start[wv[xi] + 1];
+            if (hiv[xi] > lov[xi])
+                __builtin_prefetch(&csr_pos[hiv[xi] - 1], 0, 1);
+        }
+        for (int64_t xi = 0; xi < nx; ++xi) {
+            int64_t lo = lov[xi], hi = hiv[xi];
             for (int64_t e = hi - 1; e >= lo; --e) {
                 if (alive && !alive[e]) continue;
                 int64_t pos1 = adj_start + step * (int64_t)csr_pos[e];

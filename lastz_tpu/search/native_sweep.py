@@ -60,7 +60,7 @@ def _pt_native_arrays(pt):
     cached = getattr(pt, "_native_csr", None)
     if cached is not None:
         return cached
-    csr_start = np.ascontiguousarray(pt.csr_start, dtype=np.int64)
+    csr_start = np.ascontiguousarray(pt.csr_start, dtype=np.int32)
     csr_pos = np.ascontiguousarray(pt.csr_pos, dtype=np.uint32)
     pt._native_csr = (csr_start, csr_pos)
     return pt._native_csr
@@ -89,8 +89,12 @@ def native_hit_search(engine, start: int = 0, end: int = 0):
     bm_src = np.ascontiguousarray(bm[:, 0])
     bm_dst = np.ascontiguousarray(bm[:, 1])
     xors = np.ascontiguousarray(_probe_xors(seed), dtype=np.int64)
+    if len(xors) > 264:          # native probe buffer cap
+        return None
 
     pt = engine.pt
+    if len(pt.csr_pos) >= (1 << 31):     # int32 CSR slots
+        return None
     csr_start, csr_pos = _pt_native_arrays(pt)
     alive = pt.alive
     if alive is not None:
@@ -135,7 +139,8 @@ def native_hit_search(engine, start: int = 0, end: int = 0):
             bm_src.ctypes.data_as(p_i64),
             bm_dst.ctypes.data_as(p_i64), i64(len(bm)),
             xors.ctypes.data_as(p_i64), i64(len(xors)),
-            csr_start.ctypes.data_as(p_i64),
+            csr_start.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)),
             csr_pos.ctypes.data_as(p_u32),
             alive.ctypes.data_as(p_u8) if alive is not None
             else ctypes.cast(None, p_u8),
