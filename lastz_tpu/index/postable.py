@@ -86,6 +86,7 @@ class PositionTable:
         np.add.at(counts, new_words, 1)
         self.csr_start = np.concatenate([[0], np.cumsum(counts)])
         self.csr_pos = new_pos
+        self._native_csr = None  # invalidate the native-sweep cache
 
 
 def _window_words(codes: np.ndarray, length: int, bits_per: int) -> tuple[np.ndarray, np.ndarray]:

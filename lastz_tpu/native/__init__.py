@@ -152,6 +152,7 @@ def get_lib():
         p_i64, p_i64, i64,        # bm_src, bm_dst, n_bm
         p_i64, i64,               # xors, nx
         p_i32, p_u32,             # csr_start, csr_pos
+        p_u8,                     # word-nonempty bitmap
         p_u8,                     # alive (or None)
         i64, i64,                 # adj_start, step
         p_i64, p_i64, i64,        # de, da, seed_len

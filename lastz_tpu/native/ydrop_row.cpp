@@ -70,79 +70,70 @@ void ydrop_row(
     int64_t c = neg_inf;
     int64_t dp = shift;
     int64_t dq = 0;
-    uint8_t link = 0;
 
+    // Branch-minimized form of the reference's per-cell logic.  The
+    // naive transcription branches per cell on masked / can-improve /
+    // prune, all data-dependent on diverged sequence, and the
+    // mispredicts dominate the sweep.  Here every cell runs the same
+    // straight-line code with cmov-style selects.  Semantics are
+    // byte-identical (link bytes, prune restarts, LY advance, tie
+    // handling) — pinned by tests/test_ydrop_exact.py and the
+    // device-path goldens.
+    bool lead = true;            // still inside the leading prune run
     while (col < RY && col <= N) {
         int64_t d = DD[dp];
         bool masked = have_active && (MASK[dp] == row);
-        bool do_prune = false;
+        // next cell's diagonal restart value; independent of this
+        // cell, but must be read before CC[dq] is stored (dq can
+        // equal dp when shift is 0)
+        int64_t c_next = (col + 1 <= N)
+            ? CC[dp] + sub_row[B[b_origin + b_step * (col + 1)]]
+            : neg_inf;
 
-        if (masked) {
-            do_prune = true;
-        } else if (d > c || i_val > c) {
-            // we CAN improve C
-            if (d >= i_val) { c = d;     link = 2 | 4 | 8; }  // cFromD|iExt|dExt
-            else            { c = i_val; link = 1 | 4 | 8; }  // cFromI|iExt|dExt
-            if (c < best_score - y_drop) {
-                do_prune = true;
-            } else {
-                i_val -= gap_e;
-                DD[dq] = d - gap_e;
-            }
-        } else {
-            // we CANNOT improve C
-            if (c < best_score - y_drop) {
-                do_prune = true;
-            } else {
-                if (c >= best_score) {
-                    best_score = c; end1 = row; end2 = col;
-                    end_is_boundary = 0;
-                }
-                if (!trim_to_peak && c >= boundary_score
-                        && (row == M || col == N)) {
-                    boundary_score = c; end1 = row; end2 = col;
-                    end_is_boundary = 1;
-                }
-                int64_t c_open = c - gap_oe;
-                d -= gap_e;
-                if (c_open > d) { DD[dq] = c_open; link = 0; }
-                else            { DD[dq] = d;      link = 0 | 8; }
-                i_val -= gap_e;
-                if (c_open > i_val) i_val = c_open;
-                else                link |= 4;
-            }
+        int64_t g = d >= i_val ? d : i_val;      // best gap source
+        bool canC = (g > c);
+        int64_t c_eff = canC ? g : c;            // cell value if kept
+        bool pr = masked | (c_eff < best_score - y_drop);
+
+        // can-improve outputs
+        uint8_t link_c = d >= i_val ? (uint8_t)(2 | 4 | 8)
+                                    : (uint8_t)(1 | 4 | 8);
+        int64_t d2 = d - gap_e;
+        // no-improve outputs
+        int64_t c_open = c_eff - gap_oe;
+        int64_t dd_n = c_open > d2 ? c_open : d2;
+        uint8_t link_n = c_open > d2 ? (uint8_t)0 : (uint8_t)8;
+        int64_t i2 = i_val - gap_e;
+        int64_t iv_n = c_open > i2 ? c_open : i2;
+        link_n |= c_open > i2 ? (uint8_t)0 : (uint8_t)4;
+
+        // best / boundary bookkeeping (no-improve kept cells only)
+        bool bu = !canC & !pr & (c_eff >= best_score);
+        best_score = bu ? c_eff : best_score;
+        end1 = bu ? row : end1;
+        end2 = bu ? col : end2;
+        end_is_boundary = bu ? 0 : end_is_boundary;
+        if (__builtin_expect(!trim_to_peak && !canC && !pr
+                             && (row == M || col == N)
+                             && c_eff >= boundary_score, 0)) {
+            boundary_score = c_eff; end1 = row; end2 = col;
+            end_is_boundary = 1;
         }
 
-        if (do_prune) {
-            if (col + 1 <= N)
-                c = CC[dp] + sub_row[B[b_origin + b_step * (col + 1)]];
-            else
-                c = neg_inf;
-            if (col == LY) {
-                LY++;
-            } else {
-                i_val = neg_inf;
-                DD[dq] = neg_inf;
-                CC[dq] = neg_inf;
-                dq++;
-            }
-            dp++;
-            tb[tbp++] = 0;
-            col++;
-            continue;
-        }
+        int64_t dd_out = canC ? d2 : dd_n;
+        int64_t iv_out = canC ? i2 : iv_n;
+        uint8_t link = canC ? link_c : link_n;
 
-        np_col = col;
-        int64_t c_next;
-        if (col + 1 <= N)
-            c_next = CC[dp] + sub_row[B[b_origin + b_step * (col + 1)]];
-        else
-            c_next = neg_inf;
+        i_val = pr ? neg_inf : iv_out;
+        CC[dq] = pr ? neg_inf : c_eff;
+        DD[dq] = pr ? neg_inf : dd_out;
+        np_col = pr ? np_col : col;
+        tb[tbp++] = pr ? (uint8_t)0 : link;
+        lead = lead & pr;
+        LY += lead ? 1 : 0;
+        dq += lead ? 0 : 1;
         dp++;
-        CC[dq] = c;
-        dq++;
         c = c_next;
-        tb[tbp++] = link;
         col++;
     }
 
@@ -745,6 +736,7 @@ void hit_sweep(
     const int64_t* bm_src, const int64_t* bm_dst, int64_t n_bm,
     const int64_t* xors, int64_t nx,
     const int32_t* csr_start, const uint32_t* csr_pos,
+    const uint8_t* wbitmap,   // little-endian bit w: word w nonempty
     const uint8_t* alive,
     int64_t adj_start, int64_t step,
     int64_t* de, int64_t* da, int64_t seed_len,
@@ -786,14 +778,24 @@ void hit_sweep(
             base |= ((win >> bm_src[b]) & 1ULL) << bm_dst[b];
         // batched probes: csr_start is tens of MB (beyond LLC), so a
         // prefetch pass over all probe words overlaps the miss
-        // latencies ~nx-wide instead of paying them serially
+        // latencies ~nx-wide instead of paying them serially.  The
+        // nonempty-word bitmap (2 MB for a 24-bit table, cache
+        // resident) screens out the ~3/4 of probes that would miss
+        // an empty bucket before they ever touch the big table.
         uint32_t wv[MAX_PROBES];
         int32_t lov[MAX_PROBES], hiv[MAX_PROBES];
         for (int64_t xi = 0; xi < nx; ++xi) {
             wv[xi] = (uint32_t)base ^ (uint32_t)xors[xi];
-            __builtin_prefetch(&csr_start[wv[xi]], 0, 1);
+            __builtin_prefetch(&wbitmap[wv[xi] >> 3], 0, 1);
+        }
+        uint8_t occ[MAX_PROBES];
+        for (int64_t xi = 0; xi < nx; ++xi) {
+            occ[xi] = (wbitmap[wv[xi] >> 3] >> (wv[xi] & 7)) & 1;
+            if (occ[xi])
+                __builtin_prefetch(&csr_start[wv[xi]], 0, 1);
         }
         for (int64_t xi = 0; xi < nx; ++xi) {
+            if (!occ[xi]) { lov[xi] = hiv[xi] = 0; continue; }
             lov[xi] = csr_start[wv[xi]];
             hiv[xi] = csr_start[wv[xi] + 1];
             if (hiv[xi] > lov[xi])

@@ -8,7 +8,7 @@ This is the HOST replay path at reference-C speed: the production
 search runs on the accelerator (search/device_hits.py); the numpy
 batched path (search/batched.py) remains the oracle and handles the
 modes the native loop declines (twins, quantum, adaptive thresholds,
-double scores).  Word packing stays numpy (cheap, vectorized);
+double scores).  The query scan rolls its seed window in C as well;
 survivors come back with their query-position index so reports are
 dispatched in the exact scalar order with the scalar's search-limit
 granularity.
@@ -62,7 +62,11 @@ def _pt_native_arrays(pt):
         return cached
     csr_start = np.ascontiguousarray(pt.csr_start, dtype=np.int32)
     csr_pos = np.ascontiguousarray(pt.csr_pos, dtype=np.uint32)
-    pt._native_csr = (csr_start, csr_pos)
+    # nonempty-word bitmap: 1/8 byte per table word, so it stays
+    # cache-resident while csr_start (4 bytes/word) does not
+    bitmap = np.packbits(csr_start[1:] > csr_start[:-1],
+                         bitorder="little")
+    pt._native_csr = (csr_start, csr_pos, bitmap)
     return pt._native_csr
 
 
@@ -95,7 +99,7 @@ def native_hit_search(engine, start: int = 0, end: int = 0):
     pt = engine.pt
     if len(pt.csr_pos) >= (1 << 31):     # int32 CSR slots
         return None
-    csr_start, csr_pos = _pt_native_arrays(pt)
+    csr_start, csr_pos, wbitmap = _pt_native_arrays(pt)
     alive = pt.alive
     if alive is not None:
         alive = np.ascontiguousarray(alive, dtype=np.uint8)
@@ -142,6 +146,7 @@ def native_hit_search(engine, start: int = 0, end: int = 0):
             csr_start.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_int32)),
             csr_pos.ctypes.data_as(p_u32),
+            wbitmap.ctypes.data_as(p_u8),
             alive.ctypes.data_as(p_u8) if alive is not None
             else ctypes.cast(None, p_u8),
             i64(int(pt.adj_start)), i64(int(pt.step)),
