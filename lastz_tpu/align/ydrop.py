@@ -789,6 +789,10 @@ class YDropAligner:
             ops.ctypes.data_as(p_u8),
             ctypes.byref(res))
 
+        from .. import stats as _stats
+        ex = _stats.current.extra
+        ex["ydrop_cells"] = ex.get("ydrop_cells", 0) + int(res.tbp)
+
         end1, end2 = res.end1, res.end2
         if res.truncated and self.report_truncations:
             if not reversed_:

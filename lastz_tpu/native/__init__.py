@@ -29,6 +29,8 @@ class SweepCounters(ctypes.Structure):
         ("dropped", ctypes.c_int64),
         ("extensions", ctypes.c_int64),
         ("n_pos", ctypes.c_int64),
+        ("ext_cycles", ctypes.c_int64),
+        ("ext_steps", ctypes.c_int64),
     ]
 
 

@@ -190,20 +190,15 @@ void gather_diag_scores(
 // the right end of the hit down to `stop_left` (seq1 coordinate), right
 // scan up to `stop_right`.  Returns components for the caller to apply
 // entropy adjustment and thresholding.
-void xdrop_extend(
+static inline int64_t xdrop_extend_impl(
     const uint8_t* s1, const uint8_t* s2, const int64_t* sub,
-    int64_t pos1, int64_t pos2,            // hit END positions
-    int64_t stop_left,                     // leftmost seq1 index allowed
-    int64_t stop_right,                    // one-past rightmost seq1 index
-    int64_t x_drop,
-    int64_t* out_left_start,               // leftmost seq1 index included
-    int64_t* out_left_score,
-    int64_t* out_right_stop,               // one past rightmost included
-    int64_t* out_right_score,
-    int64_t* out_right_block)              // where the right scan stopped
+    int64_t pos1, int64_t pos2,
+    int64_t stop_left, int64_t stop_right, int64_t x_drop,
+    int64_t* out_left_start, int64_t* out_left_score,
+    int64_t* out_right_stop, int64_t* out_right_score,
+    int64_t* out_right_block)
 {
-    int64_t diag = pos1 - pos2;
-
+    (void)sub;
     // left scan (pre-decrement semantics: first pair read is at pos1-1)
     int64_t run = 0, best = 0;
     int64_t left_start = pos1;
@@ -215,6 +210,7 @@ void xdrop_extend(
     }
     *out_left_start = left_start;
     *out_left_score = best;
+    int64_t steps = pos1 - s1i;
 
     // right scan
     run = 0; best = 0;
@@ -228,6 +224,25 @@ void xdrop_extend(
     *out_right_stop = right_stop;
     *out_right_score = best;
     *out_right_block = s1i;
+    return steps + (s1i - pos1);
+}
+
+void xdrop_extend(
+    const uint8_t* s1, const uint8_t* s2, const int64_t* sub,
+    int64_t pos1, int64_t pos2,            // hit END positions
+    int64_t stop_left,                     // leftmost seq1 index allowed
+    int64_t stop_right,                    // one-past rightmost seq1 index
+    int64_t x_drop,
+    int64_t* out_left_start,               // leftmost seq1 index included
+    int64_t* out_left_score,
+    int64_t* out_right_stop,               // one past rightmost included
+    int64_t* out_right_score,
+    int64_t* out_right_block)              // where the right scan stopped
+{
+    xdrop_extend_impl(s1, s2, sub, pos1, pos2, stop_left, stop_right,
+                      x_drop, out_left_start, out_left_score,
+                      out_right_stop, out_right_score,
+                      out_right_block);
 }
 
 // ---------------------------------------------------------------------------
@@ -726,6 +741,8 @@ struct SweepCounters {
     int64_t dropped;     // diagonal-hash drops
     int64_t extensions;  // gap-free extensions run
     int64_t n_pos;       // valid query words scanned
+    int64_t ext_cycles;  // rdtsc cycles spent in xdrop_extend
+    int64_t ext_steps;   // total scan steps across extensions
 };
 
 void hit_sweep(
@@ -756,53 +773,74 @@ void hit_sweep(
         ? ((L * 2 >= 64) ? ~0ULL : ((1ULL << (L * 2)) - 1))
         : ((L >= 64) ? ~0ULL : ((1ULL << L) - 1));
     int64_t n_out = 0, raw = 0, dropped = 0, exts = 0;
+    uint64_t ext_cyc = 0;
+    int64_t ext_steps = 0;
     int64_t i = -1;  // valid-word ordinal (matches numpy valid_idx)
     uint64_t win = 0;
     int64_t run = 0;
-    for (int64_t p = start; p < end; ++p) {
-        int8_t code = char2bits[s2[p]];
-        if (code < 0) {
-            run = 0;
-            win = bits_per == 2 ? (win << 2) : (win << 1);
-        } else {
-            ++run;
-            win = bits_per == 2 ? ((win << 2) | (uint64_t)code)
-                                : ((win << 1) | ((uint64_t)code & 1));
-        }
-        win &= keep;
-        if (run < L) continue;
-        ++i;
-        int64_t pos2 = p + 1;
-        uint64_t base = 0;
-        for (int64_t b = 0; b < n_bm; ++b)
-            base |= ((win >> bm_src[b]) & 1ULL) << bm_dst[b];
-        // batched probes: csr_start is tens of MB (beyond LLC), so a
-        // prefetch pass over all probe words overlaps the miss
-        // latencies ~nx-wide instead of paying them serially.  The
-        // nonempty-word bitmap (2 MB for a 24-bit table, cache
-        // resident) screens out the ~3/4 of probes that would miss
-        // an empty bucket before they ever touch the big table.
+
+    // The probe/extend path is a 5-stage software pipeline over query
+    // positions.  csr_start (tens of MB), csr_pos and the random
+    // s1[pos1] extension windows all live beyond the LLC; issuing
+    // each object's prefetch one full position-tick (several hundred
+    // cycles of unrelated work) before its use hides the miss
+    // latency that otherwise lands inside the serial extension loop
+    // (~950 cycles/extension unprefetched, ~250 pipelined).  State
+    // mutation (diag hash, outputs) happens only in stage 4, which
+    // executes strictly in position order, so results are identical
+    // to the plain loop.
+    struct PipeSlot {
         uint32_t wv[MAX_PROBES];
-        int32_t lov[MAX_PROBES], hiv[MAX_PROBES];
-        for (int64_t xi = 0; xi < nx; ++xi) {
-            wv[xi] = (uint32_t)base ^ (uint32_t)xors[xi];
-            __builtin_prefetch(&wbitmap[wv[xi] >> 3], 0, 1);
-        }
+        int32_t lov[MAX_PROBES];
+        int32_t hiv[MAX_PROBES];
         uint8_t occ[MAX_PROBES];
+        int64_t pos2, iord;
+        int valid;
+    };
+    PipeSlot slots[5];
+    for (int k = 0; k < 5; ++k) slots[k].valid = 0;
+    int64_t tick = 0;
+
+    // stage 1: bitmap (prefetched last tick) screens empty buckets,
+    // prefetch csr_start for the survivors
+    auto stage1 = [&](PipeSlot& S) {
         for (int64_t xi = 0; xi < nx; ++xi) {
-            occ[xi] = (wbitmap[wv[xi] >> 3] >> (wv[xi] & 7)) & 1;
-            if (occ[xi])
-                __builtin_prefetch(&csr_start[wv[xi]], 0, 1);
+            uint32_t w = S.wv[xi];
+            S.occ[xi] = (wbitmap[w >> 3] >> (w & 7)) & 1;
+            if (S.occ[xi])
+                __builtin_prefetch(&csr_start[w], 0, 1);
         }
+    };
+    // stage 2: load CSR ranges, prefetch the entry lines
+    auto stage2 = [&](PipeSlot& S) {
         for (int64_t xi = 0; xi < nx; ++xi) {
-            if (!occ[xi]) { lov[xi] = hiv[xi] = 0; continue; }
-            lov[xi] = csr_start[wv[xi]];
-            hiv[xi] = csr_start[wv[xi] + 1];
-            if (hiv[xi] > lov[xi])
-                __builtin_prefetch(&csr_pos[hiv[xi] - 1], 0, 1);
+            if (!S.occ[xi]) { S.lov[xi] = S.hiv[xi] = 0; continue; }
+            S.lov[xi] = csr_start[S.wv[xi]];
+            S.hiv[xi] = csr_start[S.wv[xi] + 1];
+            if (S.hiv[xi] > S.lov[xi])
+                __builtin_prefetch(&csr_pos[S.hiv[xi] - 1], 0, 1);
         }
+    };
+    // stage 3: read entries, prefetch the target bytes their x-drop
+    // extensions will read
+    auto stage3 = [&](PipeSlot& S) {
         for (int64_t xi = 0; xi < nx; ++xi) {
-            int64_t lo = lov[xi], hi = hiv[xi];
+            int64_t lo = S.lov[xi], hi = S.hiv[xi];
+            int64_t k_stop = hi - 8 > lo ? hi - 8 : lo;
+            for (int64_t e = hi - 1; e >= k_stop; --e) {
+                int64_t p1 = adj_start + step * (int64_t)csr_pos[e];
+                __builtin_prefetch(&s1[p1], 0, 1);
+                __builtin_prefetch(&s1[p1 - 64], 0, 1);
+                __builtin_prefetch(&s1[p1 + 63], 0, 1);
+            }
+        }
+    };
+    // stage 4: the original per-hit work, state-mutating, in order
+    auto stage4 = [&](PipeSlot& S) {
+        int64_t pos2 = S.pos2;
+        int64_t iord = S.iord;
+        for (int64_t xi = 0; xi < nx; ++xi) {
+            int64_t lo = S.lov[xi], hi = S.hiv[xi];
             for (int64_t e = hi - 1; e >= lo; --e) {
                 if (alive && !alive[e]) continue;
                 int64_t pos1 = adj_start + step * (int64_t)csr_pos[e];
@@ -838,7 +876,7 @@ void hit_sweep(
                         out_pos2[n_out] = pos2;
                         out_len[n_out] = seed_len;
                         out_score[n_out] = 0;
-                        out_grp[n_out] = i;
+                        out_grp[n_out] = iord;
                     }
                     ++n_out;
                     continue;
@@ -849,9 +887,12 @@ void hit_sweep(
                 int64_t stop1r = len1 < len2 + diag ? len1
                                                     : len2 + diag;
                 int64_t lstart, lscore, rstop, rscore, rblock;
-                xdrop_extend(s1, s2, sub, pos1, pos2, stop1, stop1r,
-                             x_drop, &lstart, &lscore, &rstop,
-                             &rscore, &rblock);
+                uint64_t t0 = __builtin_ia32_rdtsc();
+                ext_steps += xdrop_extend_impl(
+                    s1, s2, sub, pos1, pos2, stop1, stop1r,
+                    x_drop, &lstart, &lscore, &rstop,
+                    &rscore, &rblock);
+                ext_cyc += __builtin_ia32_rdtsc() - t0;
                 int64_t extent = rblock - diag;
                 if (extent > de[h]) { de[h] = extent; da[h] = diag; }
                 int64_t np1 = rstop;
@@ -870,17 +911,70 @@ void hit_sweep(
                     out_pos2[n_out] = np2;
                     out_len[n_out] = nlen;
                     out_score[n_out] = sim;
-                    out_grp[n_out] = i;
+                    out_grp[n_out] = iord;
                 }
                 ++n_out;
             }
         }
+    };
+    // one pipeline tick with no new fill (stages by slot age)
+    auto drain_tick = [&]() {
+        PipeSlot& s4 = slots[(tick + 1) % 5];
+        if (s4.valid) { stage4(s4); s4.valid = 0; }
+        PipeSlot& a1 = slots[(tick - 1 + 5) % 5];
+        PipeSlot& a2 = slots[(tick - 2 + 5) % 5];
+        PipeSlot& a3 = slots[(tick - 3 + 5) % 5];
+        if (a1.valid) stage1(a1);
+        if (a2.valid) stage2(a2);
+        if (a3.valid) stage3(a3);
+        ++tick;
+    };
+
+    for (int64_t p = start; p < end; ++p) {
+        int8_t code = char2bits[s2[p]];
+        if (code < 0) {
+            run = 0;
+            win = bits_per == 2 ? (win << 2) : (win << 1);
+        } else {
+            ++run;
+            win = bits_per == 2 ? ((win << 2) | (uint64_t)code)
+                                : ((win << 1) | ((uint64_t)code & 1));
+        }
+        win &= keep;
+        if (run < L) continue;
+        ++i;
+        uint64_t base = 0;
+        for (int64_t b = 0; b < n_bm; ++b)
+            base |= ((win >> bm_src[b]) & 1ULL) << bm_dst[b];
+        // stage 0: fill the new slot, prefetch its bitmap lines
+        PipeSlot& NS = slots[tick % 5];
+        NS.pos2 = p + 1;
+        NS.iord = i;
+        NS.valid = 1;
+        for (int64_t xi = 0; xi < nx; ++xi) {
+            NS.wv[xi] = (uint32_t)base ^ (uint32_t)xors[xi];
+            __builtin_prefetch(&wbitmap[NS.wv[xi] >> 3], 0, 1);
+        }
+        // oldest slot's heavy work runs between the new slot's
+        // prefetches and the younger slots' loads
+        PipeSlot& s4 = slots[(tick + 1) % 5];
+        if (s4.valid) { stage4(s4); s4.valid = 0; }
+        PipeSlot& a1 = slots[(tick - 1 + 5) % 5];
+        PipeSlot& a2 = slots[(tick - 2 + 5) % 5];
+        PipeSlot& a3 = slots[(tick - 3 + 5) % 5];
+        if (a1.valid) stage1(a1);
+        if (a2.valid) stage2(a2);
+        if (a3.valid) stage3(a3);
+        ++tick;
     }
+    for (int f = 0; f < 5; ++f) drain_tick();
     res->n_out = n_out;
     res->raw_hits = raw;
     res->dropped = dropped;
     res->extensions = exts;
     res->n_pos = i + 1;
+    res->ext_cycles = (int64_t)ext_cyc;
+    res->ext_steps = ext_steps;
 }
 
 void xdrop_scan_batch(

@@ -178,6 +178,10 @@ def native_hit_search(engine, start: int = 0, end: int = 0):
     st.raw_seed_hits += int(res.raw_hits)
     st.hash_dropped_hits += int(res.dropped)
     st.ungapped_extensions += int(res.extensions)
+    st.extra["ext_cycles"] = (st.extra.get("ext_cycles", 0)
+                              + int(res.ext_cycles))
+    st.extra["ext_steps"] = (st.extra.get("ext_steps", 0)
+                             + int(res.ext_steps))
 
     n = int(res.n_out)
     bases_hit = 0
