@@ -283,7 +283,11 @@ class YDropAligner:
         # whole-extension native sweep (no per-row FFI / bookkeeping);
         # LASTZ_TPU_NO_SWEEP=1 falls back to the per-row path so tests
         # can compare the two.
-        if native is not None and not _sweep_disabled():
+        # (the sweep's cell values are int32, per the reference's s32
+        # score contract; absurdly long extensions could overflow, so
+        # they take the int64 per-row path instead)
+        if native is not None and not _sweep_disabled() \
+                and (M + N) < (1 << 24):
             lib, _ = native
             if hasattr(lib, "ydrop_sweep"):
                 return self._one_sided_native(

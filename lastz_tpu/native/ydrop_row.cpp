@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <cstdio>
 
 extern "C" {
 
@@ -245,6 +246,228 @@ void xdrop_extend(
                       out_right_block);
 }
 
+// Narrow-state row step used by ydrop_sweep: int32 cell values and
+// row stamps (scores are s32 by the same contract as the reference's
+// `score` type), and the substitution scores for the row's span are
+// pre-gathered into S so the cell loop carries no dependent
+// byte->table load chain.  Semantically identical to ydrop_row —
+// the int32 sentinel is deep enough (INT32_MIN/2) that every
+// comparison orders the same way as the int64 path.
+struct RowResult32 {
+    int64_t LY, np_col;
+    int32_t i_val, best_score;
+    int64_t end1, end2;
+    int64_t end_is_boundary;
+    int32_t boundary_score;
+    int64_t dq, tbp;
+};
+
+// the tight main loop, specialized on whether active-segment masking
+// is live this row.  Kept cells set bit 4 (value 16) in their tb
+// byte — ignored by the traceback walker, it lets np_col be
+// recovered by a back-scan instead of a per-cell select.
+static inline void row32_main(
+    const int32_t* CCr,              // prev-row C at col   (index j)
+    const int32_t* DDr,              // prev-row D at col   (index j)
+    const int32_t* __restrict MKr,   // mask stamps at col  (index j)
+    int32_t* CCw, int32_t* DDw,      // (alias CCr/DDr ranges, trailing)
+    uint8_t* __restrict tbb,         // tb bytes at col     (index j)
+    const int32_t* __restrict Sx,    // sub score at col+1  (index j)
+    int64_t nB, int32_t row32, bool HAS_MASK,
+    int32_t gap_e, int32_t gap_oe, int32_t y_drop, int32_t neg_inf,
+    int32_t& c_io, int32_t& i_io, int32_t& best_io, int32_t& ycut_io,
+    uint64_t& endrc_io,
+    int64_t col0)
+{
+    int32_t c = c_io, i_val = i_io;
+    int32_t best_score = best_io, yd_cut = ycut_io;
+    uint64_t end_rc = endrc_io;
+    const uint64_t row_hi = (uint64_t)(uint32_t)row32 << 32;
+    for (int64_t j = 0; j < nB; ++j) {
+        int32_t d = DDr[j];
+        int32_t c_next = CCr[j] + Sx[j];
+        bool masked = HAS_MASK && (MKr[j] == row32);
+
+        int32_t g = d >= i_val ? d : i_val;
+        bool canC = (g > c);
+        int32_t c_eff = canC ? g : c;
+        bool pr = masked | (c_eff < yd_cut);
+
+        uint8_t link_c = d >= i_val ? (uint8_t)(16 | 2 | 4 | 8)
+                                    : (uint8_t)(16 | 1 | 4 | 8);
+        int32_t d2 = d - gap_e;
+        int32_t c_open = c_eff - gap_oe;
+        int32_t dd_n = c_open > d2 ? c_open : d2;
+        uint8_t link_n = c_open > d2 ? (uint8_t)16 : (uint8_t)(16 | 8);
+        int32_t i2 = i_val - gap_e;
+        int32_t iv_n = c_open > i2 ? c_open : i2;
+        link_n |= c_open > i2 ? (uint8_t)0 : (uint8_t)4;
+
+        bool bu = !canC & !pr & (c_eff >= best_score);
+        best_score = bu ? c_eff : best_score;
+        yd_cut = bu ? c_eff - y_drop : yd_cut;
+        uint64_t rc = row_hi | (uint64_t)(uint32_t)(int32_t)(col0 + j);
+        end_rc = bu ? rc : end_rc;
+        // boundary cells cannot occur here: the caller routes the
+        // column-N cell and whole M-rows through the generic loop
+
+        int32_t dd_out = canC ? d2 : dd_n;
+        int32_t iv_out = canC ? i2 : iv_n;
+        uint8_t link = canC ? link_c : link_n;
+
+        i_val = pr ? neg_inf : iv_out;
+        CCw[j] = pr ? neg_inf : c_eff;
+        DDw[j] = pr ? neg_inf : dd_out;
+        tbb[j] = pr ? (uint8_t)0 : link;
+        c = c_next;
+    }
+    c_io = c; i_io = i_val; best_io = best_score; ycut_io = yd_cut;
+    endrc_io = end_rc;
+}
+
+__attribute__((noinline))
+static void ydrop_row32(
+    int32_t* __restrict CC, int32_t* __restrict DD,
+    const int32_t* __restrict MASK,
+    uint8_t* __restrict tb,
+    const int32_t* __restrict S,          // S[k]: sub score at col LY+k
+    int64_t row, int64_t M, int64_t N,
+    int64_t LY, int64_t RY, int64_t prev_LY,
+    int32_t gap_e, int32_t gap_oe, int32_t y_drop, int32_t neg_inf,
+    int32_t best_score, int64_t end1, int64_t end2,
+    int64_t end_is_boundary, int32_t boundary_score,
+    int64_t trim_to_peak, int64_t have_active,
+    int64_t tbp,
+    RowResult32* out)
+{
+    const int64_t LY0 = LY;
+    int64_t col = LY;
+    int64_t np_col = col;
+    int32_t i_val = neg_inf;
+    int32_t c = neg_inf;
+    const int32_t row32 = (int32_t)row;
+    int32_t yd_cut = best_score - y_drop;
+    uint64_t end_rc = ((uint64_t)end_is_boundary << 63)
+                      | ((uint64_t)(uint32_t)end1 << 32)
+                      | (uint64_t)(uint32_t)end2;
+    const int64_t last_col = (RY - 1 < N) ? RY - 1 : N;
+    uint8_t* tbw = tb + tbp;
+
+    // -- phase A: the leading prune run (advances LY; writes nothing
+    // to the cell arrays)
+    while (col <= last_col) {
+        int32_t d = DD[col - prev_LY];
+        bool masked = have_active && (MASK[col - prev_LY] == row32);
+        int32_t g = d >= i_val ? d : i_val;
+        int32_t c_eff = g > c ? g : c;
+        if (!masked && c_eff >= yd_cut) break;    // first kept cell
+        c = (col < N) ? CC[col - prev_LY] + S[col + 1 - LY0]
+                      : neg_inf;
+        *tbw++ = 0;
+        ++col;
+        ++LY;
+    }
+
+    // -- phase B: tight main loop; the final cell is handled
+    // separately when it sits on column N (boundary semantics and
+    // the c_next guard differ there)
+    int64_t mainB_end = (last_col == N) ? last_col - 1 : last_col;
+    int64_t nB = mainB_end - col + 1;
+    const bool row_bdry = !trim_to_peak && row == M;
+    if (nB > 0 && !row_bdry) {
+        int64_t off_r = col - prev_LY;
+        int64_t off_w = col - LY;
+        if (have_active)
+            row32_main(
+                CC + off_r, DD + off_r, MASK + off_r,
+                CC + off_w, DD + off_w, tbw,
+                S + col + 1 - LY0, nB, row32, true,
+                gap_e, gap_oe, y_drop, neg_inf,
+                c, i_val, best_score, yd_cut, end_rc,
+                col);
+        else
+            row32_main(
+                CC + off_r, DD + off_r, MASK + off_r,
+                CC + off_w, DD + off_w, tbw,
+                S + col + 1 - LY0, nB, row32, false,
+                gap_e, gap_oe, y_drop, neg_inf,
+                c, i_val, best_score, yd_cut, end_rc,
+                col);
+        tbw += nB;
+        col += nB;
+    }
+
+    // -- phase C: generic per-cell loop for whatever remains (the
+    // column-N cell, or every kept cell of a boundary row)
+    for (; col <= last_col; ++col) {
+        int32_t d = DD[col - prev_LY];
+        bool masked = have_active && (MASK[col - prev_LY] == row32);
+        int32_t c_next = (col < N)
+            ? CC[col - prev_LY] + S[col + 1 - LY0]
+            : neg_inf;
+
+        int32_t g = d >= i_val ? d : i_val;
+        bool canC = (g > c);
+        int32_t c_eff = canC ? g : c;
+        bool pr = masked | (c_eff < yd_cut);
+
+        uint8_t link_c = d >= i_val ? (uint8_t)(16 | 2 | 4 | 8)
+                                    : (uint8_t)(16 | 1 | 4 | 8);
+        int32_t d2 = d - gap_e;
+        int32_t c_open = c_eff - gap_oe;
+        int32_t dd_n = c_open > d2 ? c_open : d2;
+        uint8_t link_n = c_open > d2 ? (uint8_t)16 : (uint8_t)(16 | 8);
+        int32_t i2 = i_val - gap_e;
+        int32_t iv_n = c_open > i2 ? c_open : i2;
+        link_n |= c_open > i2 ? (uint8_t)0 : (uint8_t)4;
+
+        bool bu = !canC & !pr & (c_eff >= best_score);
+        best_score = bu ? c_eff : best_score;
+        yd_cut = bu ? c_eff - y_drop : yd_cut;
+        uint64_t rc = ((uint64_t)(uint32_t)row32 << 32)
+                      | (uint64_t)(uint32_t)(int32_t)col;
+        end_rc = bu ? rc : end_rc;
+        if (__builtin_expect(!trim_to_peak && !canC && !pr
+                             && (row == M || col == N)
+                             && c_eff >= boundary_score, 0)) {
+            boundary_score = c_eff;
+            end_rc = rc | (1ULL << 63);
+        }
+
+        int32_t dd_out = canC ? d2 : dd_n;
+        int32_t iv_out = canC ? i2 : iv_n;
+        uint8_t link = canC ? link_c : link_n;
+
+        i_val = pr ? neg_inf : iv_out;
+        CC[col - LY] = pr ? neg_inf : c_eff;
+        DD[col - LY] = pr ? neg_inf : dd_out;
+        tbw[0] = pr ? (uint8_t)0 : link;
+        ++tbw;
+        c = c_next;
+    }
+
+    // np_col = rightmost kept cell (bit 4 marks kept tb bytes);
+    // if nothing was kept it stays at the row's entry column
+    {
+        uint8_t* tb0 = tb + tbp;        // includes phase-A zeros
+        int64_t cells = tbw - tb0;
+        int64_t k = cells - 1;
+        while (k >= 0 && !(tb0[k] & 16)) --k;
+        np_col = (k >= 0) ? LY0 + k : LY0;
+    }
+
+    out->LY = LY;
+    out->np_col = np_col;
+    out->i_val = i_val;
+    out->best_score = best_score;
+    out->end1 = (int64_t)((end_rc >> 32) & 0x7fffffffULL);
+    out->end2 = (int64_t)(uint32_t)end_rc;
+    out->end_is_boundary = (int64_t)(end_rc >> 63);
+    out->boundary_score = boundary_score;
+    out->dq = (col - LY > 0) ? col - LY : 0;
+    out->tbp = tbw - tb;
+}
+
 // ---------------------------------------------------------------------------
 // Whole-extension sweep: the entire ydrop_one_sided_align row loop
 // (gapped_extend.c:3388-3860) in one native call, including L/R bound
@@ -281,7 +504,7 @@ struct ActState {
 };
 
 static inline void build_active(
-    ActState& a, const int64_t* segs, int64_t* MASK,
+    ActState& a, const int64_t* segs, int32_t* MASK,
     int64_t prev_LY, int64_t row, int64_t LY, int64_t RY)
 {
     const int64_t* s = segs + 4 * a.cur;
@@ -290,13 +513,13 @@ static inline void build_active(
     a.last_row = s[2];
     if (a.type != 1) {
         if (LY <= a.x && a.x <= RY)
-            MASK[a.x - prev_LY] = row;
+            MASK[a.x - prev_LY] = (int32_t)row;
     } else {
         int64_t horz_end = s[3];
         int64_t i_min = LY > a.x ? LY : a.x;
         int64_t i_max = RY < horz_end ? RY : horz_end;
         for (int64_t i = i_min; i <= i_max; i++)
-            MASK[i - prev_LY] = row;
+            MASK[i - prev_LY] = (int32_t)row;
     }
 }
 
@@ -316,22 +539,35 @@ void ydrop_sweep(
     uint8_t* ops_out,
     SweepResult* out)
 {
-    // scratch (per-call; sized to the band, grown as needed)
-    static thread_local int64_t* CC = nullptr;
-    static thread_local int64_t* DD = nullptr;
-    static thread_local int64_t* MASK = nullptr;
+    // scratch (per-call; sized to the band, grown as needed).  Cell
+    // values and row stamps are int32 (the reference's s32 `score`
+    // contract; the Python caller routes absurdly long extensions to
+    // the per-row int64 path), halving the loop's memory traffic.
+    static thread_local int32_t* CC = nullptr;
+    static thread_local int32_t* DD = nullptr;
+    static thread_local int32_t* MASK = nullptr;
+    static thread_local int32_t* SROW = nullptr;
     static thread_local int64_t cells_cap = 0;
     static thread_local int64_t* tb_row = nullptr;
     static thread_local int64_t tb_row_cap = 0;
     static thread_local ActState* active = nullptr;
     static thread_local int64_t active_cap = 0;
 
+    // deep sentinel: every comparison orders the same way as the
+    // caller's int64 neg_inf, and bounded per-row drift (<= band *
+    // gap_e) cannot bring it near real cell values
+    const int32_t NEG32 = INT32_MIN / 2;
+    const int32_t ge32 = (int32_t)gap_e;
+    const int32_t goe32 = (int32_t)gap_oe;
+    const int32_t yd32 = (int32_t)y_drop;
+
     int64_t need0 = y_drop_tail + 1024;
     if (need0 > cells_cap) {
         int64_t nc = need0 * 2;
-        CC = (int64_t*)realloc(CC, nc * 8);
-        DD = (int64_t*)realloc(DD, nc * 8);
-        MASK = (int64_t*)realloc(MASK, nc * 8);
+        CC = (int32_t*)realloc(CC, nc * 4);
+        DD = (int32_t*)realloc(DD, nc * 4);
+        MASK = (int32_t*)realloc(MASK, nc * 4);
+        SROW = (int32_t*)realloc(SROW, (nc + 2) * 4);
         cells_cap = nc;
     }
     if (M + 2 > tb_row_cap) {
@@ -350,23 +586,24 @@ void ydrop_sweep(
     int64_t tbp = 0;
     tb[tbp++] = 0;
     CC[0] = 0;
-    DD[0] = -gap_oe;
-    int64_t c = -gap_oe;
-    int64_t c_temp = 0;
+    DD[0] = -goe32;
+    int32_t c = -goe32;
+    int32_t c_temp = 0;
     int64_t dq = 1;
     int64_t col = 1;
-    while (col <= N && c_temp >= -y_drop) {
+    while (col <= N && c_temp >= -yd32) {
         if (dq + 2 > cells_cap) {
             int64_t nc = cells_cap * 2;
-            CC = (int64_t*)realloc(CC, nc * 8);
-            DD = (int64_t*)realloc(DD, nc * 8);
-            MASK = (int64_t*)realloc(MASK, nc * 8);
+            CC = (int32_t*)realloc(CC, nc * 4);
+            DD = (int32_t*)realloc(DD, nc * 4);
+            MASK = (int32_t*)realloc(MASK, nc * 4);
+            SROW = (int32_t*)realloc(SROW, (nc + 2) * 4);
             cells_cap = nc;
         }
         CC[dq] = c_temp = c;
-        DD[dq] = c - gap_oe;
+        DD[dq] = c - goe32;
         dq++;
-        c -= gap_e;
+        c -= ge32;
         tb[tbp++] = 1;                    // C_FROM_I
         col++;
     }
@@ -379,8 +616,8 @@ void ydrop_sweep(
     int64_t LY = 0;
     int64_t RY = col;                     // one beyond feasible
     int64_t end1 = 0, end2 = 0;
-    int64_t best_score = 0;
-    int64_t boundary_score = neg_inf;
+    int32_t best_score = 0;
+    int32_t boundary_score = NEG32;
     int64_t end_is_boundary = 0;
     int64_t truncated = 0;
 
@@ -412,9 +649,10 @@ void ydrop_sweep(
             int64_t need = (RY - prev_LY) + y_drop_tail + 2 + (LY - prev_LY) + 2;
             if (need > cells_cap) {
                 int64_t nc = need * 2;
-                CC = (int64_t*)realloc(CC, nc * 8);
-                DD = (int64_t*)realloc(DD, nc * 8);
-                MASK = (int64_t*)realloc(MASK, nc * 8);
+                CC = (int32_t*)realloc(CC, nc * 4);
+                DD = (int32_t*)realloc(DD, nc * 4);
+                MASK = (int32_t*)realloc(MASK, nc * 4);
+                SROW = (int32_t*)realloc(SROW, (nc + 2) * 4);
                 for (int64_t i = cells_cap; i < nc; i++) MASK[i] = -1;
                 cells_cap = nc;
             }
@@ -426,7 +664,7 @@ void ydrop_sweep(
             if (a.last_row >= row) {
                 if (a.type == 0) a.x++;
                 if (LY <= a.x && a.x <= RY)
-                    MASK[a.x - prev_LY] = row;
+                    MASK[a.x - prev_LY] = (int32_t)row;
             } else {
                 if (a.cur + 1 < a.end) {
                     a.cur++;
@@ -477,19 +715,38 @@ void ydrop_sweep(
         }
         tb_row[row] = tbp - LY;
 
-        // -- the row itself
-        RowResult res;
+        // -- the row itself: pre-gather the row's substitution scores
+        // (simple independent loads, so the cell loop carries no
+        // dependent byte->table chain), then the int32 row step
         const uint8_t a_char = v1[a_origin + a_step * row];
-        ydrop_row(CC, DD, MASK, tb, sub + 256 * (int64_t)a_char,
-                  v2, b_origin, b_step,
-                  row, M, N, LY, RY, prev_LY,
-                  gap_e, gap_oe, y_drop, neg_inf,
-                  best_score, end1, end2,
-                  end_is_boundary, boundary_score,
-                  trim_to_peak, n_active > 0, tbp, &res);
+        {
+            const int64_t* srow = sub + 256 * (int64_t)a_char;
+            int64_t s_last = (RY < N ? RY : N);
+            for (int64_t j = LY; j <= s_last; ++j)
+                SROW[j - LY] = (int32_t)srow[
+                    v2[b_origin + b_step * j]];
+        }
+        RowResult32 res;
+        ydrop_row32(CC, DD, MASK, tb, SROW,
+                    row, M, N, LY, RY, prev_LY,
+                    ge32, goe32, yd32, NEG32,
+                    best_score, end1, end2,
+                    end_is_boundary, boundary_score,
+                    trim_to_peak, n_active > 0, tbp, &res);
+#ifdef YDROP_DEBUG
+        if (row <= 4)
+            fprintf(stderr,
+                "row=%lld LY=%lld->%lld RY=%lld np=%lld best=%d "
+                "ival=%d dq=%lld tbp=%lld->%lld\n",
+                (long long)row, (long long)prev_LY, (long long)res.LY,
+                (long long)RY, (long long)res.np_col,
+                (int)res.best_score, (int)res.i_val,
+                (long long)res.dq, (long long)tbp,
+                (long long)res.tbp);
+#endif
         LY = res.LY;
         int64_t np_col = res.np_col;
-        int64_t i_val = res.i_val;
+        int32_t i_val = res.i_val;
         best_score = res.best_score;
         end1 = res.end1; end2 = res.end2;
         end_is_boundary = res.end_is_boundary;
@@ -503,20 +760,21 @@ void ydrop_sweep(
         if (RY > np_col + 1) {
             RY = np_col + 1;
         } else {
-            while (i_val >= best_score - y_drop && RY <= NN) {
+            while (i_val >= best_score - yd32 && RY <= NN) {
                 if (dq + 2 > cells_cap) {
                     int64_t nc = cells_cap * 2;
-                    CC = (int64_t*)realloc(CC, nc * 8);
-                    DD = (int64_t*)realloc(DD, nc * 8);
-                    MASK = (int64_t*)realloc(MASK, nc * 8);
+                    CC = (int32_t*)realloc(CC, nc * 4);
+                    DD = (int32_t*)realloc(DD, nc * 4);
+                    MASK = (int32_t*)realloc(MASK, nc * 4);
+                    SROW = (int32_t*)realloc(SROW, (nc + 2) * 4);
                     for (int64_t i = cells_cap; i < nc; i++) MASK[i] = -1;
                     cells_cap = nc;
                 }
                 if (tbp + 1 >= tb_cap) { truncated = 1; break; }
                 CC[dq] = i_val;
-                DD[dq] = i_val - gap_oe;
+                DD[dq] = i_val - goe32;
                 dq++;
-                i_val -= gap_e;
+                i_val -= ge32;
                 tb[tbp++] = 1;            // C_FROM_I
                 RY++;
             }
@@ -525,14 +783,15 @@ void ydrop_sweep(
         if (RY <= NN) {
             if (dq + 2 > cells_cap) {
                 int64_t nc = cells_cap * 2;
-                CC = (int64_t*)realloc(CC, nc * 8);
-                DD = (int64_t*)realloc(DD, nc * 8);
-                MASK = (int64_t*)realloc(MASK, nc * 8);
+                CC = (int32_t*)realloc(CC, nc * 4);
+                DD = (int32_t*)realloc(DD, nc * 4);
+                MASK = (int32_t*)realloc(MASK, nc * 4);
+                SROW = (int32_t*)realloc(SROW, (nc + 2) * 4);
                 for (int64_t i = cells_cap; i < nc; i++) MASK[i] = -1;
                 cells_cap = nc;
             }
-            DD[dq] = neg_inf;
-            CC[dq] = neg_inf;
+            DD[dq] = NEG32;
+            CC[dq] = NEG32;
             RY++;
         }
         row++;
