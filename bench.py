@@ -112,46 +112,100 @@ def run_reference(binpath) -> float:
     return time.time() - t0
 
 
-def _device_responsive(timeout_s=120.0) -> bool:
-    """Preflight: a tiny op must complete within timeout_s.  A remote
-    accelerator tunnel can be attached yet unresponsive; running the
-    bench through it would hang for hours before the per-stage
-    fallbacks fire."""
+_PLATFORM = None
+
+
+def probe_platform(timeout_s=120.0) -> str:
+    """'tpu' when a responsive non-cpu jax backend is attached, else
+    'cpu'.  Runs ENTIRELY in a daemon thread: with a dead accelerator
+    tunnel even jax.devices() hangs indefinitely, which would hang
+    the whole bench."""
+    global _PLATFORM
+    if _PLATFORM is not None:
+        return _PLATFORM
     import threading
-    ok = []
+    out = []
 
     def probe():
         try:
             import jax
             import jax.numpy as jnp
             if jax.devices()[0].platform == "cpu":
+                out.append("cpu")
                 return
             x = jnp.ones((128, 128))
             (x @ x).block_until_ready()
-            ok.append(True)
+            out.append("tpu")
         except Exception:
-            pass
+            out.append("cpu")
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
-    return bool(ok)
+    _PLATFORM = out[0] if out else "cpu"
+    if _PLATFORM == "cpu":
+        # keep any later (accidental) jax use away from the tunnel
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    return _PLATFORM
+
+
+def host_native_kernel_rate() -> float:
+    """Exact-kernel cells/s of the native host row sweep (the same
+    inner loop, CPU) — reported, clearly labeled, when no responsive
+    accelerator is attached at bench time."""
+    import ctypes
+    from lastz_tpu.native import get_lib, SweepResult
+    from lastz_tpu.core.scoring import new_dna_score_set
+    lib = get_lib()
+    if lib is None:
+        return 0.0
+    rng = np.random.default_rng(0)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n = 200001
+    s1 = alpha[rng.integers(0, 4, n)]
+    s2 = s1.copy()
+    mut = rng.random(n) < 0.10
+    s2[mut] = alpha[rng.integers(0, 4, mut.sum())]
+    sc = new_dna_score_set()
+    sub = np.ascontiguousarray(sc.sub, np.int64)
+    tb = np.empty(200 * 1024 * 1024, np.uint8)
+    ops = np.empty(2 * n + 8, np.uint8)
+    z = np.zeros(4, np.int64)
+    i64 = ctypes.c_int64
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    res = SweepResult()
+    best = 0.0
+    for trial in range(3):
+        t0 = time.time()
+        lib.ydrop_sweep(
+            s1.ctypes.data_as(p_u8), s2.ctypes.data_as(p_u8),
+            sub.ctypes.data_as(p_i64),
+            i64(0), i64(1), i64(0), i64(1),
+            i64(n - 2), i64(n - 2),
+            i64(int(sc.gap_extend)),
+            i64(int(sc.gap_open + sc.gap_extend)),
+            i64(9400), i64(9400 // int(sc.gap_extend) + 6),
+            i64(-(1 << 40)), i64(1),
+            z.ctypes.data_as(p_i64), i64(0),
+            z.ctypes.data_as(p_i64), i64(0),
+            z.ctypes.data_as(p_i64), z.ctypes.data_as(p_i64),
+            z.ctypes.data_as(p_i64), i64(0), z.ctypes.data_as(p_i64),
+            tb.ctypes.data_as(p_u8), i64(len(tb)),
+            ops.ctypes.data_as(p_u8), ctypes.byref(res))
+        rate = res.tbp / (time.time() - t0)
+        best = max(best, rate)
+    return best
 
 
 def run_ours():
     # device path on whenever a real accelerator is attached AND alive
-    try:
-        import jax
-        if jax.devices()[0].platform != "cpu":
-            if _device_responsive():
-                os.environ.setdefault("LASTZ_TPU_DEVICE", "1")
-            else:
-                sys.stderr.write(
-                    "bench: accelerator attached but unresponsive; "
-                    "running the host path\n")
-                os.environ["LASTZ_TPU_DEVICE"] = "0"
-    except Exception:
-        pass
+    if probe_platform() == "tpu":
+        os.environ.setdefault("LASTZ_TPU_DEVICE", "1")
+    else:
+        sys.stderr.write(
+            "bench: no responsive accelerator; running the host path\n")
+        os.environ["LASTZ_TPU_DEVICE"] = "0"
     from lastz_tpu.cli import parse_options
     from lastz_tpu.pipeline import Pipeline
     from lastz_tpu import stats as _stats
@@ -335,11 +389,17 @@ def main():
     ref_t = run_reference(binpath)
     ours_t, detail = run_ours()
     speedup = ref_t / ours_t
-    try:
-        kernel_rate = exact_kernel_rate()
-    except Exception as e:
-        sys.stderr.write(f"kernel bench failed: {e}\n")
-        kernel_rate = 0.0
+    if probe_platform() == "tpu":
+        try:
+            kernel_rate = exact_kernel_rate()
+            detail["exact_kernel_backend"] = "tpu"
+        except Exception as e:
+            sys.stderr.write(f"device kernel bench failed: {e}\n")
+            kernel_rate = host_native_kernel_rate()
+            detail["exact_kernel_backend"] = "host-native"
+    else:
+        kernel_rate = host_native_kernel_rate()
+        detail["exact_kernel_backend"] = "host-native"
     detail["exact_kernel_cells_per_sec"] = round(kernel_rate, 1)
     detail["ref_seconds"] = round(ref_t, 1)
     detail["ours_seconds"] = round(ours_t, 1)

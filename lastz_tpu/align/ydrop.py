@@ -1063,18 +1063,31 @@ def _special_min(RY, R):
 # -- alignment list bookkeeping (obi/oed) ------------------------------------
 
 
-def msp_left_right(obi: Optional[GAlign], m: GAlign) -> bool:
+def msp_left_right(obi: Optional[GAlign], m: GAlign,
+                   index=None) -> bool:
     """reference msp_left_right: find bounding segments at the anchor;
-    False if the anchor lies inside an existing alignment."""
+    False if the anchor lies inside an existing alignment.
+
+    `index` is an optional (pos1s, end1s, aligns) snapshot of the
+    obi list in walk order; the numpy stab filter replaces the
+    linked-list scan (O(#aligns) per anchor otherwise — the hot part
+    of the bookkeeping with hundreds of accepted alignments)."""
     pos1, pos2 = m.pos1, m.pos2
     right = left = None
     m_right = m_left = None
     b_right = b_left = None
-    p = obi
-    while p is not None and p.pos1 <= pos1:
-        if p.end1 < pos1:
+    if index is not None:
+        arr_p1, arr_e1, aligns = index
+        stabbed = np.nonzero((arr_p1 <= pos1) & (arr_e1 >= pos1))[0]
+        cands = [aligns[int(i)] for i in stabbed]
+    else:
+        cands = []
+        p = obi
+        while p is not None and p.pos1 <= pos1:
+            if p.end1 >= pos1:
+                cands.append(p)
             p = p.next
-            continue
+    for p in cands:
         bp = p.first_seg
         while bp is not None:
             if bp.e1 >= pos1:
@@ -1084,7 +1097,6 @@ def msp_left_right(obi: Optional[GAlign], m: GAlign) -> bool:
                 bp = None
                 break
         if bp is None:
-            p = p.next
             continue
         if bp.type == HORZ_SEG:
             raise RuntimeError("msp_left_right: cannot be horizontal")
@@ -1098,7 +1110,6 @@ def msp_left_right(obi: Optional[GAlign], m: GAlign) -> bool:
             right, m_right, b_right = x, p, bp
         elif x < 0 and (left is None or -x < left):
             left, m_left, b_left = -x, p, bp
-        p = p.next
     m.right_align1 = m.right_align2 = m_right
     m.right_seg1 = m.right_seg2 = b_right
     m.left_align1 = m.left_align2 = m_left
@@ -1367,8 +1378,26 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
         trivial_mp = mp
         acc_bb.append((0, len(target.v) - 1, 0, len(target.v) - 1))
 
+    # obi-order snapshot for msp_left_right's stab filter, rebuilt
+    # after every list mutation (O(n) rebuilds, n accepted aligns)
+    ali_index = None
+
+    def _obi_index():
+        nonlocal ali_index
+        if ali_index is None:
+            ps, es, als = [], [], []
+            p = obi
+            while p is not None:
+                ps.append(p.pos1)
+                es.append(p.end1)
+                als.append(p)
+                p = p.next
+            ali_index = (np.asarray(ps, np.int64),
+                         np.asarray(es, np.int64), als)
+        return ali_index
+
     for k, mp in enumerate(msps):
-        if not msp_left_right(obi, mp):
+        if not msp_left_right(obi, mp, _obi_index()):
             if device is not None:
                 device.release(k)
             continue
@@ -1444,6 +1473,7 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
 
         align_left_right(obi, mp)
         obi, oed = insert_align(mp, obi, oed)
+        ali_index = None
         acc_bb.append((mp.pos1, mp.end1, mp.pos2, mp.end2))
 
         # paired-bases limit (gapped_extend.c:1444-1459): stop processing
