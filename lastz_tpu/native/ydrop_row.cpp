@@ -303,11 +303,13 @@ static inline void row32_main(
         int32_t iv_n = c_open > i2 ? c_open : i2;
         link_n |= c_open > i2 ? (uint8_t)0 : (uint8_t)4;
 
-        bool bu = !canC & !pr & (c_eff >= best_score);
-        best_score = bu ? c_eff : best_score;
-        yd_cut = bu ? c_eff - y_drop : yd_cut;
-        uint64_t rc = row_hi | (uint64_t)(uint32_t)(int32_t)(col0 + j);
-        end_rc = bu ? rc : end_rc;
+        // best advances on ~1 cell per row (the running peak), so a
+        // predicted-not-taken branch beats four unconditional cmovs
+        if (__builtin_expect(!canC & !pr & (c_eff >= best_score), 0)) {
+            best_score = c_eff;
+            yd_cut = c_eff - y_drop;
+            end_rc = row_hi | (uint64_t)(uint32_t)(int32_t)(col0 + j);
+        }
         // boundary cells cannot occur here: the caller routes the
         // column-N cell and whole M-rows through the generic loop
 
