@@ -1262,6 +1262,46 @@ def identical_sequences(seq1, seq2, scoring) -> tuple[bool, int]:
     return True, s
 
 
+def identical_partitioned_sequences(seq1, seq2) -> bool:
+    """reference identical_partitioned_sequences (gapped_extend.c):
+    same partition structure, same (case-folded) content."""
+    if not (seq1.is_partitioned and seq2.is_partitioned):
+        return False
+    if seq1.rev_comp_flags != seq2.rev_comp_flags:
+        return False
+    if len(seq1.partitions) != len(seq2.partitions):
+        return False
+    for p1, p2 in zip(seq1.partitions, seq2.partitions):
+        a = seq1.v[p1.sep_before + 1: p1.sep_after]
+        b = seq2.v[p2.sep_before + 1: p2.sep_after]
+        if len(a) != len(b):
+            return False
+        if not np.array_equal(_upper(a), _upper(b)):
+            return False
+    return True
+
+
+def identical_partition_of_sequence(seq1, seq2) -> int:
+    """reference identical_partition_of_sequence: index of the seq1
+    partition whose (case-folded) content equals non-partitioned
+    seq2, or -1."""
+    if not seq1.is_partitioned or seq2.is_partitioned:
+        return -1
+    if seq1.rev_comp_flags != seq2.rev_comp_flags:
+        return -1
+    b = _upper(seq2.v)
+    for ix, p1 in enumerate(seq1.partitions):
+        a = seq1.v[p1.sep_before + 1: p1.sep_after]
+        if len(a) == len(b) and np.array_equal(_upper(a), b):
+            return ix
+    return -1
+
+
+def _identity_score(scoring, a, b) -> int:
+    s = int(scoring.sub[_upper(a), _upper(b)].astype(np.int64).sum())
+    return min(s, BEST_POSSIBLE)
+
+
 def _upper(seg):
     out = seg.copy()
     lower = (out >= ord("a")) & (out <= ord("z"))
@@ -1377,6 +1417,40 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
         mp.align = a
         trivial_mp = mp
         acc_bb.append((0, len(target.v) - 1, 0, len(target.v) - 1))
+    else:
+        # partitioned triviality (gapped_extend.c:1123-1280): insert a
+        # trivial alignment per identical partition pair so that
+        # off-diagonal anchors cannot merge onto the main diagonal;
+        # --nomirror discards them at output like the plain case
+        triv_pairs = []
+        if target.is_partitioned and not query.is_partitioned:
+            ix = identical_partition_of_sequence(target, query)
+            if ix >= 0:
+                p1 = target.partitions[ix]
+                triv_pairs = [(p1.sep_before + 1, p1.sep_after - 1,
+                               0, len(query.v) - 1)]
+        elif target.is_partitioned and query.is_partitioned \
+                and identical_partitioned_sequences(target, query):
+            triv_pairs = [
+                (p1.sep_before + 1, p1.sep_after - 1,
+                 p2.sep_before + 1, p2.sep_after - 1)
+                for p1, p2 in zip(target.partitions, query.partitions)]
+        for (b1, e1, b2, e2) in triv_pairs:
+            mp = GAlign(pos1=b1, pos2=b2, end1=e1, end2=e2)
+            mp.save_seg(b1, b2, e1, e2)
+            obi, oed = insert_align(mp, obi, oed)
+            mp.last_seg = mp.first_seg
+            mp.first_seg.prev_seg = None
+            mp.last_seg.next_seg = None
+            s = _identity_score(scoring, target.v[b1:e1 + 1],
+                                query.v[b2:e2 + 1])
+            script = EditScript()
+            script.add("S", e1 - b1 + 1)
+            a = Alignment(beg1=b1 + 1, beg2=b2 + 1,
+                          end1=e1 + 1, end2=e2 + 1, script=script,
+                          score=max(s, thresh), is_trivial=True)
+            mp.align = a
+            acc_bb.append((b1, e1, b2, e2))
 
     # obi-order snapshot for msp_left_right's stab filter, rebuilt
     # after every list mutation (O(n) rebuilds, n accepted aligns)

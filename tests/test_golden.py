@@ -291,3 +291,28 @@ def test_2bit_query():
     with open("/root/reference/test_data/base_test.extended.lav") as f:
         golden = _strip_d_stanzas(f.read())
     assert golden == _strip_d_stanzas(got)
+
+
+def _maf_body(text):
+    return [ln for ln in text.splitlines() if not ln.startswith("#")]
+
+
+def test_self_multiple_nomirror():
+    """[multiple] + --self: partitioned trivial self-alignments must
+    be inserted (blocking diagonal merges) yet suppressed by
+    --nomirror (reference gapped_extend.c:1123-1280)."""
+    got = run_lastz([f"{TD}/aglobin.2bit[multiple]", "--self",
+                     "--nomirror", "--format=maf"])
+    golden = open(os.path.join(os.path.dirname(__file__), "golden",
+                               "self_multiple_nomirror.maf")).read()
+    assert _maf_body(got) == _maf_body(golden)
+
+
+def test_self_multiple_mirror():
+    """[multiple] + --self with mirroring: the per-partition trivial
+    alignments are emitted."""
+    got = run_lastz([f"{TD}/aglobin.2bit[multiple]", "--self",
+                     "--format=maf"])
+    golden = open(os.path.join(os.path.dirname(__file__), "golden",
+                               "self_multiple_mirror.maf")).read()
+    assert _maf_body(got) == _maf_body(golden)
