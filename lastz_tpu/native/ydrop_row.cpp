@@ -14,6 +14,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cstdio>
+#include <immintrin.h>
 
 extern "C" {
 
@@ -186,6 +187,222 @@ void gather_diag_scores(
         out[k] = sub[((int64_t)s1[p1 + d1 * k]) * 256 + s2[p2 + d2 * k]];
 }
 
+// ---------------------------------------------------------------------------
+// Vectorized x-drop scan core.
+//
+// The gap-free extension scan is a strictly serial recurrence
+// (run += sub[a][b]; best = max; stop when run < best - x_drop) whose
+// per-step cost is dominated by the dependent byte->byte->table load
+// chain (~13 cycles/step measured).  Expressed as 16-wide int16
+// blocks it becomes: pair-score via a 16-entry pshufb LUT, a prefix
+// SUM scan (the running score), a prefix MAX scan (the running best),
+// and a compare for the first x-drop violation — ~1 cycle/step.
+//
+// Exactness: the block math reproduces the scalar recurrence
+// bit-for-bit (relative-to-best values are bounded by x_drop + 16*127
+// so int16 never saturates; gated on x_drop <= 28000).  The LUT fast
+// path is VALIDATED against the actual substitution matrix at call
+// time — any score set where uppercase ACGT pairs aren't int8 or
+// don't map via code = (c>>1)&3 (A0 C1 T2 G3) disables it — and any
+// block containing a character outside uppercase ACGT (N, lowercase
+// masked bytes, separators) reverts to the scalar loop for the
+// scan's remainder.
+
+struct SimdCtx {
+    int valid;
+    __m128i lut;          // int8 scores, index = code(a)*4 + code(b)
+};
+
+static void simd_ctx_init(SimdCtx* ctx, const int64_t* sub,
+                          int64_t x_drop)
+{
+    ctx->valid = 0;
+    if (x_drop < 0 || x_drop > 28000) return;
+    // code = (c>>1)&3 maps A->0 C->1 T->2 G->3.  Only UPPERCASE
+    // ACGT pairs ride the LUT (the in-block screen rejects any
+    // other byte, including lowercase, which the production matrix
+    // scores differently when softmasked input is penalized).
+    static const uint8_t UP[4] = {'A', 'C', 'T', 'G'};
+    int8_t lut[16];
+    for (int ca = 0; ca < 4; ++ca) {
+        for (int cb = 0; cb < 4; ++cb) {
+            int64_t v = sub[(int64_t)UP[ca] * 256 + UP[cb]];
+            if (v < -128 || v > 127) return;
+            lut[ca * 4 + cb] = (int8_t)v;
+        }
+    }
+    ctx->lut = _mm_loadu_si128((const __m128i*)lut);
+    ctx->valid = 1;
+}
+
+// per-128-lane broadcast of word 7 (bytes 14,15)
+static inline __m256i bcast_last_word(__m256i x)
+{
+    const __m256i sel = _mm256_set1_epi16(0x0F0E);
+    return _mm256_shuffle_epi8(x, sel);
+}
+
+static inline __m256i scan_add16(__m256i x)
+{
+    x = _mm256_add_epi16(x, _mm256_slli_si256(x, 2));
+    x = _mm256_add_epi16(x, _mm256_slli_si256(x, 4));
+    x = _mm256_add_epi16(x, _mm256_slli_si256(x, 8));
+    // carry the low lane's total into the high lane
+    __m256i last = bcast_last_word(x);
+    __m256i lo_all = _mm256_permute2x128_si256(last, last, 0x00);
+    __m256i hi_only = _mm256_permute2x128_si256(
+        _mm256_setzero_si256(), _mm256_set1_epi8(-1), 0x30);
+    return _mm256_add_epi16(x, _mm256_and_si256(lo_all, hi_only));
+}
+
+// prefix max clamped at 0: RM[j] = max(0, P[0..j]).  The lane shifts
+// inject zeros only into windows that overrun the lane start (j<7),
+// and the cross-lane carry is the UNCLAMPED low-lane max, so a final
+// max-with-zero is required for exactness at j=7,15 and for the
+// carried value (missing it let RM-x_drop wrap int16 and produce
+// false x-drop violations at lane boundaries).
+static inline __m256i scan_max16_zeroseed(__m256i x)
+{
+    x = _mm256_max_epi16(x, _mm256_slli_si256(x, 2));
+    x = _mm256_max_epi16(x, _mm256_slli_si256(x, 4));
+    x = _mm256_max_epi16(x, _mm256_slli_si256(x, 8));
+    __m256i last = bcast_last_word(x);
+    __m256i lo_all = _mm256_permute2x128_si256(last, last, 0x00);
+    __m256i hi_only = _mm256_permute2x128_si256(
+        _mm256_setzero_si256(), _mm256_set1_epi8(-1), 0x30);
+    x = _mm256_max_epi16(x, _mm256_and_si256(lo_all, hi_only));
+    return _mm256_max_epi16(x, _mm256_setzero_si256());
+}
+
+static inline int16_t hmax16(__m256i x)
+{
+    __m128i a = _mm_max_epi16(_mm256_castsi256_si128(x),
+                              _mm256_extracti128_si256(x, 1));
+    a = _mm_max_epi16(a, _mm_srli_si128(a, 8));
+    a = _mm_max_epi16(a, _mm_srli_si128(a, 4));
+    a = _mm_max_epi16(a, _mm_srli_si128(a, 2));
+    return (int16_t)_mm_extract_epi16(a, 0);
+}
+
+// One x-drop scan: k-th pair is (s1[p1 + step*k], s2[p2 + step*k]),
+// at most n steps.  Scalar recurrence (exact contract, shared by
+// xdrop_extend_seed_hit and the batch scan):
+//   run += score; if (run > best) { best = run; kbest = k; }
+//   if (run < best - x_drop) { consumed = k+1; stop; }
+// kbest stays -1 unless best goes positive.
+static void xdrop_scan_core(
+    const uint8_t* s1, const uint8_t* s2, const int64_t* sub,
+    const SimdCtx* ctx, int64_t p1, int64_t p2, int64_t n,
+    int64_t step, int64_t x_drop,
+    int64_t* out_consumed, int64_t* out_best, int64_t* out_kbest)
+{
+    int64_t run = 0, best = 0, kbest = -1;
+    int64_t k = 0;
+
+    if (ctx && ctx->valid) {
+        const __m128i CA = _mm_set1_epi8('A'), CC_ = _mm_set1_epi8('C');
+        const __m128i CG = _mm_set1_epi8('G'), CT = _mm_set1_epi8('T');
+        const __m128i REV = _mm_set_epi8(0, 1, 2, 3, 4, 5, 6, 7,
+                                         8, 9, 10, 11, 12, 13, 14, 15);
+        const __m128i M3 = _mm_set1_epi8(3);
+        const __m128i M12 = _mm_set1_epi8(12);
+        const __m256i XD = _mm256_set1_epi16((int16_t)x_drop);
+        const __m256i IDX = _mm256_setr_epi16(0, 1, 2, 3, 4, 5, 6, 7,
+                                              8, 9, 10, 11, 12, 13,
+                                              14, 15);
+        while (k + 16 <= n) {
+            __m128i a, b;
+            if (step > 0) {
+                a = _mm_loadu_si128((const __m128i*)(s1 + p1 + k));
+                b = _mm_loadu_si128((const __m128i*)(s2 + p2 + k));
+            } else {
+                a = _mm_shuffle_epi8(_mm_loadu_si128(
+                        (const __m128i*)(s1 + p1 - k - 15)), REV);
+                b = _mm_shuffle_epi8(_mm_loadu_si128(
+                        (const __m128i*)(s2 + p2 - k - 15)), REV);
+            }
+            // all 32 bytes must be uppercase ACGT
+            __m128i va = _mm_or_si128(
+                _mm_or_si128(_mm_cmpeq_epi8(a, CA),
+                             _mm_cmpeq_epi8(a, CC_)),
+                _mm_or_si128(_mm_cmpeq_epi8(a, CG),
+                             _mm_cmpeq_epi8(a, CT)));
+            __m128i vb = _mm_or_si128(
+                _mm_or_si128(_mm_cmpeq_epi8(b, CA),
+                             _mm_cmpeq_epi8(b, CC_)),
+                _mm_or_si128(_mm_cmpeq_epi8(b, CG),
+                             _mm_cmpeq_epi8(b, CT)));
+            if (_mm_movemask_epi8(_mm_and_si128(va, vb)) != 0xFFFF)
+                break;  // irregular characters: finish scalar
+
+            __m128i ca2 = _mm_and_si128(_mm_srli_epi16(a, 1), M3);
+            __m128i cb2 = _mm_and_si128(_mm_srli_epi16(b, 1), M3);
+            __m128i idx = _mm_or_si128(
+                _mm_and_si128(_mm_slli_epi16(ca2, 2), M12), cb2);
+            __m128i s8 = _mm_shuffle_epi8(ctx->lut, idx);
+            __m256i s16 = _mm256_cvtepi8_epi16(s8);
+
+            // P[j] = (run - best) + sum(scores[0..j])
+            __m256i P = _mm256_add_epi16(
+                scan_add16(s16),
+                _mm256_set1_epi16((int16_t)(run - best)));
+            // RM[j] = max(0, max P[0..j]) — running best, relative
+            __m256i RM = scan_max16_zeroseed(P);
+            // violation: P[j] < RM[j] - x_drop
+            __m256i vio = _mm256_cmpgt_epi16(_mm256_sub_epi16(RM, XD),
+                                             P);
+            uint32_t vm = (uint32_t)_mm256_movemask_epi8(vio);
+            int t = vm ? (int)(_tzcnt_u32(vm) >> 1) : 16;
+
+            __m256i Pm = P;
+            if (t < 16) {
+                __m256i keep = _mm256_cmpgt_epi16(
+                    _mm256_set1_epi16((int16_t)(t + 1)), IDX);
+                Pm = _mm256_blendv_epi8(_mm256_set1_epi16(-32768),
+                                        P, keep);
+            }
+            int16_t bmax = hmax16(Pm);
+            if (bmax > 0) {
+                __m256i eq = _mm256_cmpeq_epi16(
+                    Pm, _mm256_set1_epi16(bmax));
+                uint32_t em = (uint32_t)_mm256_movemask_epi8(eq);
+                kbest = k + (int64_t)(_tzcnt_u32(em) >> 1);
+                best += bmax;
+            }
+            if (t < 16) {
+                // run at the violating step (relative values are to
+                // the OLD best)
+                int16_t pbuf[16];
+                _mm256_storeu_si256((__m256i*)pbuf, P);
+                run = (best - (bmax > 0 ? bmax : 0)) + pbuf[t];
+                *out_consumed = k + t + 1;
+                *out_best = best;
+                *out_kbest = kbest;
+                return;
+            }
+            int16_t pbuf[16];
+            _mm256_storeu_si256((__m256i*)pbuf, P);
+            run = (best - (bmax > 0 ? bmax : 0)) + pbuf[15];
+            k += 16;
+        }
+    }
+
+    for (; k < n; ++k) {
+        run += sub[((int64_t)s1[p1 + step * k]) * 256
+                   + s2[p2 + step * k]];
+        if (run > best) { best = run; kbest = k; }
+        if (run < best - x_drop) {
+            *out_consumed = k + 1;
+            *out_best = best;
+            *out_kbest = kbest;
+            return;
+        }
+    }
+    *out_consumed = n;
+    *out_best = best;
+    *out_kbest = kbest;
+}
+
 // Combined x-drop extension of a seed hit (both directions), exactly
 // mirroring xdrop_extend_seed_hit (seed_search.c:2528): left scan from
 // the right end of the hit down to `stop_left` (seq1 coordinate), right
@@ -193,39 +410,30 @@ void gather_diag_scores(
 // entropy adjustment and thresholding.
 static inline int64_t xdrop_extend_impl(
     const uint8_t* s1, const uint8_t* s2, const int64_t* sub,
+    const SimdCtx* ctx,
     int64_t pos1, int64_t pos2,
     int64_t stop_left, int64_t stop_right, int64_t x_drop,
     int64_t* out_left_start, int64_t* out_left_score,
     int64_t* out_right_stop, int64_t* out_right_score,
     int64_t* out_right_block)
 {
-    (void)sub;
     // left scan (pre-decrement semantics: first pair read is at pos1-1)
-    int64_t run = 0, best = 0;
-    int64_t left_start = pos1;
-    int64_t s1i = pos1, s2i = pos2;
-    while (s1i > stop_left && run >= best - x_drop) {
-        --s1i; --s2i;
-        run += sub[((int64_t)s1[s1i]) * 256 + s2[s2i]];
-        if (run > best) { best = run; left_start = s1i; }
-    }
-    *out_left_start = left_start;
+    int64_t nl = pos1 - stop_left;
+    int64_t cons, best, kb;
+    xdrop_scan_core(s1, s2, sub, ctx, pos1 - 1, pos2 - 1,
+                    nl > 0 ? nl : 0, -1, x_drop, &cons, &best, &kb);
+    *out_left_start = (kb >= 0) ? pos1 - 1 - kb : pos1;
     *out_left_score = best;
-    int64_t steps = pos1 - s1i;
+    int64_t steps = cons;
 
     // right scan
-    run = 0; best = 0;
-    int64_t right_stop = pos1;
-    s1i = pos1; s2i = pos2;
-    while (s1i < stop_right && run >= best - x_drop) {
-        run += sub[((int64_t)s1[s1i]) * 256 + s2[s2i]];
-        ++s1i; ++s2i;
-        if (run > best) { best = run; right_stop = s1i; }
-    }
-    *out_right_stop = right_stop;
+    int64_t nr = stop_right - pos1;
+    xdrop_scan_core(s1, s2, sub, ctx, pos1, pos2,
+                    nr > 0 ? nr : 0, +1, x_drop, &cons, &best, &kb);
+    *out_right_stop = (kb >= 0) ? pos1 + kb + 1 : pos1;
     *out_right_score = best;
-    *out_right_block = s1i;
-    return steps + (s1i - pos1);
+    *out_right_block = pos1 + cons;
+    return steps + cons;
 }
 
 void xdrop_extend(
@@ -240,9 +448,11 @@ void xdrop_extend(
     int64_t* out_right_score,
     int64_t* out_right_block)              // where the right scan stopped
 {
-    xdrop_extend_impl(s1, s2, sub, pos1, pos2, stop_left, stop_right,
-                      x_drop, out_left_start, out_left_score,
-                      out_right_stop, out_right_score,
+    SimdCtx ctx;
+    simd_ctx_init(&ctx, sub, x_drop);
+    xdrop_extend_impl(s1, s2, sub, &ctx, pos1, pos2, stop_left,
+                      stop_right, x_drop, out_left_start,
+                      out_left_score, out_right_stop, out_right_score,
                       out_right_block);
 }
 
@@ -1036,6 +1246,8 @@ void hit_sweep(
     int64_t n_out = 0, raw = 0, dropped = 0, exts = 0;
     uint64_t ext_cyc = 0;
     int64_t ext_steps = 0;
+    SimdCtx sctx;
+    simd_ctx_init(&sctx, sub, x_drop);
     int64_t i = -1;  // valid-word ordinal (matches numpy valid_idx)
     uint64_t win = 0;
     int64_t run = 0;
@@ -1150,7 +1362,7 @@ void hit_sweep(
                 int64_t lstart, lscore, rstop, rscore, rblock;
                 uint64_t t0 = __builtin_ia32_rdtsc();
                 ext_steps += xdrop_extend_impl(
-                    s1, s2, sub, pos1, pos2, stop1, stop1r,
+                    s1, s2, sub, &sctx, pos1, pos2, stop1, stop1r,
                     x_drop, &lstart, &lscore, &rstop,
                     &rscore, &rblock);
                 ext_cyc += __builtin_ia32_rdtsc() - t0;
