@@ -1501,9 +1501,20 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
             use_dev = False
             _x["dev-skip in-bbox"] = _x.get("dev-skip in-bbox", 0) + 1
         if use_dev:
-            device.result_for(k)
-            use_dev = device.statuses_ok(k)
-            if not use_dev:
+            try:
+                device.result_for(k)
+                use_dev = device.statuses_ok(k)
+            except RuntimeError as e:
+                # accelerator backend unavailable/dead: permanently
+                # fall back to the host engine (mirrors the seed
+                # stage's device-search fallback, engine.py:159)
+                import sys as _sys
+                _sys.stderr.write(
+                    "lastz_tpu: device gapped stage failed (%s); "
+                    "falling back to host\n" % type(e).__name__)
+                device = None
+                use_dev = False
+            if not use_dev and device is not None:
                 _x["dev-skip status"] = _x.get("dev-skip status", 0) + 1
         if use_dev and acc_bb:
             r1lo, r1hi, r2lo, r2hi = device.explored_rect(k)

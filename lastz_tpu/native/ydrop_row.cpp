@@ -537,6 +537,252 @@ static inline void row32_main(
     endrc_io = end_rc;
 }
 
+// ---------------------------------------------------------------------------
+// 8-wide AVX2 row step (the no-masking specialization of row32_main).
+//
+// The only intra-row serial chain is the I state (horizontal gap).
+// Two facts make it vectorizable without changing any output byte:
+//
+//  1. I's refresh value at column j is A[j] = (D[j] > Cdiag[j])
+//     ? -inf : Cdiag[j] - gap_oe, which is INDEPENDENT of I: in the
+//     one case where the scalar takes iv_out = i - gap_e despite
+//     d <= c (namely i > c), i - gap_e > c - gap_oe anyway, so
+//     folding the phantom refresh into a max() changes nothing.
+//     Hence I obeys v[j+1] = max(v[j] - gap_e, A[j]) — a decayed
+//     prefix max, computed 8 lanes at a time as
+//     (prefix-max of A[k] + k*gap_e) - j*gap_e.
+//  2. The true chain additionally RESETS v to -inf at pruned cells.
+//     A cell can only be pruned while its I contribution is below
+//     yd_cut, and any contribution crossing a reset point stays
+//     below yd_cut forever after (it decays from a sub-cut value).
+//     So the reset-free chain agrees with the true chain whenever
+//     either is >= yd_cut — which makes every DECISION (prune, canC,
+//     c_eff) computable from the reset-free pass.  The link bytes'
+//     I-vs-reopen tie (c_open == i - gapE) could still be steered by
+//     a phantom value, so a SECOND in-block pass re-scans the chain
+//     with resets at the (now exactly known) pruned lanes; links and
+//     the inter-block carry come from that exact chain, making the
+//     whole row bit-exact with the scalar recurrence.
+//
+// best_score updates are rare (~1 cell/row): blocks whose candidate
+// mask fires are re-run through the scalar row32_main from the
+// block-entry state (with the exact carry), which also applies the
+// yd_cut tightening mid-block exactly.
+static inline void row32_main_avx(
+    const int32_t* CCr, const int32_t* DDr, const int32_t* MKr,
+    int32_t* CCw, int32_t* DDw, uint8_t* tbb, const int32_t* Sx,
+    int64_t nB, int32_t row32,
+    int32_t gap_e, int32_t gap_oe, int32_t y_drop, int32_t neg_inf,
+    int32_t& c_io, int32_t& i_io, int32_t& best_io, int32_t& ycut_io,
+    uint64_t& endrc_io, int64_t col0)
+{
+    // cell 0 reads the caller-seeded diagonal; run it scalar so the
+    // vector blocks can take Cdiag[j] straight from CCr[j-1]+Sx[j-1]
+    row32_main(CCr, DDr, MKr, CCw, DDw, tbb, Sx, 1, row32, false,
+               gap_e, gap_oe, y_drop, neg_inf,
+               c_io, i_io, best_io, ycut_io, endrc_io, col0);
+    int64_t j = 1;
+
+    const __m256i NI8 = _mm256_set1_epi32(neg_inf);
+    const __m256i GE = _mm256_set1_epi32(gap_e);
+    const __m256i GOE = _mm256_set1_epi32(gap_oe);
+    const __m256i RAMP = _mm256_setr_epi32(0, gap_e, 2 * gap_e,
+                                           3 * gap_e, 4 * gap_e,
+                                           5 * gap_e, 6 * gap_e,
+                                           7 * gap_e);
+    const __m256i SH1 = _mm256_setr_epi32(0, 0, 1, 2, 3, 4, 5, 6);
+    const __m256i C16 = _mm256_set1_epi32(16);
+    const __m256i C29 = _mm256_set1_epi32(16 | 1 | 4 | 8);
+    const __m256i C30 = _mm256_set1_epi32(16 | 2 | 4 | 8);
+    const __m256i C4 = _mm256_set1_epi32(4);
+    const __m256i C8 = _mm256_set1_epi32(8);
+    const __m128i PACK = _mm_setr_epi8(0, 4, 8, 12, -1, -1, -1, -1,
+                                       -1, -1, -1, -1, -1, -1, -1,
+                                       -1);
+    int32_t carry_i = i_io;
+    // previous-row diagonal entering cell j.  CCr[j-1] aliases the
+    // already-stored CCw[j-1] whenever LY hasn't advanced, so lane 0
+    // of every diagonal load is patched from this scalar instead.
+    int32_t c_diag = c_io;
+
+    while (j + 8 <= nB) {
+        __m256i cd = _mm256_add_epi32(
+            _mm256_loadu_si256((const __m256i*)(CCr + j - 1)),
+            _mm256_loadu_si256((const __m256i*)(Sx + j - 1)));
+        cd = _mm256_blend_epi32(cd, _mm256_set1_epi32(c_diag), 0x01);
+        __m256i d = _mm256_loadu_si256((const __m256i*)(DDr + j));
+        // reset-free decayed prefix max of the refresh values; the
+        // no-refresh sentinel sits BELOW any decayed chain value
+        // (neg_inf - k*gap_e) so that for reset-free blocks this
+        // chain — seeded with the exact carry — IS the exact chain
+        const __m256i LOWS = _mm256_set1_epi32(neg_inf - (1 << 28));
+        __m256i dgtcd = _mm256_cmpgt_epi32(d, cd);
+        __m256i B = _mm256_add_epi32(
+            _mm256_blendv_epi8(_mm256_sub_epi32(cd, GOE), LOWS,
+                               dgtcd),
+            RAMP);
+        __m256i x = _mm256_max_epi32(
+            B, _mm256_alignr_epi8(B, LOWS, 12));
+        x = _mm256_max_epi32(x, _mm256_alignr_epi8(x, LOWS, 8));
+        __m256i t3 = _mm256_shuffle_epi32(x, 0xFF);
+        __m256i lo_all = _mm256_permute2x128_si256(t3, t3, 0x00);
+        __m256i PM = _mm256_max_epi32(
+            x, _mm256_blend_epi32(LOWS, lo_all, 0xF0));
+        __m256i SH = _mm256_blend_epi32(
+            _mm256_permutevar8x32_epi32(PM, SH1), LOWS, 0x01);
+        __m256i Y = _mm256_max_epi32(
+            SH, _mm256_set1_epi32(carry_i - gap_e));
+        __m256i v = _mm256_add_epi32(_mm256_sub_epi32(Y, RAMP), GE);
+
+        __m256i g = _mm256_max_epi32(d, v);
+        __m256i canC = _mm256_cmpgt_epi32(g, cd);
+        __m256i c_eff = _mm256_max_epi32(g, cd);
+        __m256i pr = _mm256_cmpgt_epi32(
+            _mm256_set1_epi32(ycut_io), c_eff);
+        __m256i cand = _mm256_andnot_si256(
+            canC, _mm256_andnot_si256(
+                pr, _mm256_cmpgt_epi32(
+                    c_eff, _mm256_set1_epi32(best_io - 1))));
+        if (__builtin_expect(!_mm256_testz_si256(cand, cand), 0)) {
+            // possible best update: replay the block scalar (exact
+            // best/yd_cut/end bookkeeping), then resume
+            int32_t c_entry = c_diag;
+            row32_main(CCr + j, DDr + j, MKr + j, CCw + j, DDw + j,
+                       tbb + j, Sx + j, 8, row32, false,
+                       gap_e, gap_oe, y_drop, neg_inf,
+                       c_entry, carry_i, best_io, ycut_io,
+                       endrc_io, col0 + j);
+            c_diag = c_entry;
+            j += 8;
+            continue;
+        }
+
+        __m256i vx;
+        if (_mm256_testz_si256(pr, pr)) {
+            // no resets in this block: the reset-free chain (seeded
+            // with the exact carry) is already exact
+            vx = v;
+            __m256i pm7v = _mm256_permutevar8x32_epi32(
+                PM, _mm256_set1_epi32(7));
+            int32_t pm7 = _mm_cvtsi128_si32(
+                _mm256_castsi256_si128(pm7v));
+            int32_t ci = carry_i - gap_e;
+            carry_i = (pm7 > ci ? pm7 : ci) - 7 * gap_e;
+        } else {
+        // -- pass 2: exact chain with resets at the pruned lanes
+        // (inclusive scan of (s2 if r2 else max(s1,s2), r1|r2) over
+        // the compensated elements, log-shift by 1, 2 lanes per half
+        // plus a cross-half combine)
+        __m256i es = _mm256_blendv_epi8(
+            B, _mm256_add_epi32(NI8, RAMP), pr);
+        __m256i er = pr;
+        {
+            __m256i s_sh = _mm256_alignr_epi8(es, LOWS, 12);
+            __m256i r_sh = _mm256_alignr_epi8(
+                er, _mm256_setzero_si256(), 12);
+            es = _mm256_blendv_epi8(
+                _mm256_max_epi32(es, s_sh), es, er);
+            er = _mm256_or_si256(er, r_sh);
+            s_sh = _mm256_alignr_epi8(es, LOWS, 8);
+            r_sh = _mm256_alignr_epi8(
+                er, _mm256_setzero_si256(), 8);
+            es = _mm256_blendv_epi8(
+                _mm256_max_epi32(es, s_sh), es, er);
+            er = _mm256_or_si256(er, r_sh);
+            // cross-half combine: after the per-half rounds each
+            // half's scan is complete, so every high lane combines
+            // with the LOW HALF'S INCLUSIVE TOTAL (lane 3), not a
+            // lane-shifted window
+            __m256i t3s = _mm256_shuffle_epi32(es, 0xFF);
+            __m256i lo3s = _mm256_permute2x128_si256(t3s, t3s, 0x00);
+            __m256i t3r = _mm256_shuffle_epi32(er, 0xFF);
+            __m256i lo3r = _mm256_permute2x128_si256(t3r, t3r, 0x00);
+            __m256i cmb = _mm256_blendv_epi8(
+                _mm256_max_epi32(es, lo3s), es, er);
+            es = _mm256_blend_epi32(es, cmb, 0xF0);
+            er = _mm256_blend_epi32(
+                er, _mm256_or_si256(er, lo3r), 0xF0);
+        }
+        // fold in the exact carry wherever no reset was seen yet
+        __m256i cstar = _mm256_set1_epi32(carry_i - gap_e);
+        __m256i s_fin = _mm256_blendv_epi8(
+            _mm256_max_epi32(es, cstar), es, er);
+        // exclusive shift; lane 0 gets the carry
+        __m256i SHx = _mm256_blend_epi32(
+            _mm256_permutevar8x32_epi32(s_fin, SH1), cstar, 0x01);
+        vx = _mm256_add_epi32(_mm256_sub_epi32(SHx, RAMP), GE);
+
+        // exact carry for the next block: chain value entering lane 8
+        __m256i s7v = _mm256_permutevar8x32_epi32(
+            s_fin, _mm256_set1_epi32(7));
+        carry_i = _mm_cvtsi128_si32(_mm256_castsi256_si128(s7v))
+                  - 7 * gap_e;
+        }
+
+        __m256i i2 = _mm256_sub_epi32(vx, GE);
+        __m256i c_open = _mm256_sub_epi32(c_eff, GOE);
+        __m256i d2 = _mm256_sub_epi32(d, GE);
+        __m256i dd = _mm256_blendv_epi8(
+            _mm256_max_epi32(c_open, d2), d2, canC);
+        // link bytes (from the exact chain)
+        __m256i link_c = _mm256_blendv_epi8(
+            C30, C29, _mm256_cmpgt_epi32(vx, d));  // v > d -> from I
+        __m256i b8 = _mm256_andnot_si256(
+            _mm256_cmpgt_epi32(c_open, d2), C8);
+        __m256i b4 = _mm256_andnot_si256(
+            _mm256_cmpgt_epi32(c_open, i2), C4);
+        __m256i link_n = _mm256_or_si256(C16,
+                                         _mm256_or_si256(b8, b4));
+        __m256i link = _mm256_blendv_epi8(link_n, link_c, canC);
+        link = _mm256_andnot_si256(pr, link);
+
+        __m256i cc_out = _mm256_blendv_epi8(c_eff, NI8, pr);
+        __m256i dd_out = _mm256_blendv_epi8(dd, NI8, pr);
+
+        // read the next diagonal's aliased element before this
+        // block's store can overwrite it
+        int32_t diag_keep = CCr[j + 7];
+
+        _mm256_storeu_si256((__m256i*)(CCw + j), cc_out);
+        _mm256_storeu_si256((__m256i*)(DDw + j), dd_out);
+        __m128i plo = _mm_shuffle_epi8(
+            _mm256_castsi256_si128(link), PACK);
+        __m128i phi = _mm_shuffle_epi8(
+            _mm256_extracti128_si256(link, 1), PACK);
+        uint32_t wlo = (uint32_t)_mm_cvtsi128_si32(plo);
+        uint32_t whi = (uint32_t)_mm_cvtsi128_si32(phi);
+        memcpy(tbb + j, &wlo, 4);
+        memcpy(tbb + j + 4, &whi, 4);
+
+        c_diag = diag_keep + Sx[j + 7];
+        j += 8;
+    }
+
+    if (j < nB) {
+        int32_t c_entry = c_diag;
+        row32_main(CCr + j, DDr + j, MKr + j, CCw + j, DDw + j,
+                   tbb + j, Sx + j, nB - j, row32, false,
+                   gap_e, gap_oe, y_drop, neg_inf,
+                   c_entry, carry_i, best_io, ycut_io,
+                   endrc_io, col0 + j);
+        c_io = c_entry;
+        i_io = carry_i;
+    } else {
+        c_io = c_diag;
+        i_io = carry_i;
+    }
+}
+
+static int row_avx_enabled()
+{
+    static int v = -1;
+    if (v < 0) {
+        const char* e = getenv("LASTZ_TPU_NO_AVX_ROW");
+        v = (e && e[0] && e[0] != '0') ? 0 : 1;
+    }
+    return v;
+}
+
 __attribute__((noinline))
 static void ydrop_row32(
     int32_t* __restrict CC, int32_t* __restrict DD,
@@ -594,6 +840,14 @@ static void ydrop_row32(
                 CC + off_r, DD + off_r, MASK + off_r,
                 CC + off_w, DD + off_w, tbw,
                 S + col + 1 - LY0, nB, row32, true,
+                gap_e, gap_oe, y_drop, neg_inf,
+                c, i_val, best_score, yd_cut, end_rc,
+                col);
+        else if (nB >= 16 && row_avx_enabled())
+            row32_main_avx(
+                CC + off_r, DD + off_r, MASK + off_r,
+                CC + off_w, DD + off_w, tbw,
+                S + col + 1 - LY0, nB, row32,
                 gap_e, gap_oe, y_drop, neg_inf,
                 c, i_val, best_score, yd_cut, end_rc,
                 col);

@@ -262,29 +262,46 @@ def _chunk_one(a_small, b_small, b_off, shift, M, N, state, subsmall,
         c_sub = _shift_right(CC, 1, NEG) + s_vals
         c_sub = jnp.where(active & (l_iota > LYr), c_sub, NEG)
 
-        # prune/branch fixpoint, statically unrolled Jacobi rounds
-        # (see module docstring); the final extra evaluation detects
-        # the (rare, pathological) unconverged rows
+        # Two-pass exact row (replaces the earlier Jacobi fixpoint).
+        #
+        # Pass 1: a RESET-FREE decayed chain i_ff.  Its refresh value
+        # at lane l is I-independent (c_sub - gapOE whenever
+        # d <= c_sub; the one scalar branch that suppresses the
+        # reopen, namely the gap-by-I case, has i - gapE > c_sub -
+        # gapOE anyway, so folding the phantom refresh into the max
+        # changes nothing).  Skipping the prune resets is sound for
+        # every DECISION: a cell is only pruned while its I
+        # contribution is below the running y-drop cut, and any
+        # contribution crossing a reset point decays from a sub-cut
+        # value and stays sub-cut forever, so i_ff agrees with the
+        # true chain whenever either side of a comparison reaches the
+        # cut.  Hence `gap`, the running best, and `pruned` computed
+        # from i_ff equal the sequential fixpoint exactly.
         left_dead = l_iota < LYr
-        pruned = jnp.zeros((W,), bool)
-        gap = jnp.zeros((W,), bool)
-        for _ in range(_FIXPOINT_UNROLL + 1):
-            reset = (pruned & active) | left_dead
-            is_seed = active & ~pruned & ~gap
-            i_vec, s_incl = _i_chain(c_sub, reset, is_seed, l_iota,
-                                     gap_e, gap_oe)
-            gap_new = active & ((d > c_sub) | (i_vec > c_sub))
-            cand = jnp.maximum(jnp.maximum(c_sub, d), i_vec)
-            # running best within the row (exclusive prefix max over
-            # unpruned substitution cells; best only updates there)
-            c_best = jnp.where(is_seed, c_sub, SENT32)
-            pmax_excl = _shift_right(_prefix_max(c_best, SENT32), 1,
-                                     SENT32)
-            best_before = jnp.maximum(best, pmax_excl)
-            pruned_new = active & (cand < best_before - y_drop)
-            changed = jnp.any((pruned_new != pruned) | (gap_new != gap))
-            pruned, gap = pruned_new, gap_new
-        unconverged = changed
+        comp = (l_iota + 1) * gap_e
+        elem_ff = jnp.where(active & (d <= c_sub),
+                            c_sub - gap_oe + comp, ISENT)
+        s_ff = _shift_right(_prefix_max(elem_ff, ISENT), 1, ISENT)
+        i_ff = jnp.maximum(s_ff - l_iota * gap_e, NEG)
+        gap = active & ((d > c_sub) | (i_ff > c_sub))
+        cand = jnp.maximum(jnp.maximum(c_sub, d), i_ff)
+        # running best within the row (exclusive prefix max over
+        # non-gap substitution cells; sub-cut phantom seeds at cells
+        # the true recurrence prunes can never raise the prefix max)
+        c_best = jnp.where(active & ~gap, c_sub, SENT32)
+        pmax_excl = _shift_right(_prefix_max(c_best, SENT32), 1,
+                                 SENT32)
+        best_before = jnp.maximum(best, pmax_excl)
+        pruned = active & (cand < best_before - y_drop)
+        # Pass 2: one reset scan with the (exact) pruned set gives the
+        # exact I values — the link bytes encode I-vs-reopen ties
+        # bit-for-bit, so the traceback cannot be steered by a
+        # phantom-contaminated tie.
+        reset = (pruned & active) | left_dead
+        is_seed = active & ~pruned & ~gap
+        i_vec, s_incl = _i_chain(c_sub, reset, is_seed, l_iota,
+                                 gap_e, gap_oe)
+        unconverged = jnp.bool_(False)
 
         c_val = jnp.where(gap, jnp.maximum(d, i_vec), c_sub)
 
