@@ -321,6 +321,79 @@ def bench_kernel():
         "vs_baseline": round(rate / base, 3)}))
 
 
+def pallas_kernel_rate() -> float:
+    """Exact-kernel (with traceback) cells/s of the Pallas chunk
+    kernel (ops/ydrop_pallas_exact), validated in-run against the XLA
+    exact kernel on a small batch before timing.  Raises on any
+    compile failure or mismatch so the caller can fall back."""
+    import jax
+    import jax.numpy as jnp
+    from lastz_tpu.core.scoring import new_dna_score_set
+    from lastz_tpu.ops.ydrop_exact import (
+        fresh_state_np, make_compact_alphabet, ydrop_chunk)
+    from lastz_tpu.ops.ydrop_pallas_exact import ydrop_chunk_pallas
+
+    rng = np.random.default_rng(1)
+    alpha_b = np.frombuffer(b"ACGT", dtype=np.uint8)
+    sc = new_dna_score_set()
+    ge = int(sc.gap_extend)
+    goe = int(sc.gap_open + sc.gap_extend)
+
+    def build_args(B, rows, W):
+        n = rows + W + 64
+        s1 = alpha_b[rng.integers(0, 4, n)]
+        s2 = s1.copy()
+        mut = rng.random(n) < 0.10
+        s2[mut] = alpha_b[rng.integers(0, 4, mut.sum())]
+        code_map, subsmall = make_compact_alphabet([s1, s2], sc.sub)
+        a_win = np.stack([code_map[s1[o:o + rows]]
+                          for o in rng.integers(0, 48, B)]) \
+            .astype(np.int32)
+        b_win = np.zeros((B, W), np.int32)
+        for b, o in enumerate(rng.integers(0, 48, B)):
+            b_win[b, 1:] = code_map[s2[o:o + W - 1]]
+        Ms = np.full(B, rows - 2, np.int64)
+        Ns = np.full(B, W - 8, np.int64)
+        st_np, _ = fresh_state_np(Ns, ge, goe, 9400, W, B)
+        state = {k: jnp.asarray(v) for k, v in st_np.items()}
+        args = (jnp.asarray(a_win), jnp.asarray(b_win),
+                jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+                jnp.asarray(Ms, dtype=jnp.int32),
+                jnp.asarray(Ns, dtype=jnp.int32), state,
+                jnp.asarray(subsmall))
+        kw = dict(gap_e=ge, gap_oe=goe, y_drop=9400, lanes=W,
+                  rows=rows, alpha=subsmall.shape[0],
+                  trim_to_peak=True, tb_cap=80 << 20)
+        return args, kw
+
+    # one-shot validation at a small shape (also warms the toolchain)
+    args, kw = build_args(8, 128, 512)
+    st1, tb1 = ydrop_chunk_pallas(*args, G=8, **kw)
+    st0, tb0 = ydrop_chunk(*args, **kw)
+    for k in st0:
+        assert np.array_equal(np.asarray(st0[k]),
+                              np.asarray(st1[k])), \
+            f"pallas/xla state mismatch: {k}"
+    assert np.array_equal(np.asarray(tb0), np.asarray(tb1)), \
+        "pallas/xla tb mismatch"
+
+    # timing: args live on device; launch once to compile+warm, time
+    # the second identical launch (grid of 512 groups swamps the
+    # tunnel dispatch RTT)
+    B, rows, W = 4096, 512, 1536
+    args, kw = build_args(B, rows, W)
+    st, tb = ydrop_chunk_pallas(*args, G=8, **kw)
+    jax.block_until_ready(tb)
+    st = tb = None
+    t0 = time.time()
+    st, tb = ydrop_chunk_pallas(*args, G=8, **kw)
+    jax.block_until_ready(tb)
+    dt = time.time() - t0
+    rows_done = float(np.asarray(st["rows_used"]).sum())
+    width_est = min(W, 2 * 9400 / ge + 40)
+    return rows_done * width_est / dt
+
+
 def exact_kernel_rate() -> float:
     """Exact-kernel (with traceback) cells/s via one warm mega-launch
     batch — the production configuration, honestly measured."""
@@ -391,12 +464,17 @@ def main():
     speedup = ref_t / ours_t
     if probe_platform() == "tpu":
         try:
-            kernel_rate = exact_kernel_rate()
-            detail["exact_kernel_backend"] = "tpu"
+            kernel_rate = pallas_kernel_rate()
+            detail["exact_kernel_backend"] = "tpu-pallas"
         except Exception as e:
-            sys.stderr.write(f"device kernel bench failed: {e}\n")
-            kernel_rate = host_native_kernel_rate()
-            detail["exact_kernel_backend"] = "host-native"
+            sys.stderr.write(f"pallas kernel bench failed: {e}\n")
+            try:
+                kernel_rate = exact_kernel_rate()
+                detail["exact_kernel_backend"] = "tpu"
+            except Exception as e2:
+                sys.stderr.write(f"device kernel bench failed: {e2}\n")
+                kernel_rate = host_native_kernel_rate()
+                detail["exact_kernel_backend"] = "host-native"
     else:
         kernel_rate = host_native_kernel_rate()
         detail["exact_kernel_backend"] = "host-native"
