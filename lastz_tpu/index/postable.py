@@ -149,11 +149,19 @@ def build_seed_position_table(
             cap = max((end - start - seed.length) // step + 2, 1)
             csr_start = np.zeros(num_words + 1, np.int32)
             out_pos = np.empty(cap, np.uint32)
-            c2b = np.ascontiguousarray(char_to_bits, np.int8)
             sv = np.ascontiguousarray(seq_v, np.uint8)
-            bm = np.asarray(seed.bit_map, np.int64).reshape(-1, 2)
-            bm_src = np.ascontiguousarray(bm[:, 0])
-            bm_dst = np.ascontiguousarray(bm[:, 1])
+            # per-seed cache (the tweener builds a table per window)
+            cached = getattr(seed, "_pt_tables", None)
+            if cached is None or cached[3] is not char_to_bits:
+                c2b = np.ascontiguousarray(char_to_bits, np.int8)
+                bmx = np.asarray(seed.bit_map,
+                                 np.int64).reshape(-1, 2)
+                bm_src = np.ascontiguousarray(bmx[:, 0])
+                bm_dst = np.ascontiguousarray(bmx[:, 1])
+                cached = (c2b, bm_src, bm_dst, char_to_bits)
+                seed._pt_tables = cached
+            c2b, bm_src, bm_dst, _ = cached
+            bm = bm_src  # len() only
             i64c = ctypes.c_int64
             n = lib.build_postable(
                 sv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

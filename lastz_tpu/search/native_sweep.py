@@ -88,11 +88,19 @@ def native_hit_search(engine, start: int = 0, end: int = 0):
     lib = engine._native[0]
     hp = engine.hp
 
-    c2b = np.ascontiguousarray(engine.char_to_bits, np.int8)
-    bm = np.asarray(seed.bit_map, np.int64).reshape(-1, 2)
-    bm_src = np.ascontiguousarray(bm[:, 0])
-    bm_dst = np.ascontiguousarray(bm[:, 1])
-    xors = np.ascontiguousarray(_probe_xors(seed), dtype=np.int64)
+    # seed-derived tables cached on the seed object: the tweener runs
+    # this per 2 kb window, where re-deriving them dominated the call
+    cached = getattr(seed, "_native_tables", None)
+    if cached is None or cached[4] is not engine.char_to_bits:
+        c2b = np.ascontiguousarray(engine.char_to_bits, np.int8)
+        bm = np.asarray(seed.bit_map, np.int64).reshape(-1, 2)
+        bm_src = np.ascontiguousarray(bm[:, 0])
+        bm_dst = np.ascontiguousarray(bm[:, 1])
+        xors = np.ascontiguousarray(_probe_xors(seed), dtype=np.int64)
+        cached = (c2b, bm_src, bm_dst, xors, engine.char_to_bits)
+        seed._native_tables = cached
+    c2b, bm_src, bm_dst, xors, _ = cached
+    n_bm = len(bm_src)
     if len(xors) > 264:          # native probe buffer cap
         return None
 
@@ -128,7 +136,9 @@ def native_hit_search(engine, start: int = 0, end: int = 0):
     de_snap = de.copy()
     da_snap = da.copy()
 
-    cap = 1 << 20
+    # output capacity scaled to the scan size (a tiny tweener window
+    # must not pay a 40 MB allocation); overflow reruns with room
+    cap = int(min(1 << 20, max(4096, 2 * (end - start))))
     while True:
         out = {k: np.empty(cap, np.int64)
                for k in ("pos1", "pos2", "len", "score", "grp")}
@@ -141,7 +151,7 @@ def native_hit_search(engine, start: int = 0, end: int = 0):
             c2b.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             i64(seed.bits_per_base),
             bm_src.ctypes.data_as(p_i64),
-            bm_dst.ctypes.data_as(p_i64), i64(len(bm)),
+            bm_dst.ctypes.data_as(p_i64), i64(n_bm),
             xors.ctypes.data_as(p_i64), i64(len(xors)),
             csr_start.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_int32)),
