@@ -935,6 +935,85 @@ static void ydrop_row32(
 }
 
 // ---------------------------------------------------------------------------
+// SIMD fill of a row's substitution-score strip SROW[k] =
+// sub[a_char][B[LY+k]] — 16 query bytes per iteration through a
+// per-row-char pshufb LUT, validated at sweep start and screened per
+// block (any byte outside uppercase ACGT drops the remainder of the
+// strip to the scalar loop, exactly like the x-drop fast path).
+struct SGCtx {
+    int valid;
+    __m128i lut[4];          // indexed by (a_char >> 1) & 3
+};
+
+static void sgctx_init(SGCtx* g, const int64_t* sub)
+{
+    g->valid = 0;
+    static const uint8_t UP[4] = {'A', 'C', 'T', 'G'};
+    for (int ca = 0; ca < 4; ++ca) {
+        int8_t lut[16];
+        for (int cb = 0; cb < 4; ++cb) {
+            int64_t v = sub[(int64_t)UP[ca] * 256 + UP[cb]];
+            if (v < -128 || v > 127) return;
+            for (int rep = 0; rep < 4; ++rep)
+                lut[rep * 4 + cb] = (int8_t)v;
+        }
+        g->lut[(UP[ca] >> 1) & 3] = _mm_loadu_si128(
+            (const __m128i*)lut);
+    }
+    g->valid = 1;
+}
+
+static inline int is_ucacgt(uint8_t c)
+{
+    return c == 'A' || c == 'C' || c == 'G' || c == 'T';
+}
+
+// fill SROW[0..cnt-1] from v2[b_origin + b_step*(LY..LY+cnt-1)]
+static inline void srow_fill(
+    int32_t* SROW, const uint8_t* v2, int64_t b_origin,
+    int64_t b_step, int64_t LY, int64_t cnt,
+    const int64_t* srow64, const SGCtx* g, uint8_t a_char)
+{
+    int64_t k = 0;
+    if (g->valid && is_ucacgt(a_char)) {
+        const __m128i CA = _mm_set1_epi8('A');
+        const __m128i CCq = _mm_set1_epi8('C');
+        const __m128i CG = _mm_set1_epi8('G');
+        const __m128i CT = _mm_set1_epi8('T');
+        const __m128i REV = _mm_set_epi8(0, 1, 2, 3, 4, 5, 6, 7, 8,
+                                         9, 10, 11, 12, 13, 14, 15);
+        const __m128i M3 = _mm_set1_epi8(3);
+        const __m128i lut = g->lut[(a_char >> 1) & 3];
+        const uint8_t* base = v2 + b_origin + b_step * LY;
+        while (k + 16 <= cnt) {
+            __m128i b;
+            if (b_step > 0)
+                b = _mm_loadu_si128((const __m128i*)(base + k));
+            else
+                b = _mm_shuffle_epi8(_mm_loadu_si128(
+                        (const __m128i*)(base - k - 15)), REV);
+            __m128i vb = _mm_or_si128(
+                _mm_or_si128(_mm_cmpeq_epi8(b, CA),
+                             _mm_cmpeq_epi8(b, CCq)),
+                _mm_or_si128(_mm_cmpeq_epi8(b, CG),
+                             _mm_cmpeq_epi8(b, CT)));
+            if (_mm_movemask_epi8(vb) != 0xFFFF)
+                break;  // irregular byte: scalar remainder
+            __m128i code = _mm_and_si128(_mm_srli_epi16(b, 1), M3);
+            __m128i s8 = _mm_shuffle_epi8(lut, code);
+            __m256i lo = _mm256_cvtepi8_epi32(s8);
+            __m256i hi = _mm256_cvtepi8_epi32(
+                _mm_srli_si128(s8, 8));
+            _mm256_storeu_si256((__m256i*)(SROW + k), lo);
+            _mm256_storeu_si256((__m256i*)(SROW + k + 8), hi);
+            k += 16;
+        }
+    }
+    for (; k < cnt; ++k)
+        SROW[k] = (int32_t)srow64[v2[b_origin + b_step * (LY + k)]];
+}
+
+// ---------------------------------------------------------------------------
 // Whole-extension sweep: the entire ydrop_one_sided_align row loop
 // (gapped_extend.c:3388-3860) in one native call, including L/R bound
 // maintenance (update_LR_bounds, flattened by the Python caller into
@@ -1026,6 +1105,8 @@ void ydrop_sweep(
     const int32_t ge32 = (int32_t)gap_e;
     const int32_t goe32 = (int32_t)gap_oe;
     const int32_t yd32 = (int32_t)y_drop;
+    SGCtx sg;
+    sgctx_init(&sg, sub);
 
     int64_t need0 = y_drop_tail + 1024;
     if (need0 > cells_cap) {
@@ -1186,11 +1267,11 @@ void ydrop_sweep(
         // dependent byte->table chain), then the int32 row step
         const uint8_t a_char = v1[a_origin + a_step * row];
         {
-            const int64_t* srow = sub + 256 * (int64_t)a_char;
             int64_t s_last = (RY < N ? RY : N);
-            for (int64_t j = LY; j <= s_last; ++j)
-                SROW[j - LY] = (int32_t)srow[
-                    v2[b_origin + b_step * j]];
+            if (s_last >= LY)
+                srow_fill(SROW, v2, b_origin, b_step, LY,
+                          s_last - LY + 1,
+                          sub + 256 * (int64_t)a_char, &sg, a_char);
         }
         RowResult32 res;
         ydrop_row32(CC, DD, MASK, tb, SROW,

@@ -190,11 +190,12 @@ def lav_align(v1, beg1, end1, v2, beg2, end2, script, s) -> str:
         match = 0
         while op_ix < len(ops) and ops[op_ix][0] == "S":
             r = ops[op_ix][1]
-            seg1 = _upper(v1[b1 - 1 + i + run : b1 - 1 + i + run + r])
-            seg2 = _upper(v2[b2 - 1 + j + run : b2 - 1 + j + run + r])
+            seg1 = v1[b1 - 1 + i + run : b1 - 1 + i + run + r]
+            seg2 = v2[b2 - 1 + j + run : b2 - 1 + j + run + r]
             # match counts ANY equal characters after case folding
-            # (edit_script_run_of_subs_match, edit_script.c)
-            match += int(np.count_nonzero(seg1 == seg2))
+            # (edit_script_run_of_subs_match, edit_script.c); for
+            # ASCII letters x|32 == y|32 <=> toupper(x) == toupper(y)
+            match += int(np.count_nonzero((seg1 | 32) == (seg2 | 32)))
             run += r
             op_ix += 1
         i += run
