@@ -796,6 +796,10 @@ class YDropAligner:
         from .. import stats as _stats
         ex = _stats.current.extra
         ex["ydrop_cells"] = ex.get("ydrop_cells", 0) + int(res.tbp)
+        if res.n_rows:  # LASTZ_TPU_SWEEP_PROF=1 cycle buckets
+            ex["sweep_rows"] = ex.get("sweep_rows", 0) + int(res.n_rows)
+            for f in ("cy_srow", "cy_row", "cy_other"):
+                ex[f] = ex.get(f, 0) + int(getattr(res, f))
 
         end1, end2 = res.end1, res.end2
         if res.truncated and self.report_truncations:

@@ -42,6 +42,11 @@ class SweepResult(ctypes.Structure):
         ("truncated", ctypes.c_int64),
         ("n_ops", ctypes.c_int64),
         ("tbp", ctypes.c_int64),
+        # cycle buckets, filled only under LASTZ_TPU_SWEEP_PROF=1
+        ("n_rows", ctypes.c_int64),
+        ("cy_srow", ctypes.c_int64),
+        ("cy_row", ctypes.c_int64),
+        ("cy_other", ctypes.c_int64),
     ]
 
 

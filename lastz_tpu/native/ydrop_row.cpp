@@ -773,12 +773,180 @@ static inline void row32_main_avx(
     }
 }
 
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
+// 16-wide AVX-512 row step: same two-pass scheme as row32_main_avx,
+// but full-width lane shifts (valignd) and mask registers halve the
+// serial chain per cell.
+static inline void row32_main_avx512(
+    const int32_t* CCr, const int32_t* DDr, const int32_t* MKr,
+    int32_t* CCw, int32_t* DDw, uint8_t* tbb, const int32_t* Sx,
+    int64_t nB, int32_t row32,
+    int32_t gap_e, int32_t gap_oe, int32_t y_drop, int32_t neg_inf,
+    int32_t& c_io, int32_t& i_io, int32_t& best_io, int32_t& ycut_io,
+    uint64_t& endrc_io, int64_t col0)
+{
+    row32_main(CCr, DDr, MKr, CCw, DDw, tbb, Sx, 1, row32, false,
+               gap_e, gap_oe, y_drop, neg_inf,
+               c_io, i_io, best_io, ycut_io, endrc_io, col0);
+    int64_t j = 1;
+
+    const __m512i NI = _mm512_set1_epi32(neg_inf);
+    const __m512i GE = _mm512_set1_epi32(gap_e);
+    const __m512i GOE = _mm512_set1_epi32(gap_oe);
+    const __m512i LOWS = _mm512_set1_epi32(neg_inf - (1 << 28));
+    int32_t ramp[16];
+    for (int t = 0; t < 16; ++t) ramp[t] = t * gap_e;
+    const __m512i RAMP = _mm512_loadu_si512(ramp);
+    const __m512i NIR = _mm512_add_epi32(NI, RAMP);
+    const __m512i C16v = _mm512_set1_epi32(16);
+    const __m512i C29v = _mm512_set1_epi32(16 | 1 | 4 | 8);
+    const __m512i C30v = _mm512_set1_epi32(16 | 2 | 4 | 8);
+    const __m512i C4v = _mm512_set1_epi32(4);
+    const __m512i C8v = _mm512_set1_epi32(8);
+
+    int32_t carry_i = i_io;
+    int32_t c_diag = c_io;
+
+    while (j + 16 <= nB) {
+        __m512i cd = _mm512_add_epi32(
+            _mm512_loadu_si512(CCr + j - 1),
+            _mm512_loadu_si512(Sx + j - 1));
+        cd = _mm512_mask_mov_epi32(cd, 0x0001,
+                                   _mm512_set1_epi32(c_diag));
+        __m512i d = _mm512_loadu_si512(DDr + j);
+        __mmask16 dgtcd = _mm512_cmpgt_epi32_mask(d, cd);
+        __m512i B = _mm512_add_epi32(
+            _mm512_mask_mov_epi32(_mm512_sub_epi32(cd, GOE), dgtcd,
+                                  LOWS),
+            RAMP);
+        // reset-free decayed prefix max (LOWS no-refresh sentinel)
+        __m512i x = _mm512_max_epi32(
+            B, _mm512_alignr_epi32(B, LOWS, 15));
+        x = _mm512_max_epi32(x, _mm512_alignr_epi32(x, LOWS, 14));
+        x = _mm512_max_epi32(x, _mm512_alignr_epi32(x, LOWS, 12));
+        __m512i PM = _mm512_max_epi32(
+            x, _mm512_alignr_epi32(x, LOWS, 8));
+        __m512i SH = _mm512_alignr_epi32(PM, LOWS, 15);
+        __m512i Y = _mm512_max_epi32(
+            SH, _mm512_set1_epi32(carry_i - gap_e));
+        __m512i v = _mm512_add_epi32(_mm512_sub_epi32(Y, RAMP), GE);
+
+        __m512i g = _mm512_max_epi32(d, v);
+        __mmask16 canC = _mm512_cmpgt_epi32_mask(g, cd);
+        __m512i c_eff = _mm512_max_epi32(g, cd);
+        __mmask16 pr = _mm512_cmpgt_epi32_mask(
+            _mm512_set1_epi32(ycut_io), c_eff);
+        __mmask16 cand = (__mmask16)(
+            ~((unsigned)canC | (unsigned)pr)
+            & (unsigned)_mm512_cmpgt_epi32_mask(
+                c_eff, _mm512_set1_epi32(best_io - 1)));
+        if (__builtin_expect(cand != 0, 0)) {
+            int32_t c_entry = c_diag;
+            row32_main(CCr + j, DDr + j, MKr + j, CCw + j, DDw + j,
+                       tbb + j, Sx + j, 16, row32, false,
+                       gap_e, gap_oe, y_drop, neg_inf,
+                       c_entry, carry_i, best_io, ycut_io,
+                       endrc_io, col0 + j);
+            c_diag = c_entry;
+            j += 16;
+            continue;
+        }
+
+        __m512i vx;
+        if (pr == 0) {
+            vx = v;
+            int32_t pm15 = _mm_extract_epi32(
+                _mm512_extracti32x4_epi32(PM, 3), 3);
+            int32_t ci = carry_i - gap_e;
+            carry_i = (pm15 > ci ? pm15 : ci) - 15 * gap_e;
+        } else {
+            // exact chain: segmented scan with resets at pruned lanes
+            __m512i es = _mm512_mask_mov_epi32(B, pr, NIR);
+            __mmask16 er = pr;
+#define ROW512_SEG_ROUND(SHIFT, IMM)                                 \
+            {                                                        \
+                __m512i s_sh = _mm512_alignr_epi32(es, LOWS, IMM);   \
+                __mmask16 r_sh = (__mmask16)((unsigned)er << SHIFT); \
+                es = _mm512_mask_mov_epi32(                          \
+                    _mm512_max_epi32(es, s_sh), er, es);             \
+                er = (__mmask16)((unsigned)er | (unsigned)r_sh);     \
+            }
+            ROW512_SEG_ROUND(1, 15)
+            ROW512_SEG_ROUND(2, 14)
+            ROW512_SEG_ROUND(4, 12)
+            ROW512_SEG_ROUND(8, 8)
+#undef ROW512_SEG_ROUND
+            __m512i cstar = _mm512_set1_epi32(carry_i - gap_e);
+            __m512i s_fin = _mm512_mask_mov_epi32(
+                _mm512_max_epi32(es, cstar), er, es);
+            __m512i SHx = _mm512_mask_mov_epi32(
+                _mm512_alignr_epi32(s_fin, LOWS, 15), 0x0001, cstar);
+            vx = _mm512_add_epi32(_mm512_sub_epi32(SHx, RAMP), GE);
+            carry_i = _mm_extract_epi32(
+                _mm512_extracti32x4_epi32(s_fin, 3), 3) - 15 * gap_e;
+        }
+
+        __m512i i2 = _mm512_sub_epi32(vx, GE);
+        __m512i c_open = _mm512_sub_epi32(c_eff, GOE);
+        __m512i d2 = _mm512_sub_epi32(d, GE);
+        __m512i dd = _mm512_mask_mov_epi32(
+            _mm512_max_epi32(c_open, d2), canC, d2);
+        __m512i link_c = _mm512_mask_mov_epi32(
+            C30v, _mm512_cmpgt_epi32_mask(vx, d), C29v);
+        __m512i link_n = _mm512_or_epi32(
+            C16v,
+            _mm512_or_epi32(
+                _mm512_maskz_mov_epi32(
+                    (__mmask16)~(unsigned)_mm512_cmpgt_epi32_mask(
+                        c_open, d2), C8v),
+                _mm512_maskz_mov_epi32(
+                    (__mmask16)~(unsigned)_mm512_cmpgt_epi32_mask(
+                        c_open, i2), C4v)));
+        __m512i link = _mm512_maskz_mov_epi32(
+            (__mmask16)~(unsigned)pr,
+            _mm512_mask_mov_epi32(link_n, canC, link_c));
+        __m512i cc_out = _mm512_mask_mov_epi32(c_eff, pr, NI);
+        __m512i dd_out = _mm512_mask_mov_epi32(dd, pr, NI);
+
+        int32_t diag_keep = CCr[j + 15];
+        _mm512_storeu_si512(CCw + j, cc_out);
+        _mm512_storeu_si512(DDw + j, dd_out);
+        _mm_storeu_si128((__m128i*)(tbb + j),
+                         _mm512_cvtepi32_epi8(link));
+        c_diag = diag_keep + Sx[j + 15];
+        j += 16;
+    }
+
+    if (j < nB) {
+        int32_t c_entry = c_diag;
+        row32_main(CCr + j, DDr + j, MKr + j, CCw + j, DDw + j,
+                   tbb + j, Sx + j, nB - j, row32, false,
+                   gap_e, gap_oe, y_drop, neg_inf,
+                   c_entry, carry_i, best_io, ycut_io,
+                   endrc_io, col0 + j);
+        c_io = c_entry;
+        i_io = carry_i;
+    } else {
+        c_io = c_diag;
+        i_io = carry_i;
+    }
+}
+#endif  // AVX-512
+
+// 0 = scalar only, 1 = AVX2 8-wide, 2 = AVX-512 16-wide (default
+// when compiled in; LASTZ_TPU_NO_AVX512_ROW drops to AVX2,
+// LASTZ_TPU_NO_AVX_ROW to scalar)
 static int row_avx_enabled()
 {
     static int v = -1;
     if (v < 0) {
         const char* e = getenv("LASTZ_TPU_NO_AVX_ROW");
-        v = (e && e[0] && e[0] != '0') ? 0 : 1;
+        if (e && e[0] && e[0] != '0')
+            v = 0;
+        else {
+            const char* f = getenv("LASTZ_TPU_NO_AVX512_ROW");
+            v = (f && f[0] && f[0] != '0') ? 1 : 2;
+        }
     }
     return v;
 }
@@ -843,6 +1011,16 @@ static void ydrop_row32(
                 gap_e, gap_oe, y_drop, neg_inf,
                 c, i_val, best_score, yd_cut, end_rc,
                 col);
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
+        else if (nB >= 32 && row_avx_enabled() == 2)
+            row32_main_avx512(
+                CC + off_r, DD + off_r, MASK + off_r,
+                CC + off_w, DD + off_w, tbw,
+                S + col + 1 - LY0, nB, row32,
+                gap_e, gap_oe, y_drop, neg_inf,
+                c, i_val, best_score, yd_cut, end_rc,
+                col);
+#endif
         else if (nB >= 16 && row_avx_enabled())
             row32_main_avx(
                 CC + off_r, DD + off_r, MASK + off_r,
@@ -1039,7 +1217,20 @@ struct SweepResult {
     int64_t truncated;       // tb budget hit (caller reports)
     int64_t n_ops;           // traceback ops written to ops_out
     int64_t tbp;             // traceback bytes consumed
+    // cycle buckets, filled only under LASTZ_TPU_SWEEP_PROF=1
+    int64_t n_rows;
+    int64_t cy_srow, cy_row, cy_other;
 };
+
+static int sweep_prof_enabled()
+{
+    static int v = -1;
+    if (v < 0) {
+        const char* e = getenv("LASTZ_TPU_SWEEP_PROF");
+        v = (e && e[0] && e[0] != '0') ? 1 : 0;
+    }
+    return v;
+}
 
 struct ActState {
     int64_t cur;             // current global seg index
@@ -1168,6 +1359,11 @@ void ydrop_sweep(
     int64_t end_is_boundary = 0;
     int64_t truncated = 0;
 
+    const int prof = sweep_prof_enabled();
+    out->n_rows = 0;
+    out->cy_srow = out->cy_row = out->cy_other = 0;
+    uint64_t t_mark = prof ? __builtin_ia32_rdtsc() : 0;
+
     int64_t row = 1;
     while (row <= M) {
         int64_t prev_LY = LY;
@@ -1266,12 +1462,23 @@ void ydrop_sweep(
         // (simple independent loads, so the cell loop carries no
         // dependent byte->table chain), then the int32 row step
         const uint8_t a_char = v1[a_origin + a_step * row];
+        if (prof) {
+            uint64_t t = __builtin_ia32_rdtsc();
+            out->cy_other += t - t_mark;
+            t_mark = t;
+        }
         {
             int64_t s_last = (RY < N ? RY : N);
             if (s_last >= LY)
                 srow_fill(SROW, v2, b_origin, b_step, LY,
                           s_last - LY + 1,
                           sub + 256 * (int64_t)a_char, &sg, a_char);
+        }
+        if (prof) {
+            uint64_t t = __builtin_ia32_rdtsc();
+            out->cy_srow += t - t_mark;
+            t_mark = t;
+            out->n_rows++;
         }
         RowResult32 res;
         ydrop_row32(CC, DD, MASK, tb, SROW,
@@ -1280,6 +1487,11 @@ void ydrop_sweep(
                     best_score, end1, end2,
                     end_is_boundary, boundary_score,
                     trim_to_peak, n_active > 0, tbp, &res);
+        if (prof) {
+            uint64_t t = __builtin_ia32_rdtsc();
+            out->cy_row += t - t_mark;
+            t_mark = t;
+        }
 #ifdef YDROP_DEBUG
         if (row <= 4)
             fprintf(stderr,
