@@ -300,12 +300,15 @@ static void xdrop_scan_core(
     int64_t k = 0;
 
     if (ctx && ctx->valid) {
-        const __m128i CA = _mm_set1_epi8('A'), CC_ = _mm_set1_epi8('C');
-        const __m128i CG = _mm_set1_epi8('G'), CT = _mm_set1_epi8('T');
         const __m128i REV = _mm_set_epi8(0, 1, 2, 3, 4, 5, 6, 7,
                                          8, 9, 10, 11, 12, 13, 14, 15);
         const __m128i M3 = _mm_set1_epi8(3);
         const __m128i M12 = _mm_set1_epi8(12);
+        // NUC[code] reconstructs the byte a code came from; equality
+        // with the original byte IS the uppercase-ACGT screen
+        const __m128i NUC = _mm_setr_epi8(
+            'A', 'C', 'T', 'G', 'A', 'C', 'T', 'G',
+            'A', 'C', 'T', 'G', 'A', 'C', 'T', 'G');
         const __m256i XD = _mm256_set1_epi16((int16_t)x_drop);
         const __m256i IDX = _mm256_setr_epi16(0, 1, 2, 3, 4, 5, 6, 7,
                                               8, 9, 10, 11, 12, 13,
@@ -321,22 +324,14 @@ static void xdrop_scan_core(
                 b = _mm_shuffle_epi8(_mm_loadu_si128(
                         (const __m128i*)(s2 + p2 - k - 15)), REV);
             }
-            // all 32 bytes must be uppercase ACGT
-            __m128i va = _mm_or_si128(
-                _mm_or_si128(_mm_cmpeq_epi8(a, CA),
-                             _mm_cmpeq_epi8(a, CC_)),
-                _mm_or_si128(_mm_cmpeq_epi8(a, CG),
-                             _mm_cmpeq_epi8(a, CT)));
-            __m128i vb = _mm_or_si128(
-                _mm_or_si128(_mm_cmpeq_epi8(b, CA),
-                             _mm_cmpeq_epi8(b, CC_)),
-                _mm_or_si128(_mm_cmpeq_epi8(b, CG),
-                             _mm_cmpeq_epi8(b, CT)));
-            if (_mm_movemask_epi8(_mm_and_si128(va, vb)) != 0xFFFF)
-                break;  // irregular characters: finish scalar
-
             __m128i ca2 = _mm_and_si128(_mm_srli_epi16(a, 1), M3);
             __m128i cb2 = _mm_and_si128(_mm_srli_epi16(b, 1), M3);
+            __m128i ok = _mm_and_si128(
+                _mm_cmpeq_epi8(_mm_shuffle_epi8(NUC, ca2), a),
+                _mm_cmpeq_epi8(_mm_shuffle_epi8(NUC, cb2), b));
+            if (_mm_movemask_epi8(ok) != 0xFFFF)
+                break;  // irregular characters: finish scalar
+
             __m128i idx = _mm_or_si128(
                 _mm_and_si128(_mm_slli_epi16(ca2, 2), M12), cb2);
             __m128i s8 = _mm_shuffle_epi8(ctx->lut, idx);
@@ -361,8 +356,13 @@ static void xdrop_scan_core(
                 Pm = _mm256_blendv_epi8(_mm256_set1_epi16(-32768),
                                         P, keep);
             }
-            int16_t bmax = hmax16(Pm);
-            if (bmax > 0) {
+            // best advances only when some prefix goes positive —
+            // rare on junk hits, so gate the horizontal reduction
+            uint32_t posm = (uint32_t)_mm256_movemask_epi8(
+                _mm256_cmpgt_epi16(Pm, _mm256_setzero_si256()));
+            int16_t bmax = 0;
+            if (__builtin_expect(posm != 0, 0)) {
+                bmax = hmax16(Pm);
                 __m256i eq = _mm256_cmpeq_epi16(
                     Pm, _mm256_set1_epi16(bmax));
                 uint32_t em = (uint32_t)_mm256_movemask_epi8(eq);
@@ -1793,6 +1793,7 @@ void hit_sweep(
     int64_t n_out = 0, raw = 0, dropped = 0, exts = 0;
     uint64_t ext_cyc = 0;
     int64_t ext_steps = 0;
+    const int ext_prof = sweep_prof_enabled();
     SimdCtx sctx;
     simd_ctx_init(&sctx, sub, x_drop);
     int64_t i = -1;  // valid-word ordinal (matches numpy valid_idx)
@@ -1907,12 +1908,13 @@ void hit_sweep(
                 int64_t stop1r = len1 < len2 + diag ? len1
                                                     : len2 + diag;
                 int64_t lstart, lscore, rstop, rscore, rblock;
-                uint64_t t0 = __builtin_ia32_rdtsc();
+                uint64_t t0 = ext_prof ? __builtin_ia32_rdtsc() : 0;
                 ext_steps += xdrop_extend_impl(
                     s1, s2, sub, &sctx, pos1, pos2, stop1, stop1r,
                     x_drop, &lstart, &lscore, &rstop,
                     &rscore, &rblock);
-                ext_cyc += __builtin_ia32_rdtsc() - t0;
+                if (ext_prof)
+                    ext_cyc += __builtin_ia32_rdtsc() - t0;
                 int64_t extent = rblock - diag;
                 if (extent > de[h]) { de[h] = extent; da[h] = diag; }
                 int64_t np1 = rstop;
