@@ -192,13 +192,32 @@ class DeviceYDrop:
                   trim_to_peak=self.trim_to_peak, tb_cap=self.tb_cap)
         subsmall = jnp.asarray(self.subsmall)
 
+        # LASTZ_TPU_PALLAS=1 routes the mega-launch through the
+        # Pallas chunk kernel (ops/ydrop_pallas_exact.ydrop_mega_pallas)
+        # instead of the XLA scan kernel; identical contract, chunk
+        # rows capped at 512 for the kernel's VMEM budget
+        use_pallas = os.environ.get("LASTZ_TPU_PALLAS", "") \
+            not in ("", "0")
+        if use_pallas:
+            import jax
+            from ..ops.ydrop_pallas_exact import ydrop_mega_pallas
+            p_rows = min(self.rows, 512)
+            kw = dict(kw, rows=p_rows,
+                      max_blocks=kw["max_blocks"]
+                      * max(1, self.rows // p_rows),
+                      G=int(os.environ.get("LASTZ_TPU_PALLAS_G", "8")),
+                      interpret=jax.default_backend() == "cpu")
+            mega = ydrop_mega_pallas
+        else:
+            mega = ydrop_mega
+
         from .. import stats as _stats
         _x = _stats.current.extra
         t_launch = _stats.current.time("ydrop device")
         t_launch.__enter__()
         state, prev_off, packed, tb_all, row_lo, row_hi, col0 = \
-            ydrop_mega(*args, state, prev_off, subsmall,
-                       with_tb=True, **kw)
+            mega(*args, state, prev_off, subsmall,
+                 with_tb=True, **kw)
         pk = np.asarray(packed)
         done1 = pk[3].astype(bool)
         nblk1 = pk[12].copy()
@@ -207,7 +226,7 @@ class DeviceYDrop:
         # score-only continuation for extensions beyond the retained
         # blocks (their traceback falls back to the host, as before)
         while not pk[3].astype(bool).all() and blocks < self._MAX_CHUNKS:
-            state, prev_off, packed, _, _, _, _ = ydrop_mega(
+            state, prev_off, packed, _, _, _, _ = mega(
                 *args, state, prev_off, subsmall, with_tb=False, **kw)
             pk = np.asarray(packed)
             blocks += self.max_blocks

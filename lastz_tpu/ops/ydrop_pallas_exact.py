@@ -405,3 +405,113 @@ def ydrop_chunk_pallas(a_small, b_small, b_off, shift, M, N, state,
         "done": sc_o[:, 12] != 0,
     }
     return out_state, tb.reshape(B, rows + 1, W)
+
+
+# ---------------------------------------------------------------------------
+# mega-launch on the Pallas kernel: gather + chunk in a device-side
+# while loop, same contract as ydrop_exact.ydrop_mega
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gap_e", "gap_oe", "y_drop", "lanes", "rows",
+                     "max_blocks", "alpha", "trim_to_peak", "tb_cap",
+                     "with_tb", "G", "interpret"))
+def ydrop_mega_pallas(v1c, v2c, a1, a2, low1, high1, low2, high2,
+                      rev, M, N, state, prev_off0, subsmall,
+                      gap_e: int, gap_oe: int, y_drop: int,
+                      lanes: int, rows: int, max_blocks: int,
+                      alpha: int, trim_to_peak: bool, tb_cap: int,
+                      with_tb: bool = True, G: int = 8,
+                      interpret: bool = False):
+    """Pallas-backed ydrop_mega: up to `max_blocks` resumable chunks
+    without leaving the device, windows gathered batched from the
+    device-resident compact-coded sequences (exact index arithmetic
+    of ydrop_exact._mega_one; reference row sweep
+    gapped_extend.c:3683-3775).  Returns the same
+    (state', prev_off', packed, tb_all, row_lo, row_hi, col0) tuple,
+    with tb_all shaped (B, max_blocks, rows+1, lanes)."""
+    W = lanes
+    B = a1.shape[0]
+    R1 = rows + 1
+    r_iota = jnp.arange(rows, dtype=jnp.int32)[None, :]
+    l_iota = jnp.arange(W, dtype=jnp.int32)[None, :]
+    L1 = v1c.shape[0]
+    L2 = v2c.shape[0]
+
+    def gather(st, prev_off):
+        row_base = st["row"] - 1
+        b_off = jnp.where(st["done"], prev_off, st["LY"])
+        shift = b_off - prev_off
+        a_idx = jnp.where(rev[:, None],
+                          a1[:, None] - row_base[:, None] - r_iota,
+                          a1[:, None] + 1 + row_base[:, None] + r_iota)
+        a_ok = jnp.where(rev[:, None], a_idx >= low1[:, None],
+                         (a_idx < high1[:, None])
+                         & (a_idx >= low1[:, None]))
+        a_win = jnp.where(
+            a_ok, v1c[jnp.clip(a_idx, 0, L1 - 1)].astype(jnp.int32),
+            0)
+        c = b_off[:, None] + l_iota
+        b_idx = jnp.where(rev[:, None], a2[:, None] + 1 - c,
+                          a2[:, None] + c)
+        b_ok = jnp.where(rev[:, None],
+                         (b_idx >= low2[:, None]) & (c >= 1),
+                         (b_idx < high2[:, None])
+                         & (b_idx >= low2[:, None]))
+        b_win = jnp.where(
+            b_ok, v2c[jnp.clip(b_idx, 0, L2 - 1)].astype(jnp.int32),
+            0)
+        return a_win, b_win, b_off, shift
+
+    kw = dict(gap_e=gap_e, gap_oe=gap_oe, y_drop=y_drop, lanes=W,
+              rows=rows, alpha=alpha, trim_to_peak=trim_to_peak,
+              tb_cap=tb_cap, G=G, interpret=interpret)
+
+    def cond(carry):
+        st = carry[0]
+        k = carry[2]
+        return (k < max_blocks) & jnp.any(~st["done"])
+
+    def body(carry):
+        st, prev_off, k, tb_all, row_lo, row_hi, col0 = carry
+        row_base = st["row"] - 1
+        a_win, b_win, b_off, shift = gather(st, prev_off)
+        st2, tb = ydrop_chunk_pallas(
+            a_win, b_win, b_off, shift, M, N, st, subsmall, **kw)
+        if with_tb:
+            tb_all = jax.lax.dynamic_update_slice(
+                tb_all, tb[:, None], (0, k, 0, 0))
+        # anchors already done ride along with keep=False (their tb
+        # rows are zeros): exclude those blocks from the traceback
+        # walker's block selection
+        lo_val = jnp.where(st["done"], jnp.int32(1 << 30),
+                           row_base + 1)
+        row_lo = jax.lax.dynamic_update_slice(
+            row_lo, lo_val[:, None], (0, k))
+        row_hi = jax.lax.dynamic_update_slice(
+            row_hi, st2["rows_used"][:, None], (0, k))
+        col0 = jax.lax.dynamic_update_slice(
+            col0, b_off[:, None], (0, k))
+        return st2, b_off, k + 1, tb_all, row_lo, row_hi, col0
+
+    tb0 = jnp.zeros((B, max_blocks if with_tb else 1,
+                     R1 if with_tb else 1,
+                     W if with_tb else 1), jnp.uint8)
+    z = jnp.zeros((B, max_blocks), jnp.int32)
+    st0 = {k: state[k] for k in
+           ("CC", "DD", "LY", "RY", "row", "best", "end1", "end2",
+            "bscore", "bflag", "tbp", "rows_used", "maxRY", "status",
+            "done")}
+    carry = (st0, prev_off0.astype(jnp.int32), jnp.int32(0), tb0,
+             z, z, z)
+    st, prev_off, k, tb_all, row_lo, row_hi, col0 = \
+        jax.lax.while_loop(cond, body, carry)
+    packed = jnp.stack([
+        st["row"], st["LY"], st["rows_used"],
+        st["done"].astype(jnp.int32), st["status"], st["best"],
+        st["end1"], st["end2"], st["bscore"],
+        st["bflag"].astype(jnp.int32), st["tbp"], st["maxRY"],
+        jnp.broadcast_to(k, st["row"].shape)])
+    return st, prev_off, packed, tb_all, row_lo, row_hi, col0
