@@ -218,19 +218,51 @@ class DeviceYDrop:
         state, prev_off, packed, tb_all, row_lo, row_hi, col0 = \
             mega(*args, state, prev_off, subsmall,
                  with_tb=True, **kw)
-        pk = np.asarray(packed)
+        pk = np.asarray(packed).copy()
         done1 = pk[3].astype(bool)
         nblk1 = pk[12].copy()
         blocks = self.max_blocks
         launches = 1
+        cont_lanes = 0
         # score-only continuation for extensions beyond the retained
-        # blocks (their traceback falls back to the host, as before)
-        while not pk[3].astype(bool).all() and blocks < self._MAX_CHUNKS:
-            state, prev_off, packed, _, _, _, _ = mega(
-                *args, state, prev_off, subsmall, with_tb=False, **kw)
-            pk = np.asarray(packed)
-            blocks += self.max_blocks
-            launches += 1
+        # blocks (their traceback falls back to the host, as before).
+        # Live lanes are COMPACTED into a fresh small batch so done
+        # anchors stop occupying kernel lanes (padded to a lane
+        # multiple; the pad lanes are marked done).
+        undone = np.nonzero(~pk[3].astype(bool))[0]
+        if len(undone):
+            import jax.numpy as jnp2
+            # bucket to powers of two so compacted batches reuse a
+            # handful of jit shapes
+            nlive = len(undone)
+            padded = 8
+            while padded < nlive:
+                padded *= 2
+            npad = padded - nlive
+            sel = np.concatenate(
+                [undone, np.zeros(npad, np.int64)]).astype(np.int32)
+            selj = jnp2.asarray(sel)
+            c_args = tuple(args[:2]) + tuple(
+                a[selj] for a in args[2:])
+            c_state = {k: v[selj] for k, v in state.items()}
+            if npad:
+                padmask = np.zeros(len(sel), bool)
+                padmask[nlive:] = True
+                c_state["done"] = jnp2.asarray(
+                    np.asarray(c_state["done"]) | padmask)
+            c_prev = prev_off[selj]
+            while blocks < self._MAX_CHUNKS:
+                c_state, c_prev, c_packed, _, _, _, _ = mega(
+                    *c_args, c_state, c_prev, subsmall,
+                    with_tb=False, **kw)
+                cpk = np.asarray(c_packed)
+                blocks += self.max_blocks
+                launches += 1
+                cont_lanes += len(sel)
+                if cpk[3].astype(bool).all():
+                    break
+            # scatter compacted results back into the packed view
+            pk[:, sel[:nlive]] = cpk[:, :nlive]
         # utilization / fallback visibility (--stats):
         # rows launched counts every lane of every block swept; rows
         # used counts DP rows the lanes actually consumed
@@ -242,7 +274,7 @@ class DeviceYDrop:
                                  + int(pk[2][real].sum()))
         _x["ydrop rows launched"] = (
             _x.get("ydrop rows launched", 0)
-            + launches * self.max_blocks * self.rows * 2 * B)
+            + (2 * B + cont_lanes) * self.max_blocks * self.rows)
         tb_redo = int((real & ~done1).sum())
         if tb_redo:
             # extensions longer than the retained traceback blocks:
