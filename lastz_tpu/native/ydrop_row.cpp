@@ -600,16 +600,20 @@ static inline void row32_main_avx(
                                        -1, -1, -1, -1, -1, -1, -1,
                                        -1);
     int32_t carry_i = i_io;
-    // previous-row diagonal entering cell j.  CCr[j-1] aliases the
-    // already-stored CCw[j-1] whenever LY hasn't advanced, so lane 0
-    // of every diagonal load is patched from this scalar instead.
-    int32_t c_diag = c_io;
+    // raw previous-row diagonal CCr_old[j-1], carried as a scalar:
+    // loading CCr+j-1 would partially overlap the previous block's
+    // store (store-to-load-forward failure); load the hazard-free
+    // CCr[j..j+7] and shift the carried lane in
+    int32_t diag_raw = c_io - Sx[0];
 
     while (j + 8 <= nB) {
+        __m256i LDC = _mm256_loadu_si256((const __m256i*)(CCr + j));
+        int32_t diag_next = CCr[j + 7];    // pre-store value
+        __m256i csh = _mm256_blend_epi32(
+            _mm256_permutevar8x32_epi32(LDC, SH1),
+            _mm256_set1_epi32(diag_raw), 0x01);
         __m256i cd = _mm256_add_epi32(
-            _mm256_loadu_si256((const __m256i*)(CCr + j - 1)),
-            _mm256_loadu_si256((const __m256i*)(Sx + j - 1)));
-        cd = _mm256_blend_epi32(cd, _mm256_set1_epi32(c_diag), 0x01);
+            csh, _mm256_loadu_si256((const __m256i*)(Sx + j - 1)));
         __m256i d = _mm256_loadu_si256((const __m256i*)(DDr + j));
         // reset-free decayed prefix max of the refresh values; the
         // no-refresh sentinel sits BELOW any decayed chain value
@@ -646,13 +650,13 @@ static inline void row32_main_avx(
         if (__builtin_expect(!_mm256_testz_si256(cand, cand), 0)) {
             // possible best update: replay the block scalar (exact
             // best/yd_cut/end bookkeeping), then resume
-            int32_t c_entry = c_diag;
+            int32_t c_entry = diag_raw + Sx[j - 1];
             row32_main(CCr + j, DDr + j, MKr + j, CCw + j, DDw + j,
                        tbb + j, Sx + j, 8, row32, false,
                        gap_e, gap_oe, y_drop, neg_inf,
                        c_entry, carry_i, best_io, ycut_io,
                        endrc_io, col0 + j);
-            c_diag = c_entry;
+            diag_raw = diag_next;
             j += 8;
             continue;
         }
@@ -739,10 +743,6 @@ static inline void row32_main_avx(
         __m256i cc_out = _mm256_blendv_epi8(c_eff, NI8, pr);
         __m256i dd_out = _mm256_blendv_epi8(dd, NI8, pr);
 
-        // read the next diagonal's aliased element before this
-        // block's store can overwrite it
-        int32_t diag_keep = CCr[j + 7];
-
         _mm256_storeu_si256((__m256i*)(CCw + j), cc_out);
         _mm256_storeu_si256((__m256i*)(DDw + j), dd_out);
         __m128i plo = _mm_shuffle_epi8(
@@ -754,12 +754,12 @@ static inline void row32_main_avx(
         memcpy(tbb + j, &wlo, 4);
         memcpy(tbb + j + 4, &whi, 4);
 
-        c_diag = diag_keep + Sx[j + 7];
+        diag_raw = diag_next;
         j += 8;
     }
 
     if (j < nB) {
-        int32_t c_entry = c_diag;
+        int32_t c_entry = diag_raw + Sx[j - 1];
         row32_main(CCr + j, DDr + j, MKr + j, CCw + j, DDw + j,
                    tbb + j, Sx + j, nB - j, row32, false,
                    gap_e, gap_oe, y_drop, neg_inf,
@@ -768,9 +768,29 @@ static inline void row32_main_avx(
         c_io = c_entry;
         i_io = carry_i;
     } else {
-        c_io = c_diag;
+        c_io = diag_raw + Sx[nB - 1];
         i_io = carry_i;
     }
+}
+
+// finer per-phase cycle buckets inside ydrop_row32, filled only
+// under LASTZ_TPU_SWEEP_PROF=1; fetched via sweep_prof_phases()
+static int sweep_prof_enabled();
+static thread_local int64_t g_cy_phaseA = 0, g_cy_main = 0,
+    g_cy_phaseC = 0, g_cy_npcol = 0;
+static thread_local int64_t g_blk_total = 0, g_blk_reset = 0,
+    g_blk_redo = 0, g_tail_cells = 0;
+
+void sweep_prof_phases(int64_t* out8)
+{
+    out8[0] = g_cy_phaseA;
+    out8[1] = g_cy_main;
+    out8[2] = g_cy_phaseC;
+    out8[3] = g_cy_npcol;
+    out8[4] = g_blk_total;
+    out8[5] = g_blk_reset;
+    out8[6] = g_blk_redo;
+    out8[7] = g_tail_cells;
 }
 
 #if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VL__)
@@ -805,14 +825,20 @@ static inline void row32_main_avx512(
     const __m512i C8v = _mm512_set1_epi32(8);
 
     int32_t carry_i = i_io;
-    int32_t c_diag = c_io;
+    // raw previous-row diagonal CCr_old[j-1], carried as a scalar:
+    // loading CCr+j-1 directly would partially overlap the previous
+    // block's 64-byte store (store-to-load-forward failure, ~20cy
+    // per block); instead load the hazard-free CCr[j..j+15] and
+    // shift the carried lane in with valignd
+    int32_t diag_raw = c_io - Sx[0];
 
     while (j + 16 <= nB) {
+        __m512i LDC = _mm512_loadu_si512(CCr + j);
+        int32_t diag_next = CCr[j + 15];   // pre-store value
         __m512i cd = _mm512_add_epi32(
-            _mm512_loadu_si512(CCr + j - 1),
+            _mm512_alignr_epi32(LDC, _mm512_set1_epi32(diag_raw),
+                                15),
             _mm512_loadu_si512(Sx + j - 1));
-        cd = _mm512_mask_mov_epi32(cd, 0x0001,
-                                   _mm512_set1_epi32(c_diag));
         __m512i d = _mm512_loadu_si512(DDr + j);
         __mmask16 dgtcd = _mm512_cmpgt_epi32_mask(d, cd);
         __m512i B = _mm512_add_epi32(
@@ -840,18 +866,21 @@ static inline void row32_main_avx512(
             ~((unsigned)canC | (unsigned)pr)
             & (unsigned)_mm512_cmpgt_epi32_mask(
                 c_eff, _mm512_set1_epi32(best_io - 1)));
+        ++g_blk_total;
         if (__builtin_expect(cand != 0, 0)) {
-            int32_t c_entry = c_diag;
+            ++g_blk_redo;
+            int32_t c_entry = diag_raw + Sx[j - 1];
             row32_main(CCr + j, DDr + j, MKr + j, CCw + j, DDw + j,
                        tbb + j, Sx + j, 16, row32, false,
                        gap_e, gap_oe, y_drop, neg_inf,
                        c_entry, carry_i, best_io, ycut_io,
                        endrc_io, col0 + j);
-            c_diag = c_entry;
+            diag_raw = diag_next;
             j += 16;
             continue;
         }
 
+        g_blk_reset += (pr != 0);
         __m512i vx;
         if (pr == 0) {
             vx = v;
@@ -908,17 +937,17 @@ static inline void row32_main_avx512(
         __m512i cc_out = _mm512_mask_mov_epi32(c_eff, pr, NI);
         __m512i dd_out = _mm512_mask_mov_epi32(dd, pr, NI);
 
-        int32_t diag_keep = CCr[j + 15];
         _mm512_storeu_si512(CCw + j, cc_out);
         _mm512_storeu_si512(DDw + j, dd_out);
         _mm_storeu_si128((__m128i*)(tbb + j),
                          _mm512_cvtepi32_epi8(link));
-        c_diag = diag_keep + Sx[j + 15];
+        diag_raw = diag_next;
         j += 16;
     }
 
     if (j < nB) {
-        int32_t c_entry = c_diag;
+        g_tail_cells += nB - j;
+        int32_t c_entry = diag_raw + Sx[j - 1];
         row32_main(CCr + j, DDr + j, MKr + j, CCw + j, DDw + j,
                    tbb + j, Sx + j, nB - j, row32, false,
                    gap_e, gap_oe, y_drop, neg_inf,
@@ -927,7 +956,7 @@ static inline void row32_main_avx512(
         c_io = c_entry;
         i_io = carry_i;
     } else {
-        c_io = c_diag;
+        c_io = diag_raw + Sx[nB - 1];
         i_io = carry_i;
     }
 }
@@ -967,6 +996,8 @@ static void ydrop_row32(
     RowResult32* out)
 {
     const int64_t LY0 = LY;
+    const int rprof = sweep_prof_enabled();
+    uint64_t rpt = rprof ? __builtin_ia32_rdtsc() : 0;
     int64_t col = LY;
     int64_t np_col = col;
     int32_t i_val = neg_inf;
@@ -994,6 +1025,10 @@ static void ydrop_row32(
         ++LY;
     }
 
+    if (rprof) {
+        uint64_t t = __builtin_ia32_rdtsc();
+        g_cy_phaseA += t - rpt; rpt = t;
+    }
     // -- phase B: tight main loop; the final cell is handled
     // separately when it sits on column N (boundary semantics and
     // the c_next guard differ there)
@@ -1041,6 +1076,10 @@ static void ydrop_row32(
         col += nB;
     }
 
+    if (rprof) {
+        uint64_t t = __builtin_ia32_rdtsc();
+        g_cy_main += t - rpt; rpt = t;
+    }
     // -- phase C: generic per-cell loop for whatever remains (the
     // column-N cell, or every kept cell of a boundary row)
     for (; col <= last_col; ++col) {
@@ -1090,6 +1129,10 @@ static void ydrop_row32(
         c = c_next;
     }
 
+    if (rprof) {
+        uint64_t t = __builtin_ia32_rdtsc();
+        g_cy_phaseC += t - rpt; rpt = t;
+    }
     // np_col = rightmost kept cell (bit 4 marks kept tb bytes);
     // if nothing was kept it stays at the row's entry column
     {
@@ -1100,6 +1143,8 @@ static void ydrop_row32(
         np_col = (k >= 0) ? LY0 + k : LY0;
     }
 
+    if (rprof)
+        g_cy_npcol += __builtin_ia32_rdtsc() - rpt;
     out->LY = LY;
     out->np_col = np_col;
     out->i_val = i_val;
