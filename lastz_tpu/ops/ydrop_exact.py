@@ -19,12 +19,13 @@ parallel ops:
     pruned cells reset to -inf.  In a decay-compensated domain this is
     a log-shift scan of the operator
         (s1,r1) x (s2,r2) = (s2 if r2 else max(s1,s2), r1|r2).
-  * prune decisions and branch classification (can/cannot improve C)
-    form an acyclic left-to-right dependency; Jacobi iteration over
-    the (pruned, gap_branch) masks converges to the sequential
-    fixpoint (cells of dependency depth d are final after d rounds;
-    typical rows converge in 2-3 rounds).  Unconverged rows (cap hit)
-    are flagged and the anchor falls back to the host engine.
+  * each row runs TWO passes (docs/two_pass_exact_row.md): pass 1's
+    RESET-FREE decayed chain resolves every decision (prune, branch,
+    best) exactly — contributions crossing a true reset provably stay
+    below the y-drop cut — and pass 2's single reset scan, with the
+    now-known pruned set, recovers the exact I values the link bytes'
+    open-vs-extend ties need.  No fixpoint iteration, no unconverged
+    fallback.
 
 TPU-shaped design decisions:
   * lanes are ABSOLUTE query columns within a per-chunk window (lane l
@@ -93,10 +94,9 @@ MAX_COMP_GAP_E = 60_000             # glue-enforced cap on gapExtend
 # status flags
 ST_OK = 0
 ST_WIDTH_OVERFLOW = 1   # band wider than the static window
-ST_UNCONVERGED = 4      # prune fixpoint cap hit (pathological row)
+ST_UNCONVERGED = 4      # retired (two-pass rows have no fixpoint);
+                        # kept so old status values keep decoding
 ST_TRUNCATED = 8        # traceback arena exhausted (reference semantic)
-
-_FIXPOINT_UNROLL = 3
 
 STATE_KEYS = ("CC", "DD", "LY", "RY", "row", "best", "end1", "end2",
               "bscore", "bflag", "tbp", "rows_used", "maxRY",
@@ -301,7 +301,6 @@ def _chunk_one(a_small, b_small, b_off, shift, M, N, state, subsmall,
         is_seed = active & ~pruned & ~gap
         i_vec, s_incl = _i_chain(c_sub, reset, is_seed, l_iota,
                                  gap_e, gap_oe)
-        unconverged = jnp.bool_(False)
 
         c_val = jnp.where(gap, jnp.maximum(d, i_vec), c_sub)
 
@@ -409,14 +408,12 @@ def _chunk_one(a_small, b_small, b_off, shift, M, N, state, subsmall,
         keep = ~stopped & ~trunc  # truncated/stopped rows never happen
 
         status = st["status"]
-        status = status | jnp.where(keep & unconverged,
-                                    ST_UNCONVERGED, 0)
         status = status | jnp.where(trunc, ST_TRUNCATED, 0)
         status = status | jnp.where(
             keep & width_over & ~dead, ST_WIDTH_OVERFLOW, 0)
 
         done = st["done"] | trunc | (
-            keep & (dead | (row >= M) | width_over | unconverged))
+            keep & (dead | (row >= M) | width_over))
         stop = stopped | done | (keep & window_end)
 
         out = dict(
