@@ -274,13 +274,13 @@ def device_search(engine, start: int = 0, end: int = 0):
     if not no_extend and pmode != "0":
         from ..ops.xdrop_pallas import NB
         backend = jax.default_backend()
-        if ((backend == "tpu" or pmode == "interp")
+        if ((backend not in ("cpu", "gpu") or pmode == "interp")
                 and K <= 12 and H % NB == 0 and H >= NB
                 and np.abs(subsmall).max() < (1 << 30)):
             use_pallas = True
             static_kw["sub_tuple"] = tuple(
                 int(v) for v in subsmall.reshape(-1))
-            static_kw["pallas_interpret"] = backend != "tpu"
+            static_kw["pallas_interpret"] = backend in ("cpu", "gpu")
             seq1_rows = _seq_rows32(engine.seq1, code_map)
             seq2_rows = _seq_rows32(engine.seq2, code_map)
     alive_arg = alive_d if alive_d is not None else jnp.zeros(
