@@ -528,7 +528,20 @@ class Pipeline:
 
         num_queries = 0
         progress_clock = None
-        while True:
+        farmed = False
+        farm = self._farm_devices()
+        if len(farm) > 1 and not getattr(self, "_farm_worker", False):
+            # concurrent multi-device farm-out (parallel/farm.py):
+            # worker pipelines over query shards, one per device, with
+            # per-query output chunks stitched back in stream order —
+            # the reference's N-process capsule farm-out
+            # (capsule.c:6-15) as threads over a device mesh
+            from .parallel.farm import farm_supported, run_farmed
+            if farm_supported(self):
+                run_farmed(self, target, pt, farm,
+                           lambda c, o: Pipeline(c, o))
+                farmed = True
+        while not farmed:
             query = query_file.load()
             if query is None:
                 break
@@ -544,6 +557,10 @@ class Pipeline:
                 # the per-shard outputs concatenate (capsule.c:6-15)
                 if (num_queries - 1) % cfg.shard_count != cfg.shard_index:
                     continue
+            if hasattr(self.out, "begin_query"):
+                # farm-out worker: open this query's output chunk
+                # (parallel/farm.py stitches chunks in stream order)
+                self.out.begin_query(num_queries)
             if cfg.progress and (cfg.progress == 1
                                  or num_queries % cfg.progress == 1):
                 # --progress=<n> (lastz.c dbgQueryProgress)
@@ -576,6 +593,12 @@ class Pipeline:
             else:
                 self._run_query(target, pt, query,
                                 collect_from_both, collect_separately)
+
+        if hasattr(self.out, "end_queries"):
+            # farm-out worker: the job footer below is the PARENT's
+            # to emit; close the last query's chunk so it stays
+            # self-contained
+            self.out.end_queries()
 
         # --outputmasking files (lastz.c:1731-1759): written before the
         # m-stanza; the dynamic file reports census runs over threshold,
@@ -651,6 +674,15 @@ class Pipeline:
                    collect_separately):
         cfg = self.cfg
         disp = self.dispatcher
+
+        delay = os.environ.get("LASTZ_TPU_FARM_TEST_DELAY")
+        if delay:
+            # test hook: stand in for per-query device latency (a
+            # blocked device fetch releases the GIL exactly like this
+            # sleep) so farm-out concurrency is measurable on a
+            # single-core CI host
+            import time
+            time.sleep(float(delay))
 
         if cfg.min_match_count_ratio != 0:
             # per-query resolution of --filter=nmatch:<pct>% (lastz.c:1520)

@@ -45,6 +45,23 @@ class RunStats:
         """Context manager accumulating wall time into a bucket."""
         return _Timer(self, bucket)
 
+    def merge(self, other: "RunStats") -> None:
+        """Fold a farm worker's collector into this one (additive
+        counters and timers; per-job constants keep self's value)."""
+        for f in ("query_length", "num_queries", "words_in_queries",
+                  "raw_seed_hits", "hash_dropped_hits",
+                  "ungapped_extensions", "hsps", "anchors_after_chain",
+                  "gapped_anchors", "gapped_device", "gapped_host",
+                  "alignments"):
+            setattr(self, f, getattr(self, f) + getattr(other, f))
+        for k, v in other.timers.items():
+            self.timers[k] = self.timers.get(k, 0.0) + v
+        for k, v in other.extra.items():
+            if isinstance(v, (int, float)):
+                self.extra[k] = self.extra.get(k, 0) + v
+            else:
+                self.extra.setdefault(k, v)
+
     def show(self, f=None):
         f = f or sys.stderr
         w = f.write
@@ -98,11 +115,26 @@ class _Timer:
         return False
 
 
-# one active collector per process run; Pipeline resets it
-current = RunStats()
+# One active collector per pipeline run.  `current` is thread-local
+# so concurrent farm-out workers (parallel/farm.py) each accumulate
+# into their own RunStats; threads that never called reset() (helper
+# threads inside kernels) fall back to the main thread's collector.
+import threading as _threading
+
+_MAIN = RunStats()
+_tls = _threading.local()
+
+
+def __getattr__(name):
+    if name == "current":
+        return getattr(_tls, "current", _MAIN)
+    raise AttributeError(name)
 
 
 def reset() -> RunStats:
-    global current
-    current = RunStats()
-    return current
+    global _MAIN
+    rs = RunStats()
+    _tls.current = rs
+    if _threading.current_thread() is _threading.main_thread():
+        _MAIN = rs
+    return rs
