@@ -176,6 +176,7 @@ def host_native_kernel_rate() -> float:
     p_u8 = ctypes.POINTER(ctypes.c_uint8)
     res = SweepResult()
     best = 0.0
+    info = {}
     for trial in range(3):
         t0 = time.time()
         lib.ydrop_sweep(
@@ -193,19 +194,27 @@ def host_native_kernel_rate() -> float:
             z.ctypes.data_as(p_i64), i64(0), z.ctypes.data_as(p_i64),
             tb.ctypes.data_as(p_u8), i64(len(tb)),
             ops.ctypes.data_as(p_u8), ctypes.byref(res))
-        rate = res.tbp / (time.time() - t0)
-        best = max(best, rate)
-    return best
+        dt = time.time() - t0
+        rate = res.tbp / dt
+        if rate > best:
+            best = rate
+            info = {"band_cells": float(res.tbp),
+                    "seconds": round(dt, 3)}
+    return best, info
 
 
 def run_ours():
-    # The e2e metric always measures the HOST production path: in
+    # The e2e metric measures the HOST production path by default: in
     # this environment the accelerator sits behind a tunnel with
     # 150ms-1.9s dispatch RTT and ~10-20 MB/s transfer, so the
     # device pipeline's wall clock measures the tunnel, not the
-    # design.  The device kernels are benchmarked separately (the
-    # exact-kernel cells/s metric) where one launch amortizes the
-    # dispatch.
+    # design.  That routing decision is backed by DATA, not
+    # assumption: tpu_evidence.py (run by the tunnel watchdog the
+    # moment the chip answers) records a measured LASTZ_TPU_DEVICE=1
+    # e2e in TPU_EVIDENCE.json, and its summary is embedded in this
+    # bench's detail.  The device kernels are benchmarked separately
+    # (the exact-kernel cells/s metric) where one launch amortizes
+    # the dispatch.
     os.environ["LASTZ_TPU_DEVICE"] = "0"
     from lastz_tpu.cli import parse_options
     from lastz_tpu.pipeline import Pipeline
@@ -214,32 +223,41 @@ def run_ours():
     # Warm-up at the REAL shapes: XLA compiles are shape-specialized
     # and the backend defeats the cross-process compile cache, so the
     # only reliable way to exclude compile time is to run the bench
-    # pair once in this process and measure the second run (the
-    # steady state a long-running service would see).
+    # pair once in this process and measure later runs (the steady
+    # state a long-running service would see).
     t_warm = time.time()
     cfg = parse_options([BENCH_T, BENCH_Q])
     Pipeline(cfg, io.StringIO()).run()
+    warm_dt = time.time() - t_warm
     sys.stderr.write(
-        f"warm-up (cold, incl. compiles): {time.time() - t_warm:.1f}s\n")
+        f"warm-up (cold, incl. compiles): {warm_dt:.1f}s\n")
 
-    _stats.reset()
-    t0 = time.time()
-    cfg = parse_options([BENCH_T, BENCH_Q])
-    buf = io.StringIO()
-    Pipeline(cfg, buf).run()
-    dt = time.time() - t0
-    with open("/tmp/lastz_tpu_bench_ours.lav", "w") as f:
-        f.write(buf.getvalue())
-    st = _stats.current
-    detail = dict(
-        hsps=int(st.hsps),
-        raw_seed_hits=int(st.raw_seed_hits),
-        gapped_device=int(st.gapped_device),
-        gapped_host=int(st.gapped_host),
-        alignments=int(st.alignments),
-        timers={k: round(v, 2) for k, v in st.timers.items()},
-    )
-    return dt, detail
+    # min-of-N: this 1-core host has 10-20% wall noise
+    runs = []
+    detail = {}
+    for _ in range(int(os.environ.get("LASTZ_TPU_BENCH_RUNS", "2"))):
+        _stats.reset()
+        t0 = time.time()
+        cfg = parse_options([BENCH_T, BENCH_Q])
+        buf = io.StringIO()
+        Pipeline(cfg, buf).run()
+        dt = time.time() - t0
+        if not runs or dt < min(runs):
+            with open("/tmp/lastz_tpu_bench_ours.lav", "w") as f:
+                f.write(buf.getvalue())
+            st = _stats.current
+            detail = dict(
+                hsps=int(st.hsps),
+                raw_seed_hits=int(st.raw_seed_hits),
+                gapped_device=int(st.gapped_device),
+                gapped_host=int(st.gapped_host),
+                alignments=int(st.alignments),
+                timers={k: round(v, 2) for k, v in st.timers.items()},
+            )
+        runs.append(dt)
+    detail["run_seconds"] = [round(r, 1) for r in runs]
+    detail["cold_seconds"] = round(warm_dt, 1)
+    return min(runs), detail
 
 
 def bench_kernel():
@@ -311,9 +329,8 @@ def bench_kernel():
             break
     st_np2 = {k: np.asarray(v) for k, v in state.items()}
     dt = time.time() - t0
-    rows_done = int(st_np2["rows_used"].sum())
-    width_est = float((st_np2["RY"] - st_np2["LY"]).mean())
-    rate = rows_done * width_est / dt
+    # tbp = link bytes written = real per-row band occupancy
+    rate = float(st_np2["tbp"].astype(np.int64).sum()) / dt
     base = 3.0e8  # single-core C row-sweep class
     print(json.dumps({
         "metric": "ydrop_cells_per_sec",
@@ -383,6 +400,7 @@ def pallas_kernel_rate() -> float:
     # tunnel dispatch RTT)
     B, rows, W = 4096, 512, 1536
     args, kw = build_args(B, rows, W)
+    tbp0 = float(np.asarray(args[6]["tbp"], np.int64).sum())
     st, tb = ydrop_chunk_pallas(*args, G=8, **kw)
     jax.block_until_ready(tb)
     st = tb = None
@@ -391,8 +409,18 @@ def pallas_kernel_rate() -> float:
     jax.block_until_ready(tb)
     dt = time.time() - t0
     rows_done = float(np.asarray(st["rows_used"]).sum())
-    width_est = min(W, 2 * 9400 / ge + 40)
-    return rows_done * width_est / dt
+    # tbp counts the link bytes actually written = the REAL per-row
+    # band occupancy (same measure as the host engine's res.tbp), not
+    # an estimated width
+    band_cells = float(np.asarray(st["tbp"], np.int64).sum()) - tbp0
+    info = {
+        "band_cells": band_cells,
+        "lane_cells": rows_done * W,
+        "lane_cells_per_sec": round(rows_done * W / dt, 1),
+        "seconds": round(dt, 3),
+        "shape": f"B={B} rows={rows} W={W}",
+    }
+    return band_cells / dt, info
 
 
 def exact_kernel_rate() -> float:
@@ -444,14 +472,99 @@ def exact_kernel_rate() -> float:
         return np.asarray(out[2])
 
     launch()  # warm-up/compile
+    tbp0 = float(st_np["tbp"].astype(np.int64).sum())
     t0 = time.time()
     pk = launch()
     dt = time.time() - t0
     rows_done = float(pk[2].sum())
-    # average band width over the run (RY - LY is not retained per
-    # row; the y-drop band at this divergence is ~2*yDrop/gapE)
-    width_est = min(lanes, 2 * 9400 / ge + 40)
-    return rows_done * width_est / dt
+    # packed[10] is st["tbp"]: link bytes written = real per-row band
+    # occupancy (the host engine's res.tbp measure)
+    band_cells = float(pk[10].astype(np.int64).sum()) - tbp0
+    info = {
+        "band_cells": band_cells,
+        "lane_cells": rows_done * lanes,
+        "lane_cells_per_sec": round(rows_done * lanes / dt, 1),
+        "seconds": round(dt, 3),
+        "shape": f"B={B} rows={rows} W={lanes} K={K}",
+    }
+    return band_cells / dt, info
+
+
+def measure_kernel(detail):
+    """Exact-kernel cells/s: Pallas on the chip, falling back to the
+    XLA mega kernel and then the host row sweep — recording WHICH
+    rung ran and exactly why any rung was skipped or failed."""
+    attempts = []
+    platform = probe_platform()
+    detail["bench_platform"] = platform
+    rungs = []
+    if platform == "tpu":
+        rungs = [("tpu-pallas", pallas_kernel_rate),
+                 ("tpu-xla-mega", exact_kernel_rate)]
+    else:
+        attempts.append({"rung": "tpu-pallas", "skipped":
+                         "no responsive accelerator at bench time"})
+    rungs.append(("host-native", host_native_kernel_rate))
+    rate, info = 0.0, {}
+    for name, fn in rungs:
+        try:
+            rate, info = fn()
+            detail["exact_kernel_backend"] = name
+            break
+        except Exception:
+            import traceback as _tb
+            attempts.append({"rung": name,
+                             "error": _tb.format_exc(limit=8)[-1500:]})
+            sys.stderr.write(f"kernel bench rung {name} failed\n")
+    detail["kernel_rung_attempts"] = attempts
+    detail["exact_kernel_detail"] = info
+    return rate
+
+
+def embed_evidence(detail):
+    """Attach the on-chip evidence summary (TPU_EVIDENCE.json, written
+    by tpu_watchdog/tpu_evidence) so the artifact carries the measured
+    device numbers and the probe history."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "TPU_EVIDENCE.json")
+    if not os.path.exists(path):
+        detail["tpu_evidence"] = "absent (no TPU_EVIDENCE.json)"
+        return
+    try:
+        with open(path) as f:
+            ev = json.load(f)
+    except Exception as e:
+        detail["tpu_evidence"] = f"unreadable: {e}"
+        return
+    probes = ev.get("probes", [])
+    summary = {
+        "probes_total": len(probes),
+        "probes_alive": sum(1 for p in probes if p.get("alive")),
+        "last_probe": probes[-1] if probes else None,
+    }
+    for name, st in ev.get("stages", {}).items():
+        entry = {"ok": st.get("ok"), "ts": st.get("ts"),
+                 "seconds": st.get("seconds")}
+        if st.get("ok"):
+            entry["result"] = st.get("result")
+        else:
+            entry["error_tail"] = (st.get("error") or "")[-300:]
+        summary[name] = entry
+    detail["tpu_evidence"] = summary
+
+
+def embed_scaling(detail):
+    """Attach the committed large-pair scaling artifact (produced by
+    bench_scaling.py at chromosome-scale shapes, too slow to re-run
+    inside every bench invocation)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SCALING_r04.json")
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                detail["large_pair_scaling"] = json.load(f)
+        except Exception as e:
+            detail["large_pair_scaling"] = f"unreadable: {e}"
 
 
 def main():
@@ -463,28 +576,16 @@ def main():
     ref_t = run_reference(binpath)
     ours_t, detail = run_ours()
     speedup = ref_t / ours_t
-    if probe_platform() == "tpu":
-        try:
-            kernel_rate = pallas_kernel_rate()
-            detail["exact_kernel_backend"] = "tpu-pallas"
-        except Exception as e:
-            sys.stderr.write(f"pallas kernel bench failed: {e}\n")
-            try:
-                kernel_rate = exact_kernel_rate()
-                detail["exact_kernel_backend"] = "tpu"
-            except Exception as e2:
-                sys.stderr.write(f"device kernel bench failed: {e2}\n")
-                kernel_rate = host_native_kernel_rate()
-                detail["exact_kernel_backend"] = "host-native"
-    else:
-        kernel_rate = host_native_kernel_rate()
-        detail["exact_kernel_backend"] = "host-native"
+    kernel_rate = measure_kernel(detail)
     detail["exact_kernel_cells_per_sec"] = round(kernel_rate, 1)
     detail["ref_seconds"] = round(ref_t, 1)
     detail["ours_seconds"] = round(ours_t, 1)
+    embed_evidence(detail)
+    embed_scaling(detail)
     sys.stderr.write(
         f"reference: {ref_t:.1f}s  ours: {ours_t:.1f}s  "
-        f"exact kernel: {kernel_rate/1e9:.2f} Gcells/s\n")
+        f"exact kernel: {kernel_rate/1e9:.2f} Gcells/s "
+        f"({detail.get('exact_kernel_backend')})\n")
     print(json.dumps({
         "metric": "e2e_wall_speedup_vs_c",
         "value": round(speedup, 3),

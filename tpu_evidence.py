@@ -170,24 +170,26 @@ def stage_pallas_validate():
 
 def stage_pallas_rate():
     import bench
-    rate = bench.pallas_kernel_rate()
     import jax
+    rate, info = bench.pallas_kernel_rate()
     return {
         "platform": jax.devices()[0].platform,
         "exact_kernel_cells_per_sec": round(rate, 1),
         "gcells_per_sec": round(rate / 1e9, 3),
         "note": "validated vs XLA exact kernel in-run before timing",
+        **info,
     }
 
 
 def stage_xla_mega_rate():
     import bench
-    rate = bench.exact_kernel_rate()
     import jax
+    rate, info = bench.exact_kernel_rate()
     return {
         "platform": jax.devices()[0].platform,
         "exact_kernel_cells_per_sec": round(rate, 1),
         "gcells_per_sec": round(rate / 1e9, 3),
+        **info,
     }
 
 
