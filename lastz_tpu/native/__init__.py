@@ -157,8 +157,11 @@ def get_lib():
         i64, i64,                 # start, end (query interval)
         p_i8, i64,                # char2bits, bits_per
         p_i64, p_i64, i64,        # bm_src, bm_dst, n_bm
+        p_i64, i64,               # rm_src, n_rm (resolving bits)
         p_i64, i64,               # xors, nx
+        p_i64,                    # probe_budget (per probe)
         p_i32, p_u32,             # csr_start, csr_pos
+        p_u32,                    # csr_resolve (or None)
         p_u8,                     # word-nonempty bitmap
         p_u8,                     # alive (or None)
         i64, i64,                 # adj_start, step

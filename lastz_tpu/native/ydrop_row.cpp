@@ -1814,8 +1814,11 @@ void hit_sweep(
     int64_t start, int64_t end,            // query scan interval
     const int8_t* char2bits, int64_t bits_per,
     const int64_t* bm_src, const int64_t* bm_dst, int64_t n_bm,
+    const int64_t* rm_src, int64_t n_rm,   // resolving-bit sources
     const int64_t* xors, int64_t nx,
+    const int64_t* probe_budget,           // per-probe resolve budget
     const int32_t* csr_start, const uint32_t* csr_pos,
+    const uint32_t* csr_resolve,           // packed entry resolve words
     const uint8_t* wbitmap,   // little-endian bit w: word w nonempty
     const uint8_t* alive,
     int64_t adj_start, int64_t step,
@@ -1860,6 +1863,7 @@ void hit_sweep(
         int32_t lov[MAX_PROBES];
         int32_t hiv[MAX_PROBES];
         uint8_t occ[MAX_PROBES];
+        uint32_t qres;        // query window's packed resolving bits
         int64_t pos2, iord;
         int valid;
     };
@@ -1883,8 +1887,12 @@ void hit_sweep(
             if (!S.occ[xi]) { S.lov[xi] = S.hiv[xi] = 0; continue; }
             S.lov[xi] = csr_start[S.wv[xi]];
             S.hiv[xi] = csr_start[S.wv[xi] + 1];
-            if (S.hiv[xi] > S.lov[xi])
+            if (S.hiv[xi] > S.lov[xi]) {
                 __builtin_prefetch(&csr_pos[S.hiv[xi] - 1], 0, 1);
+                if (csr_resolve)
+                    __builtin_prefetch(&csr_resolve[S.hiv[xi] - 1],
+                                       0, 1);
+            }
         }
     };
     // stage 3: read entries, prefetch the target bytes their x-drop
@@ -1908,6 +1916,14 @@ void hit_sweep(
         for (int64_t xi = 0; xi < nx; ++xi) {
             int64_t lo = S.lov[xi], hi = S.hiv[xi];
             for (int64_t e = hi - 1; e >= lo; --e) {
+                if (csr_resolve) {
+                    // overweight seeds: demoted-bit verification
+                    // within this probe's leftover transition budget
+                    // (seed_search.c:878-980)
+                    uint32_t x = csr_resolve[e] ^ S.qres;
+                    if ((int64_t)__builtin_popcount(x)
+                            > probe_budget[xi]) continue;
+                }
                 if (alive && !alive[e]) continue;
                 int64_t pos1 = adj_start + step * (int64_t)csr_pos[e];
                 if (self_compare) {
@@ -2013,8 +2029,12 @@ void hit_sweep(
         uint64_t base = 0;
         for (int64_t b = 0; b < n_bm; ++b)
             base |= ((win >> bm_src[b]) & 1ULL) << bm_dst[b];
+        uint64_t qres = 0;
+        for (int64_t b = 0; b < n_rm; ++b)
+            qres |= ((win >> rm_src[b]) & 1ULL) << b;
         // stage 0: fill the new slot, prefetch its bitmap lines
         PipeSlot& NS = slots[tick % 5];
+        NS.qres = (uint32_t)qres;
         NS.pos2 = p + 1;
         NS.iord = i;
         NS.valid = 1;

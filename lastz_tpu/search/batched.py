@@ -68,7 +68,10 @@ def supported(engine) -> bool:
         return False
     if hp.pos_filter or hp.min_matches >= 0:
         return False
-    if engine.seed.type == "R":
+    if engine.seed.type == "R" and getattr(
+            engine.pt, "csr_resolve", None) is None:
+        # overweight seeds need the index's packed resolving words
+        # (quantum/capsule-loaded tables may lack them)
         return False
     if engine.hit_mode in ("recover", "twin") \
             and hp.gf_extend != GFEX_XDROP:
@@ -98,10 +101,28 @@ def _probe_xors(seed):
     return np.array(xors, dtype=np.int64)
 
 
+def _probe_budgets(seed):
+    """Per-probe transition budget left for the RESOLVING bits, in
+    _probe_xors order: flipped probes spend transition budget in the
+    index, leaving less for the demoted bits
+    (private_hit_search_resolve, seed_search.c:700-780)."""
+    T = seed.with_trans
+    buds = [T]
+    if T >= 1:
+        flips = list(seed.trans_flips)
+        if T == 1:
+            buds.extend([0] * len(flips))
+        else:
+            for i in range(len(flips)):
+                buds.append(1)
+                buds.extend([0] * (len(flips) - i - 1))
+    return np.array(buds, dtype=np.int64)
+
+
 def _gather_csr(engine, words):
     """Expand per-candidate-word CSR ranges into target positions in
     reference (descending last/prev) order.  Returns (cand_of_hit,
-    pos1)."""
+    pos1, csr_idx)."""
     pt = engine.pt
     csr_start = pt.csr_start
     starts = csr_start[words].astype(np.int64)
@@ -109,7 +130,8 @@ def _gather_csr(engine, words):
     cnt = ends - starts
     total = int(cnt.sum())
     if total == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        z = np.zeros(0, np.int64)
+        return z, z, z
     grp = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
     cum = np.concatenate([[0], np.cumsum(cnt)])
     within = np.arange(total, dtype=np.int64) - cum[grp]
@@ -119,7 +141,7 @@ def _gather_csr(engine, words):
         grp = grp[keep]
         csr_idx = csr_idx[keep]
     pos1 = pt.adj_start + pt.step * pt.csr_pos[csr_idx].astype(np.int64)
-    return grp, pos1
+    return grp, pos1, csr_idx
 
 
 def _filter_hits(engine, pos1, pos2, pidx):
@@ -155,11 +177,24 @@ def _build_hits(engine, start, pos_lo, pos_hi):
     xors = engine._batched_xors
     nprobe = len(xors)
     wmat = (packed[:, None] ^ xors[None, :]).ravel()
-    grp, pos1 = _gather_csr(engine, wmat)
+    grp, pos1, csr_idx = _gather_csr(engine, wmat)
     if len(pos1) == 0:
         return (np.zeros(0, np.int64), np.zeros(0, np.int64),
                 np.zeros(0, np.int64))
     pidx = grp // nprobe  # index into sel
+    if seed.type == "R":
+        # overweight seeds: verify the demoted (resolving) bits of
+        # each query window against the index's packed per-entry
+        # words, within the probe's leftover transition budget
+        # (seed_search.c:878-980; engine._probe_resolve)
+        from .engine import _POPCOUNT16
+        q_res = engine._batched_resolve[sel[pidx]].astype(np.uint32)
+        xor = engine.pt.csr_resolve[csr_idx] ^ q_res
+        mism = _POPCOUNT16[xor & 0xFFFF] + _POPCOUNT16[xor >> 16]
+        keep = mism <= engine._batched_budgets[grp % nprobe]
+        if not keep.all():
+            pos1 = pos1[keep]
+            pidx = pidx[keep]
     pos2 = start + L + sel[pidx]
     pos1, pos2, pidx = _filter_hits(engine, pos1, pos2, pidx)
     return pos1, pos2, pos_lo + pidx
@@ -240,7 +275,7 @@ def batched_search_quantum(engine, ball_score, start: int = 0,
         if len(packed) == 0:
             z = np.zeros(0, np.int64)
             return z, z, z
-        grp, pos1 = _gather_csr(engine, packed)
+        grp, pos1, _ = _gather_csr(engine, packed)
         if len(pos1) == 0:
             z = np.zeros(0, np.int64)
             return z, z, z
@@ -361,6 +396,9 @@ def batched_search(engine, start: int = 0, end: int = 0,
         engine._batched_packed = seed.pack(words)
         engine._batched_valid_idx = np.nonzero(valid)[0]
         engine._batched_xors = _probe_xors(seed)
+        if seed.type == "R":
+            engine._batched_resolve = seed.pack_resolve(words)
+            engine._batched_budgets = _probe_budgets(seed)
         n_pos = len(engine._batched_valid_idx)
         build = _build_hits
     else:

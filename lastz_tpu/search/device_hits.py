@@ -55,6 +55,10 @@ def supported(engine) -> bool:
         return False
     if engine.seed.rev_comp:
         return False
+    if engine.seed.type == "R":
+        # resolving-bit verification is host-side for now (the
+        # batched path handles it; ops/hitgen has no resolve filter)
+        return False
     hp = engine.hp
     sub = engine._sub
     if hp.gf_extend == GFEX_XDROP:

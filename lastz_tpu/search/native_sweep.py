@@ -21,7 +21,7 @@ import os
 import numpy as np
 
 from ..config import GFEX_NO_EXTEND, GFEX_XDROP
-from .batched import DIAG_HASH_SIZE, _probe_xors
+from .batched import DIAG_HASH_SIZE, _probe_budgets, _probe_xors
 
 HASH_INACTIVE = -1
 
@@ -38,8 +38,11 @@ def supported(engine) -> bool:
         return False
     if hp.pos_filter or hp.min_matches >= 0:
         return False
-    if engine.seed.type == "R" or engine.seed.rev_comp:
+    if engine.seed.rev_comp:
         return False
+    if engine.seed.type == "R" and getattr(
+            engine.pt, "csr_resolve", None) is None:
+        return False  # overweight seeds need the index resolve words
     if engine._native is None \
             or not hasattr(engine._native[0], "hit_sweep"):
         return False
@@ -97,10 +100,21 @@ def native_hit_search(engine, start: int = 0, end: int = 0):
         bm_src = np.ascontiguousarray(bm[:, 0])
         bm_dst = np.ascontiguousarray(bm[:, 1])
         xors = np.ascontiguousarray(_probe_xors(seed), dtype=np.int64)
-        cached = (c2b, bm_src, bm_dst, xors, engine.char_to_bits)
+        rm_src = np.ascontiguousarray(
+            np.asarray(seed.resolve_bits, np.int64))
+        budgets = np.ascontiguousarray(_probe_budgets(seed))
+        cached = (c2b, bm_src, bm_dst, xors, engine.char_to_bits,
+                  rm_src, budgets)
         seed._native_tables = cached
-    c2b, bm_src, bm_dst, xors, _ = cached
+    c2b, bm_src, bm_dst, xors, _, rm_src, budgets = cached
     n_bm = len(bm_src)
+    csr_resolve = None
+    if seed.type == "R":
+        csr_resolve = getattr(engine.pt, "_native_resolve", None)
+        if csr_resolve is None:
+            csr_resolve = np.ascontiguousarray(
+                engine.pt.csr_resolve, dtype=np.uint32)
+            engine.pt._native_resolve = csr_resolve
     if len(xors) > 264:          # native probe buffer cap
         return None
 
@@ -152,10 +166,16 @@ def native_hit_search(engine, start: int = 0, end: int = 0):
             i64(seed.bits_per_base),
             bm_src.ctypes.data_as(p_i64),
             bm_dst.ctypes.data_as(p_i64), i64(n_bm),
+            rm_src.ctypes.data_as(p_i64),
+            i64(len(rm_src) if csr_resolve is not None else 0),
             xors.ctypes.data_as(p_i64), i64(len(xors)),
+            budgets.ctypes.data_as(p_i64),
             csr_start.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_int32)),
             csr_pos.ctypes.data_as(p_u32),
+            csr_resolve.ctypes.data_as(p_u32)
+            if csr_resolve is not None
+            else ctypes.cast(None, p_u32),
             wbitmap.ctypes.data_as(p_u8),
             alive.ctypes.data_as(p_u8) if alive is not None
             else ctypes.cast(None, p_u8),

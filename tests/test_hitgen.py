@@ -207,7 +207,7 @@ def test_twin_hits_match_scalar(spans):
     diag_hash.h:106-145)."""
     L = 19
     tw = (2 * L + spans[0], 2 * L + spans[1])
-    s1, s2 = _related_pair(6000, seed=4, ident=0.93)
+    s1, s2 = _related_pair(6000, seed=4, ident=0.97)
     ref = _collect(s1, s2, "1110100110010101111", 1, GFEX_XDROP,
                    2000, env=SCALAR, hit_mode="twin", twin_spans=tw)
     bat = _collect(s1, s2, "1110100110010101111", 1, GFEX_XDROP,
@@ -350,3 +350,65 @@ def test_native_xdrop_batch_matches_np():
     for k in ref:
         np.testing.assert_array_equal(
             np.asarray(ref[k], np.int64), got[k], err_msg=k)
+
+
+def _collect_seed(s1, s2, seed, env, gf_extend=GFEX_XDROP,
+                  thresh=3000, x_drop=910):
+    """Like _collect but with a pre-parsed Seed (overweight seeds
+    need max_index_bits control)."""
+    pt = build_seed_position_table(
+        s1, 0, 0, UPPER_NUC_TO_BITS, seed, 1)
+    sc = new_dna_score_set()
+    hp = HitProcessorParams(
+        gf_extend=gf_extend, scoring=sc, x_drop=x_drop,
+        hsp_threshold=ScoreThreshold("S", thresh))
+    hits = []
+    eng = SeedSearchEngine(
+        s1, pt, s2, seed, UPPER_NUC_TO_BITS, hp,
+        lambda p1, p2, ln, s: hits.append((p1, p2, ln, s)) or ln)
+    saved = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        eng.search(0, len(s2))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return hits
+
+
+@pytest.mark.parametrize("env", [BATCHED, NATIVE],
+                         ids=["batched", "native"])
+@pytest.mark.parametrize("trans", [0, 1, 2])
+def test_overweight_seed_batched_matches_scalar(trans, env):
+    """Overweight (resolving) seeds through the batched path must
+    reproduce the scalar _probe_resolve hit for hit, including the
+    per-probe transition budget left for the demoted bits
+    (seed_search.c:700-980).  VERDICT r3 item 6."""
+    from lastz_tpu.core.seeds import parse_seed
+    s1, s2 = _related_pair(6000, seed=4, ident=0.97)
+    # weight-12 pattern over 8 index bits -> 4 resolving positions
+    seed = parse_seed("111011011010111", max_index_bits=16,
+                      with_trans=trans)
+    assert seed.type == "R" and len(seed.resolve_bits) > 0
+    ref = _collect_seed(s1, s2, seed, SCALAR, thresh=1000)
+    bat = _collect_seed(s1, s2, seed, env, thresh=1000)
+    assert len(ref) >= 10
+    assert bat == ref
+
+
+@pytest.mark.parametrize("env", [BATCHED, NATIVE],
+                         ids=["batched", "native"])
+def test_overweight_seed_batched_dense_chains(env):
+    """Dense-hit regime for resolving seeds: low threshold + short
+    seed exercises deep hash chains and many resolve rejections."""
+    from lastz_tpu.core.seeds import parse_seed
+    s1, s2 = _related_pair(4000, seed=17, ident=0.95)
+    seed = parse_seed("1111011111", max_index_bits=12, with_trans=1)
+    assert seed.type == "R"
+    ref = _collect_seed(s1, s2, seed, SCALAR, thresh=300, x_drop=300)
+    bat = _collect_seed(s1, s2, seed, env, thresh=300, x_drop=300)
+    assert len(ref) > 100
+    assert bat == ref
