@@ -72,7 +72,7 @@ def make_pair(n, tpath, qpath, seed=42):
     write(qpath, "q", q)
 
 
-def run_worker(tpath, qpath, outpath, runs):
+def run_worker(tpath, qpath, outpath, runs, flags=()):
     """Child process: run our pipeline `runs` times (min wall), then
     report wall/timers/RSS as one JSON line on stdout."""
     os.environ["LASTZ_TPU_DEVICE"] = "0"
@@ -89,7 +89,7 @@ def run_worker(tpath, qpath, outpath, runs):
     for _ in range(runs):
         _stats.reset()
         t0 = time.time()
-        cfg = parse_options([tpath, qpath])
+        cfg = parse_options([tpath, qpath, *flags])
         buf = io.StringIO()
         Pipeline(cfg, buf).run()
         dt = time.time() - t0
@@ -113,11 +113,11 @@ def run_worker(tpath, qpath, outpath, runs):
     }))
 
 
-def run_reference(binpath, tpath, qpath, outpath):
+def run_reference(binpath, tpath, qpath, outpath, flags=()):
     pre = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
     t0 = time.time()
     with open(outpath, "w") as f:
-        subprocess.run([binpath, tpath, qpath], stdout=f,
+        subprocess.run([binpath, tpath, qpath, *flags], stdout=f,
                        stderr=subprocess.DEVNULL, check=True)
     dt = time.time() - t0
     post = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
@@ -127,7 +127,7 @@ def run_reference(binpath, tpath, qpath, outpath):
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
         run_worker(sys.argv[2], sys.argv[3], sys.argv[4],
-                   int(sys.argv[5]))
+                   int(sys.argv[5]), tuple(sys.argv[6:]))
         return
 
     import bench
@@ -141,7 +141,13 @@ def main():
                         "single run per binary at >=40 Mbp; "
                         "host path (LASTZ_TPU_DEVICE=0)"),
                "rungs": []}
-    for n in sizes:
+    variants = [("default", ())]
+    if os.environ.get("LASTZ_TPU_SCALE_INNER", "1") != "0":
+        # interpolation ("tweener") variant at the smallest rung:
+        # the full mini-pipeline per inter-alignment window
+        # (reference tweener.c:239)
+        variants.append(("inner2200", ("--inner=2200",)))
+    for size_i, n in enumerate(sizes):
         tag = f"{n // 1_000_000}M"
         tpath = f"/tmp/lastz_scale_{tag}_t.fa"
         qpath = f"/tmp/lastz_scale_{tag}_q.fa"
@@ -149,48 +155,59 @@ def main():
         make_pair(n, tpath, qpath)
         runs = 2 if n <= 12_000_000 else 1
 
-        sys.stderr.write(f"[scaling] {tag}: reference...\n")
-        ref_lav = f"/tmp/lastz_scale_{tag}_ref.lav"
-        ref_s, ref_rss = run_reference(binpath, tpath, qpath, ref_lav)
+        for vname, flags in (variants if size_i == 0
+                             else variants[:1]):
+            _run_rung(binpath, results, n, tag, tpath, qpath, runs,
+                      vname, flags)
 
-        sys.stderr.write(f"[scaling] {tag}: ours...\n")
-        our_lav = f"/tmp/lastz_scale_{tag}_ours.lav"
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "worker",
-             tpath, qpath, our_lav, str(runs)],
-            capture_output=True, text=True)
-        if r.returncode != 0:
-            results["rungs"].append(
-                {"pair_bp": n, "error": r.stderr[-1500:]})
-            save(results)
-            continue
-        ours = json.loads(r.stdout.strip().splitlines()[-1])
 
-        from lastz_tpu.tools.lav_compare import lav_equivalent
-        with open(ref_lav) as f1, open(our_lav) as f2:
-            same, why = lav_equivalent(f1.read(), f2.read())
+def _run_rung(binpath, results, n, tag, tpath, qpath, runs,
+              vname, flags):
+    sys.stderr.write(f"[scaling] {tag}/{vname}: reference...\n")
+    ref_lav = f"/tmp/lastz_scale_{tag}_{vname}_ref.lav"
+    ref_s, ref_rss = run_reference(binpath, tpath, qpath, ref_lav,
+                                   flags)
 
-        rung = {
-            "pair_bp": n,
-            "ref_seconds": round(ref_s, 1),
-            "ref_peak_rss_mb": round(ref_rss, 1),
-            "ours_seconds": ours["seconds"],
-            "ours_runs": ours["runs"],
-            "ours_peak_rss_mb": ours["peak_rss_mb"],
-            "ours_timers": ours["timers"],
-            "hsps": ours.get("hsps"),
-            "alignments": ours.get("alignments"),
-            "speedup_vs_c": round(ref_s / ours["seconds"], 3),
-            "lav_equivalent": bool(same),
-        }
-        if not same:
-            rung["lav_diff"] = why[:400]
-        results["rungs"].append(rung)
-        sys.stderr.write(
-            f"[scaling] {tag}: ref {ref_s:.0f}s vs ours "
-            f"{ours['seconds']:.0f}s ({rung['speedup_vs_c']}x), "
-            f"lav_equivalent={same}\n")
+    sys.stderr.write(f"[scaling] {tag}/{vname}: ours...\n")
+    our_lav = f"/tmp/lastz_scale_{tag}_{vname}_ours.lav"
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "worker",
+         tpath, qpath, our_lav, str(runs), *flags],
+        capture_output=True, text=True)
+    if r.returncode != 0:
+        results["rungs"].append(
+            {"pair_bp": n, "variant": vname,
+             "error": r.stderr[-1500:]})
         save(results)
+        return
+    ours = json.loads(r.stdout.strip().splitlines()[-1])
+
+    from lastz_tpu.tools.lav_compare import lav_equivalent
+    with open(ref_lav) as f1, open(our_lav) as f2:
+        same, why = lav_equivalent(f1.read(), f2.read())
+
+    rung = {
+        "pair_bp": n,
+        "variant": vname,
+        "ref_seconds": round(ref_s, 1),
+        "ref_peak_rss_mb": round(ref_rss, 1),
+        "ours_seconds": ours["seconds"],
+        "ours_runs": ours["runs"],
+        "ours_peak_rss_mb": ours["peak_rss_mb"],
+        "ours_timers": ours["timers"],
+        "hsps": ours.get("hsps"),
+        "alignments": ours.get("alignments"),
+        "speedup_vs_c": round(ref_s / ours["seconds"], 3),
+        "lav_equivalent": bool(same),
+    }
+    if not same:
+        rung["lav_diff"] = why[:400]
+    results["rungs"].append(rung)
+    sys.stderr.write(
+        f"[scaling] {tag}/{vname}: ref {ref_s:.0f}s vs ours "
+        f"{ours['seconds']:.0f}s ({rung['speedup_vs_c']}x), "
+        f"lav_equivalent={same}\n")
+    save(results)
 
 
 def save(results):
