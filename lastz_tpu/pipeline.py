@@ -30,6 +30,13 @@ from .align.segments import SegmentTable, Segment
 
 PROGRAM_NAME = "lastz_tpu.v0.1.0"
 
+# test instrumentation for the farm-out concurrency test: peak number
+# of queries simultaneously inside the injected device-latency window
+import threading as _threading
+_FARM_TEST_LOCK = _threading.Lock()
+_FARM_TEST_INFLIGHT = 0
+_FARM_TEST_PEAK = 0
+
 
 def _upper_truncate(script, pos1, pos2):
     """reference edit_script_upper_truncate (edit_script.c): truncate
@@ -680,9 +687,19 @@ class Pipeline:
             # test hook: stand in for per-query device latency (a
             # blocked device fetch releases the GIL exactly like this
             # sleep) so farm-out concurrency is measurable on a
-            # single-core CI host
+            # single-core CI host; peak in-flight count is recorded
+            # so the overlap assertion is load-independent
             import time
-            time.sleep(float(delay))
+            global _FARM_TEST_INFLIGHT, _FARM_TEST_PEAK
+            with _FARM_TEST_LOCK:
+                _FARM_TEST_INFLIGHT += 1
+                _FARM_TEST_PEAK = max(_FARM_TEST_PEAK,
+                                      _FARM_TEST_INFLIGHT)
+            try:
+                time.sleep(float(delay))
+            finally:
+                with _FARM_TEST_LOCK:
+                    _FARM_TEST_INFLIGHT -= 1
 
         if cfg.min_match_count_ratio != 0:
             # per-query resolution of --filter=nmatch:<pct>% (lastz.c:1520)

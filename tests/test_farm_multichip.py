@@ -130,13 +130,21 @@ def test_farm_concurrency_speedup(tmp_path, tiny_kernels):
     serial_out, _ = _run(args, env)
     serial_dt = time.monotonic() - t0
 
+    import lastz_tpu.pipeline as plmod
+    plmod._FARM_TEST_PEAK = 0
     t0 = time.monotonic()
     farm_out, pl = _run(args, dict(env, LASTZ_TPU_FARM="1"))
     farm_dt = time.monotonic() - t0
 
     assert getattr(pl, "_farmed", False)
     assert farm_out == serial_out
-    assert farm_dt * 3 < serial_dt, \
+    # load-independent overlap proof: >=4 queries were inside the
+    # device-latency window at once (serial peak is exactly 1)
+    assert plmod._FARM_TEST_PEAK >= 4, \
+        f"peak in-flight {plmod._FARM_TEST_PEAK}, expected >=4"
+    # wall-clock corroboration, with slack for 1-core CI hosts under
+    # background load (host glue serializes under the GIL)
+    assert farm_dt * 2 < serial_dt, \
         f"no concurrency: farm {farm_dt:.2f}s vs serial {serial_dt:.2f}s"
 
 
