@@ -1512,6 +1512,9 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
                 # accelerator backend unavailable/dead: permanently
                 # fall back to the host engine (mirrors the seed
                 # stage's device-search fallback, engine.py:159)
+                import os as _os
+                if _os.environ.get("LASTZ_TPU_DEVICE_STRICT"):
+                    raise
                 import sys as _sys
                 _sys.stderr.write(
                     "lastz_tpu: device gapped stage failed (%s); "

@@ -1365,7 +1365,12 @@ void ydrop_sweep(
     int64_t act_idx = 0;
     int64_t l_idx = 0, r_idx = 0;
 
-    // -- first row (gapped_extend.c:3583-3605)
+    // -- first row (gapped_extend.c:3583-3605).  The reference
+    // refuses to start when the first row alone cannot fit the arena
+    // (yDropTail > tbLen => suicide, gapped_extend.c:3565-3567); we
+    // degrade to the truncation path instead of aborting, so the
+    // row-0 loop needs the same cap guard the later rows have.
+    int64_t truncated = 0;
     int64_t tbp = 0;
     tb[tbp++] = 0;
     CC[0] = 0;
@@ -1375,6 +1380,7 @@ void ydrop_sweep(
     int64_t dq = 1;
     int64_t col = 1;
     while (col <= N && c_temp >= -yd32) {
+        if (tbp + 1 >= tb_cap) { truncated = 1; break; }
         if (dq + 2 > cells_cap) {
             int64_t nc = cells_cap * 2;
             CC = (int32_t*)realloc(CC, nc * 4);
@@ -1402,7 +1408,6 @@ void ydrop_sweep(
     int32_t best_score = 0;
     int32_t boundary_score = NEG32;
     int64_t end_is_boundary = 0;
-    int64_t truncated = 0;
 
     const int prof = sweep_prof_enabled();
     out->n_rows = 0;

@@ -95,8 +95,12 @@ def _kernel(a_ref, b_ref, srow_ref, cc_ref, dd_ref, sc_ref,
     N = col("N")
 
     # row 0 of the tb block is host-synthesized (fresh_state row0
-    # links); zero it here so the buffer is fully defined
-    tb_ref[0, :, 0, :] = jnp.zeros((G, W), jnp.uint8)
+    # links); zero it here so the buffer is fully defined.  The tb
+    # block is laid out (1, rows+1, G, W) — row on a LEADING
+    # (untiled) axis — because Mosaic cannot lower a dynamic-index
+    # int8 store into the tiled sublane axis (the transpose back to
+    # (G, rows+1, W) happens XLA-side after the kernel).
+    tb_ref[0, 0] = jnp.zeros((G, W), jnp.uint8)
 
     def body(r, carry):
         (CC, DD, LY, RY, row, best, end1, end2, bscore, bflag, tbp,
@@ -107,7 +111,9 @@ def _kernel(a_ref, b_ref, srow_ref, cc_ref, dd_ref, sc_ref,
         trunc = ~stopped & (tbp + tb_needed >= tb_cap)
 
         # substitution scores: dynamic row slice + alpha select chain
-        srow = srow_ref[0, :, pl.ds(r, 1), :][:, 0, :]  # (G, 128)
+        # (row is the leading/untiled axis of the srow block so the
+        # dynamic-index load lowers on Mosaic)
+        srow = srow_ref[0, pl.ds(r, 1)][0]              # (G, 128)
         s_vals = jnp.zeros((G, W), jnp.int32)
         for c in range(alpha):
             s_vals = jnp.where(b_small == c, srow[:, c][:, None],
@@ -257,8 +263,7 @@ def _kernel(a_ref, b_ref, srow_ref, cc_ref, dd_ref, sc_ref,
         stop_new = stopped | done_new | (keep & window_end)
 
         ys = jnp.where(keep, tb_row_vec, jnp.zeros((G, W), jnp.int32))
-        tb_ref[0, :, pl.ds(r + 1, 1), :] = \
-            ys.astype(jnp.uint8)[:, None, :]
+        tb_ref[0, pl.ds(r + 1, 1)] = ys.astype(jnp.uint8)[None]
 
         return (jnp.where(keep, CC_new, CC),
                 jnp.where(keep, DD_new, DD),
@@ -362,7 +367,7 @@ def ydrop_chunk_pallas(a_small, b_small, b_off, shift, M, N, state,
                          memory_space=vm),
             pl.BlockSpec((1, G, W), lambda i: (i, 0, 0),
                          memory_space=vm),
-            pl.BlockSpec((1, G, rows, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, rows, G, 128), lambda i: (i, 0, 0, 0),
                          memory_space=vm),
             pl.BlockSpec((1, G, W), lambda i: (i, 0, 0),
                          memory_space=vm),
@@ -378,22 +383,30 @@ def ydrop_chunk_pallas(a_small, b_small, b_off, shift, M, N, state,
                          memory_space=vm),
             pl.BlockSpec((1, G, NSPAD), lambda i: (i, 0, 0),
                          memory_space=vm),
-            pl.BlockSpec((1, G, rows + 1, W), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, rows + 1, G, W), lambda i: (i, 0, 0, 0),
                          memory_space=vm),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((NG, G, W), jnp.int32),
             jax.ShapeDtypeStruct((NG, G, W), jnp.int32),
             jax.ShapeDtypeStruct((NG, G, NSPAD), jnp.int32),
-            jax.ShapeDtypeStruct((NG, G, rows + 1, W), jnp.uint8),
+            jax.ShapeDtypeStruct((NG, rows + 1, G, W), jnp.uint8),
         ],
+        # production shapes double-buffer past the default 16 MiB
+        # scoped-vmem cap (the tb block alone is (rows+1)*G*W bytes);
+        # v5e has 128 MiB of VMEM — let the kernel use it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(a_small.reshape(NG, G, rows).astype(jnp.int32),
       b_small.reshape(NG, G, W).astype(jnp.int32),
-      srow_all.reshape(NG, G, rows, 128),
+      srow_all.reshape(NG, G, rows, 128).transpose(0, 2, 1, 3),
       CC0.reshape(NG, G, W), DD0.reshape(NG, G, W),
       sc.reshape(NG, G, NSPAD))
 
+    # (NG, rows+1, G, W) -> (B, rows+1, W): row axis was kept leading
+    # inside the kernel for Mosaic's benefit
+    tb = tb.transpose(0, 2, 1, 3)
     sc_o = sc_o.reshape(B, NSPAD)
     out_state = {
         "CC": cc_o.reshape(B, W), "DD": dd_o.reshape(B, W),

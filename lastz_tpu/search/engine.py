@@ -151,6 +151,8 @@ class SeedSearchEngine:
                 except Exception as e:  # device trouble: host replay
                     if self._dev_reported:
                         raise  # hits already delivered; can't replay
+                    if os.environ.get("LASTZ_TPU_DEVICE_STRICT"):
+                        raise
                     import sys
                     if not getattr(SeedSearchEngine,
                                    "_dev_fail_warned", False):
