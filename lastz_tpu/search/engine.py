@@ -143,6 +143,15 @@ class SeedSearchEngine:
     def search(self, start: int = 0, end: int = 0) -> int:
         import os
         if os.environ.get("LASTZ_TPU_SCALAR_SEARCH", "") in ("", "0"):
+            n_shards = int(os.environ.get("LASTZ_TPU_SHARDS", "0"))
+            if n_shards > 1:
+                # interval-sharded mesh search (beyond-HBM targets):
+                # the index shards live one-per-device; unsupported
+                # configurations fall through to the standard tiers
+                from .sharded_mesh import mesh_search_via_env
+                r = mesh_search_via_env(self, n_shards, start, end)
+                if r is not None:
+                    return r
             from .device_hits import _device_search_enabled, device_search
             if _device_search_enabled():
                 self._dev_reported = False
