@@ -283,17 +283,22 @@ class YDropAligner:
         # whole-extension native sweep (no per-row FFI / bookkeeping);
         # LASTZ_TPU_NO_SWEEP=1 falls back to the per-row path so tests
         # can compare the two.
-        # (the sweep's cell values are int32, per the reference's s32
-        # score contract; absurdly long extensions could overflow, so
-        # they take the int64 per-row path instead)
+        # The sweep's cell values are int32 (the reference's s32 score
+        # contract).  It detects itself when a single extension's score
+        # approaches the int32 ceiling and returns overflow=1, in which
+        # case we redo it on the int64 per-row path below — so the
+        # sweep handles any sequence length (M/N are only distances to
+        # the sequence ends, not work actually done).
         if native is not None and not _sweep_disabled() \
-                and (M + N) < (1 << 24):
+                and max(gap_e, gap_oe, y_drop) < (1 << 30):
             lib, _ = native
             if hasattr(lib, "ydrop_sweep"):
-                return self._one_sided_native(
+                r = self._one_sided_native(
                     lib, reversed_, anchor1, anchor2, M, N, L, R,
                     left_seg, right_seg, left_align, right_align,
                     align_list, y_drop_tail)
+                if r is not None:
+                    return r
 
         # traceback rows: tb_row[r] + c indexes tb
         tb_row = [0]
@@ -795,6 +800,11 @@ class YDropAligner:
 
         from .. import stats as _stats
         ex = _stats.current.extra
+        if res.overflow:
+            # int32 score headroom exhausted mid-sweep (needs a single
+            # extension scoring >1e9): redo on the int64 per-row path
+            ex["sweep_ovf_redo"] = ex.get("sweep_ovf_redo", 0) + 1
+            return None
         ex["ydrop_cells"] = ex.get("ydrop_cells", 0) + int(res.tbp)
         if res.n_rows:  # LASTZ_TPU_SWEEP_PROF=1 cycle buckets
             ex["sweep_rows"] = ex.get("sweep_rows", 0) + int(res.n_rows)

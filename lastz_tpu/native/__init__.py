@@ -47,6 +47,7 @@ class SweepResult(ctypes.Structure):
         ("cy_srow", ctypes.c_int64),
         ("cy_row", ctypes.c_int64),
         ("cy_other", ctypes.c_int64),
+        ("overflow", ctypes.c_int64),
     ]
 
 

@@ -1265,7 +1265,27 @@ struct SweepResult {
     // cycle buckets, filled only under LASTZ_TPU_SWEEP_PROF=1
     int64_t n_rows;
     int64_t cy_srow, cy_row, cy_other;
+    int64_t overflow;        // int32 score headroom exhausted; result
+                             // is invalid — caller redoes in int64
 };
+
+// Scores inside the sweep are int32 (see ydrop_sweep).  best_score is
+// the monotone max over accepted cells and every live cell sits within
+// [best - y_drop, best + max_sub] of it, so bailing once best crosses
+// INT32_MAX/2 leaves ~1e9 of headroom before any arithmetic could
+// wrap.  Reaching the bar needs a single extension worth >1e9 score
+// (~12 Mbp of perfect match) — the caller then redoes that extension
+// on the int64 per-row path.  Env override exists only so tests can
+// force the path cheaply.
+static int64_t sweep_overflow_bar()
+{
+    static int64_t v = -1;
+    if (v < 0) {
+        const char* e = getenv("LASTZ_TPU_SWEEP_OVERFLOW_BAR");
+        v = (e && e[0]) ? atoll(e) : (int64_t)(INT32_MAX / 2);
+    }
+    return v;
+}
 
 static int sweep_prof_enabled()
 {
@@ -1410,6 +1430,8 @@ void ydrop_sweep(
     int64_t end_is_boundary = 0;
 
     const int prof = sweep_prof_enabled();
+    const int64_t ovf_bar = sweep_overflow_bar();
+    out->overflow = 0;
     out->n_rows = 0;
     out->cy_srow = out->cy_row = out->cy_other = 0;
     uint64_t t_mark = prof ? __builtin_ia32_rdtsc() : 0;
@@ -1557,6 +1579,15 @@ void ydrop_sweep(
         int64_t np_col = res.np_col;
         int32_t i_val = res.i_val;
         best_score = res.best_score;
+        if ((int64_t)best_score >= ovf_bar) {
+            out->overflow = 1;
+            out->score = 0;
+            out->end1 = out->end2 = 0;
+            out->truncated = 0;
+            out->n_ops = 0;
+            out->tbp = tbp;
+            return;
+        }
         end1 = res.end1; end2 = res.end2;
         end_is_boundary = res.end_is_boundary;
         boundary_score = res.boundary_score;

@@ -71,3 +71,18 @@ def test_simd_row_and_xdrop_match_scalar(tmp_path, seed, with_junk):
                                 if not l.startswith("#"))
     assert strip(simd512) == strip(scalar)
     assert strip(simd256) == strip(scalar)
+
+
+def test_sweep_overflow_redo_matches(tmp_path):
+    """When the int32 sweep reports score-headroom exhaustion, the
+    extension is redone on the int64 per-row path with identical
+    output.  LASTZ_TPU_SWEEP_OVERFLOW_BAR=1 forces every sweep onto
+    the redo path (the real bar, INT32_MAX/2, needs a single
+    extension scoring >1e9 — ~12 Mbp of perfect match)."""
+    t, q = _gen_pair(tmp_path, 303, 25000, False)
+    args = [t, q, "--format=maf"]
+    normal = _run_cli(args, {})
+    forced = _run_cli(args, {"LASTZ_TPU_SWEEP_OVERFLOW_BAR": "1"})
+    strip = lambda s: "\n".join(l for l in s.splitlines()
+                                if not l.startswith("#"))
+    assert strip(forced) == strip(normal)
