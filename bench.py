@@ -395,17 +395,32 @@ def pallas_kernel_rate() -> float:
     assert np.array_equal(np.asarray(tb0), np.asarray(tb1)), \
         "pallas/xla tb mismatch"
 
+    # validation at the production anchor-group size (G=64)
+    args, kw = build_args(64, 128, 512)
+    st1, tb1 = ydrop_chunk_pallas(*args, G=64, **kw)
+    st0, tb0 = ydrop_chunk(*args, **kw)
+    for k in st0:
+        assert np.array_equal(np.asarray(st0[k]),
+                              np.asarray(st1[k])), \
+            f"pallas/xla state mismatch: {k}"
+    assert np.array_equal(np.asarray(tb0), np.asarray(tb1)), \
+        "pallas/xla tb mismatch"
+
     # timing: args live on device; launch once to compile+warm, time
-    # the second identical launch (grid of 512 groups swamps the
-    # tunnel dispatch RTT)
-    B, rows, W = 4096, 512, 1536
+    # the second identical launch (grid of 64 groups swamps the
+    # tunnel dispatch RTT).  Shape from the on-chip sweep
+    # (tpu_sweep_w.py): the kernel is latency-bound on its two
+    # per-row prefix-scan chains, so wide anchor groups (G=64) fill
+    # the bubbles, and W=768 roughly halves dead lanes vs 1536 while
+    # still fitting the default-scoring y-drop band without overflow.
+    B, rows, W = 4096, 512, 768
     args, kw = build_args(B, rows, W)
     tbp0 = float(np.asarray(args[6]["tbp"], np.int64).sum())
-    st, tb = ydrop_chunk_pallas(*args, G=8, **kw)
+    st, tb = ydrop_chunk_pallas(*args, G=64, **kw)
     jax.block_until_ready(tb)
     st = tb = None
     t0 = time.time()
-    st, tb = ydrop_chunk_pallas(*args, G=8, **kw)
+    st, tb = ydrop_chunk_pallas(*args, G=64, **kw)
     jax.block_until_ready(tb)
     dt = time.time() - t0
     rows_done = float(np.asarray(st["rows_used"]).sum())

@@ -202,10 +202,17 @@ class DeviceYDrop:
             import jax
             from ..ops.ydrop_pallas_exact import ydrop_mega_pallas
             p_rows = min(self.rows, 512)
+            # anchor-group size G: the kernel is latency-bound on its
+            # two per-row prefix-scan chains, so batching more anchors
+            # into the sublane axis fills the bubbles (on-chip sweep:
+            # G=8 -> 0.99 Gcells/s, G=64 -> 2.7, TPU_EVIDENCE.json);
+            # clamped to the lane count (power-of-two batches keep it
+            # a divisor)
+            g_env = int(os.environ.get("LASTZ_TPU_PALLAS_G", "64"))
             kw = dict(kw, rows=p_rows,
                       max_blocks=kw["max_blocks"]
                       * max(1, self.rows // p_rows),
-                      G=int(os.environ.get("LASTZ_TPU_PALLAS_G", "8")),
+                      G=max(1, min(g_env, 2 * B)),
                       interpret=jax.default_backend() == "cpu")
             mega = ydrop_mega_pallas
         else:
@@ -251,10 +258,13 @@ class DeviceYDrop:
                 c_state["done"] = jnp2.asarray(
                     np.asarray(c_state["done"]) | padmask)
             c_prev = prev_off[selj]
+            c_kw = kw
+            if "G" in kw:  # compacted batch may be smaller than G
+                c_kw = dict(kw, G=min(kw["G"], padded))
             while blocks < self._MAX_CHUNKS:
                 c_state, c_prev, c_packed, _, _, _, _ = mega(
                     *c_args, c_state, c_prev, subsmall,
-                    with_tb=False, **kw)
+                    with_tb=False, **c_kw)
                 cpk = np.asarray(c_packed)
                 blocks += self.max_blocks
                 launches += 1
