@@ -242,8 +242,12 @@ def stage_hitgen_validate():
                     os.environ[k] = v
 
     ref = collect({"LASTZ_TPU_SCALAR_SEARCH": "1"})
+    # STRICT: a device failure must fail this stage — a silent
+    # fallback would "validate" the host replay against the scalar
+    # oracle and record it as on-chip evidence
     dev = collect({"LASTZ_TPU_SCALAR_SEARCH": "0",
-                   "LASTZ_TPU_HITGEN": "1"})
+                   "LASTZ_TPU_HITGEN": "1",
+                   "LASTZ_TPU_DEVICE_STRICT": "1"})
     if not ref:
         raise AssertionError("no hits from scalar oracle")
     if dev != ref:
@@ -287,11 +291,21 @@ def stage_device_e2e():
             gapped_host=int(st.gapped_host),
             timers={k: round(v, 2) for k, v in st.timers.items()})
 
+    # STRICT: a transient device error must fail this stage rather
+    # than silently recording a host-path run as "device e2e"
     os.environ["LASTZ_TPU_DEVICE"] = "1"
-    cold_dt, dev_lav, _ = run_once()          # compiles included
-    warm_dt, dev_lav, dev_detail = run_once()  # steady state
-    os.environ["LASTZ_TPU_DEVICE"] = "0"
+    os.environ["LASTZ_TPU_DEVICE_STRICT"] = "1"
+    try:
+        cold_dt, dev_lav, _ = run_once()          # compiles included
+        warm_dt, dev_lav, dev_detail = run_once()  # steady state
+    finally:
+        os.environ["LASTZ_TPU_DEVICE"] = "0"
+        os.environ.pop("LASTZ_TPU_DEVICE_STRICT", None)
     host_dt, host_lav, host_detail = run_once()
+    if dev_detail.get("gapped_device", 0) <= 0:
+        raise AssertionError(
+            "device e2e ran but no gapped extension executed on "
+            "device (gapped_device=0)")
 
     from lastz_tpu.tools.lav_compare import lav_equivalent
     same, why = lav_equivalent(dev_lav, host_lav)
