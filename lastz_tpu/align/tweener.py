@@ -64,31 +64,104 @@ def tweener_interpolate(pipeline, target, query, align_list):
     len1 = len(v1)
     len2 = len(v2)
 
-    def bounded_align(b1, e1, b2, e2):
-        """reference bounded_align: inner pipeline in one window."""
-        if b1 == e1 or b2 == e2:
-            return
-        # (partitioned window splitting arrives with [multi]+--inner)
-        sub1 = _SubSeq(v=v1[b1 - 1 : e1].copy(), true_len=e1 - (b1 - 1))
-        sub2 = _SubSeq(v=v2[b2 - 1 : e2].copy(), true_len=e2 - (b2 - 1))
-        pt = build_seed_position_table(
-            sub1.v, 0, len(sub1.v), UPPER_NUC_TO_BITS, inner_seed, 1)
+    hp = HitProcessorParams(
+        scoring=cfg.masked_scoring,
+        x_drop=cfg.x_drop,
+        hsp_threshold=score_thresh,
+        hsp_zero_threshold=(score_thresh.s if score_thresh.s > 0 else 0),
+        entropic_hsp=False,
+    )
+
+    # Batched-cost window search (VERDICT r3 item 8; reference
+    # tweener.c:239 runs a full mini-pipeline per window): one
+    # persistent engine + reused table/diag/output buffers across all
+    # windows, so each window costs one native table build + one
+    # native hit sweep instead of a fresh allocation storm.  Only
+    # taken when the outer search would itself route to the native
+    # sweep (oracle/device/sharded test modes keep the generic path).
+    import os as _os
+    fast_ctx = {"engine": None, "scratch": {}, "ok": None}
+
+    def _fast_path_ok(probe_engine):
+        if _os.environ.get("LASTZ_TPU_FAST_TWEENER", "") == "0":
+            return False
+        if _os.environ.get("LASTZ_TPU_SCALAR_SEARCH", "") not in ("", "0"):
+            return False
+        if int(_os.environ.get("LASTZ_TPU_SHARDS", "0")) > 1:
+            return False
+        from ..search.device_hits import _device_search_enabled
+        if _device_search_enabled():
+            return False
+        from ..search import native_sweep
+        return native_sweep._enabled() and native_sweep.supported(
+            probe_engine)
+
+    def window_search(v1w, v2w):
+        """Anchors for one window via the reused native sweep, or
+        None when this configuration must take the generic path."""
+        from ..search.native_sweep import native_hit_search
         anchors = SegmentTable()
 
         def reporter(pos1, pos2, length, s):
             anchors.add(pos1 - length, pos2 - length, length, s)
             return 1
 
-        hp = HitProcessorParams(
-            scoring=cfg.masked_scoring,
-            x_drop=cfg.x_drop,
-            hsp_threshold=score_thresh,
-            hsp_zero_threshold=(score_thresh.s if score_thresh.s > 0 else 0),
-            entropic_hsp=False,
-        )
-        engine = SeedSearchEngine(
-            sub1.v, pt, sub2.v, inner_seed, UPPER_NUC_TO_BITS, hp, reporter)
-        engine.search(0, len(sub2.v))
+        pt = build_seed_position_table(
+            v1w, 0, len(v1w), UPPER_NUC_TO_BITS, inner_seed, 1,
+            scratch=fast_ctx["scratch"])
+        eng = fast_ctx["engine"]
+        if eng is None:
+            eng = SeedSearchEngine(
+                v1w, pt, v2w, inner_seed, UPPER_NUC_TO_BITS, hp,
+                reporter)
+            if fast_ctx["ok"] is None:
+                fast_ctx["ok"] = _fast_path_ok(eng)
+            if not fast_ctx["ok"]:
+                return None
+            fast_ctx["engine"] = eng
+        else:
+            eng.seq1 = v1w
+            eng.seq2 = v2w
+            eng.pt = pt
+            eng.reporter = reporter
+            eng.diag_end.fill(-1)
+            eng.diag_actual.fill(0)
+            eng.limit_exceeded = False
+        r = native_hit_search(eng, 0, len(v2w), fresh_diag=True)
+        if r is None:  # config declined mid-run: generic path
+            fast_ctx["ok"] = False
+            fast_ctx["engine"] = None
+            return None
+        return anchors
+
+    def bounded_align(b1, e1, b2, e2):
+        """reference bounded_align: inner pipeline in one window."""
+        if b1 == e1 or b2 == e2:
+            return
+        # (partitioned window splitting arrives with [multi]+--inner)
+        v1w = v1[b1 - 1 : e1]
+        v2w = v2[b2 - 1 : e2]
+        anchors = None
+        if fast_ctx["ok"] is not False:
+            anchors = window_search(v1w, v2w)
+        if anchors is None:
+            pt = build_seed_position_table(
+                v1w, 0, len(v1w), UPPER_NUC_TO_BITS, inner_seed, 1)
+            anchors = SegmentTable()
+
+            def reporter(pos1, pos2, length, s):
+                anchors.add(pos1 - length, pos2 - length, length, s)
+                return 1
+
+            engine = SeedSearchEngine(
+                v1w, pt, v2w, inner_seed, UPPER_NUC_TO_BITS, hp,
+                reporter)
+            engine.search(0, len(v2w))
+
+        if len(anchors) == 0:
+            return
+        sub1 = _SubSeq(v=v1w.copy(), true_len=e1 - (b1 - 1))
+        sub2 = _SubSeq(v=v2w.copy(), true_len=e2 - (b2 - 1))
 
         reduce_to_chain(anchors, cfg.chain_diag, cfg.chain_anti, cfg.scoring)
         anchors.sort_by_pos1()

@@ -121,12 +121,18 @@ def build_seed_position_table(
     char_to_bits: np.ndarray,
     seed: Seed,
     step: int = 1,
+    scratch: dict | None = None,
 ) -> PositionTable:
     """Vectorized equivalent of reference build_seed_position_table.
 
     seq_v: uint8 ASCII target.  Words whose window includes any invalid
     character are skipped; a word ending at END position p (origin-0,
     exclusive) is stored iff p % step == 0.
+
+    scratch: optional dict reused across calls on the native path (the
+    tweener builds a table per 2 kb window); the returned table ALIASES
+    the scratch buffers and is invalidated by the next build that
+    passes the same dict.
     """
     if step < 1:
         raise ValueError("step must be >= 1")
@@ -147,8 +153,18 @@ def build_seed_position_table(
             import ctypes
             num_words = 1 << seed.weight
             cap = max((end - start - seed.length) // step + 2, 1)
-            csr_start = np.zeros(num_words + 1, np.int32)
-            out_pos = np.empty(cap, np.uint32)
+            if scratch is not None:
+                csr_start = scratch.get("csr_start")
+                if csr_start is None or len(csr_start) != num_words + 1:
+                    csr_start = scratch["csr_start"] = \
+                        np.empty(num_words + 1, np.int32)
+                out_pos = scratch.get("out_pos")
+                if out_pos is None or len(out_pos) < cap:
+                    out_pos = scratch["out_pos"] = \
+                        np.empty(cap, np.uint32)
+            else:
+                csr_start = np.empty(num_words + 1, np.int32)
+                out_pos = np.empty(cap, np.uint32)
             sv = np.ascontiguousarray(seq_v, np.uint8)
             # per-seed cache (the tweener builds a table per window)
             cached = getattr(seed, "_pt_tables", None)

@@ -73,9 +73,15 @@ def _pt_native_arrays(pt):
     return pt._native_csr
 
 
-def native_hit_search(engine, start: int = 0, end: int = 0):
+def native_hit_search(engine, start: int = 0, end: int = 0,
+                      fresh_diag: bool = False):
     """Drop-in for SeedSearchEngine.search; returns bases_hit or None
-    when this configuration is not supported."""
+    when this configuration is not supported.
+
+    fresh_diag=True promises the diagonal-hash state (diag_end /
+    diag_actual) is virgin for this call (the tweener resets it per
+    window), so the overflow-rerun rewind can refill instead of
+    snapshotting 1 MB per call."""
     if not _enabled() or not supported(engine):
         return None
     if end == 0:
@@ -147,15 +153,25 @@ def native_hit_search(engine, start: int = 0, end: int = 0):
 
     de = engine.diag_end
     da = engine.diag_actual
-    de_snap = de.copy()
-    da_snap = da.copy()
+    if fresh_diag:
+        de_snap = da_snap = None
+    else:
+        de_snap = de.copy()
+        da_snap = da.copy()
 
     # output capacity scaled to the scan size (a tiny tweener window
-    # must not pay a 40 MB allocation); overflow reruns with room
+    # must not pay a 40 MB allocation); overflow reruns with room.
+    # Buffers are reused across calls (the tweener makes one call per
+    # 2 kb window).
     cap = int(min(1 << 20, max(4096, 2 * (end - start))))
     while True:
-        out = {k: np.empty(cap, np.int64)
-               for k in ("pos1", "pos2", "len", "score", "grp")}
+        out = getattr(engine, "_ns_out", None)
+        if out is None or len(out["pos1"]) < cap:
+            out = {k: np.empty(cap, np.int64)
+                   for k in ("pos1", "pos2", "len", "score", "grp")}
+            engine._ns_out = out
+        else:
+            cap = len(out["pos1"])
         res = SweepCounters()
         lib.hit_sweep(
             seq1.ctypes.data_as(p_u8), seq2.ctypes.data_as(p_u8),
@@ -197,8 +213,12 @@ def native_hit_search(engine, start: int = 0, end: int = 0):
         if res.n_out <= cap:
             break
         # overflow: rewind the diagonal state and rerun with room
-        de[:] = de_snap
-        da[:] = da_snap
+        if fresh_diag:
+            de.fill(HASH_INACTIVE)
+            da.fill(0)
+        else:
+            de[:] = de_snap
+            da[:] = da_snap
         cap = int(res.n_out) + 1024
 
     from .. import stats as _stats
