@@ -1078,23 +1078,19 @@ def _special_min(RY, R):
 
 
 def msp_left_right(obi: Optional[GAlign], m: GAlign,
-                   index=None) -> bool:
+                   cands=None) -> bool:
     """reference msp_left_right: find bounding segments at the anchor;
     False if the anchor lies inside an existing alignment.
 
-    `index` is an optional (pos1s, end1s, aligns) snapshot of the
-    obi list in walk order; the numpy stab filter replaces the
-    linked-list scan (O(#aligns) per anchor otherwise — the hot part
-    of the bookkeeping with hundreds of accepted alignments)."""
+    `cands` is an optional pre-stabbed candidate list in obi order
+    (AcceptIndex.stab) replacing the linked-list scan (O(#aligns) per
+    anchor otherwise — the hot part of the bookkeeping with thousands
+    of accepted alignments)."""
     pos1, pos2 = m.pos1, m.pos2
     right = left = None
     m_right = m_left = None
     b_right = b_left = None
-    if index is not None:
-        arr_p1, arr_e1, aligns = index
-        stabbed = np.nonzero((arr_p1 <= pos1) & (arr_e1 >= pos1))[0]
-        cands = [aligns[int(i)] for i in stabbed]
-    else:
+    if cands is None:
         cands = []
         p = obi
         while p is not None and p.pos1 <= pos1:
@@ -1147,17 +1143,22 @@ def get_above_below(aligner: YDropAligner, anchor1,
     aligner.above_list = mp
 
 
-def align_left_right(obi: Optional[GAlign], m: GAlign):
+def align_left_right(obi: Optional[GAlign], m: GAlign, cands=None):
+    """`cands` is an optional pre-filtered overlap candidate list in
+    obi order (AcceptIndex.overlapping), replacing the full-list walk."""
     pos1, pos2 = m.pos1, m.pos2
     end1, end2 = m.end1, m.end2
     rob = rot = lob = lot = None
     m_rob = m_rot = m_lob = m_lot = None
     b_rob = b_rot = b_lob = b_lot = None
-    p = obi
-    while p is not None:
-        if p.pos1 > end1 or p.end1 < pos1:
+    if cands is None:
+        cands = []
+        p = obi
+        while p is not None:
+            if not (p.pos1 > end1 or p.end1 < pos1):
+                cands.append(p)
             p = p.next
-            continue
+    for p in cands:
         bp = p.first_seg
         while bp is not None:
             if bp.type != HORZ_SEG and bp.e1 >= pos1:
@@ -1191,7 +1192,6 @@ def align_left_right(obi: Optional[GAlign], m: GAlign):
                 rot, m_rot, b_rot = x, p, bp
             elif x < 0 and (lot is None or -x < lot):
                 lot, m_lot, b_lot = -x, p, bp
-        p = p.next
     m.right_align1, m.right_seg1 = m_rob, b_rob
     m.right_align2, m.right_seg2 = m_rot, b_rot
     m.left_align1, m.left_seg1 = m_lob, b_lob
@@ -1219,6 +1219,138 @@ def insert_align(m: GAlign, obi, oed):
         m.prev = oed
         oed = m
     return obi, oed
+
+
+class AcceptIndex:
+    """Incrementally-maintained index over the accepted-alignment lists
+    (replaces the rebuild-per-insert snapshot that made the accept loop
+    O(n^2) in accepted alignments; reference keeps plain linked lists,
+    gapped_extend.c:1299-1345, whose walks are the same O(n) cost this
+    removes).
+
+    Maintains, under insert(m):
+      * the obi linked list (pos1 ascending, newest-first among equal
+        pos1 — byte-identical to the reference's insert_align walk) via
+        `m.next`, plus `self.obi` (head);
+      * the oed linked list (end1 descending, newest-first among ties)
+        via `m.prev`, plus `self.oed` (head);
+      * pos1/end1 bisect keys for O(log n) above/below lookups;
+      * a bin grid over the target axis for O(bin) interval-stab and
+        overlap queries (msp_left_right / align_left_right candidate
+        sets), iterated in exact obi order via the (pos1, -seq) key;
+      * a bbox bin grid for the device path's accepted-bounding-box
+        point test.
+    """
+
+    BIN_SHIFT = 15  # 32 Kbp bins
+
+    def __init__(self):
+        from bisect import bisect_left, bisect_right
+        self._bl, self._br = bisect_left, bisect_right
+        self.obi: Optional[GAlign] = None
+        self.oed: Optional[GAlign] = None
+        self._obi_nodes: list[GAlign] = []   # pos1 asc, newest-first ties
+        self._pos1_keys: list[int] = []
+        self._oed_nodes: list[GAlign] = []   # (end1, seq) ascending
+        self._end1_keys: list[int] = []
+        self._bins: dict[int, list[GAlign]] = {}
+        self._bbox_bins: dict[int, list[tuple]] = {}
+        self._seq = 0
+
+    # -- mutation ---------------------------------------------------------
+
+    def insert(self, m: GAlign):
+        m._accept_seq = self._seq
+        self._seq += 1
+        # obi: before all equal pos1 (newest-first), like the reference
+        i = self._bl(self._pos1_keys, m.pos1)
+        self._pos1_keys.insert(i, m.pos1)
+        self._obi_nodes.insert(i, m)
+        m.next = self._obi_nodes[i + 1] \
+            if i + 1 < len(self._obi_nodes) else None
+        if i > 0:
+            self._obi_nodes[i - 1].next = m
+        self.obi = self._obi_nodes[0]
+        # oed: ascending (end1, seq); traversal head is the last node
+        j = self._br(self._end1_keys, m.end1)
+        self._end1_keys.insert(j, m.end1)
+        self._oed_nodes.insert(j, m)
+        m.prev = self._oed_nodes[j - 1] if j > 0 else None
+        if j + 1 < len(self._oed_nodes):
+            self._oed_nodes[j + 1].prev = m
+        self.oed = self._oed_nodes[-1]
+        # target-axis bins
+        sh = self.BIN_SHIFT
+        for b in range(m.pos1 >> sh, (m.end1 >> sh) + 1):
+            self._bins.setdefault(b, []).append(m)
+
+    def add_bbox(self, b1lo, b1hi, b2lo, b2hi):
+        sh = self.BIN_SHIFT
+        box = (b1lo, b1hi, b2lo, b2hi)
+        for b in range(b1lo >> sh, (b1hi >> sh) + 1):
+            self._bbox_bins.setdefault(b, []).append(box)
+
+    # -- queries ----------------------------------------------------------
+
+    def stab(self, pos1: int) -> list[GAlign]:
+        """Alignments whose [pos1, end1] contains pos1, in obi order."""
+        cands = [p for p in self._bins.get(pos1 >> self.BIN_SHIFT, ())
+                 if p.pos1 <= pos1 <= p.end1]
+        if len(cands) > 1:
+            cands.sort(key=lambda p: (p.pos1, -p._accept_seq))
+        return cands
+
+    def overlapping(self, pos1: int, end1: int) -> list[GAlign]:
+        """Alignments whose [pos1, end1] range overlaps the given one,
+        in obi order (align_left_right's candidate walk)."""
+        sh = self.BIN_SHIFT
+        seen = set()
+        cands = []
+        for b in range(pos1 >> sh, (end1 >> sh) + 1):
+            for p in self._bins.get(b, ()):
+                k = id(p)
+                if k in seen:
+                    continue
+                seen.add(k)
+                if p.pos1 <= end1 and p.end1 >= pos1:
+                    cands.append(p)
+        if len(cands) > 1:
+            cands.sort(key=lambda p: (p.pos1, -p._accept_seq))
+        return cands
+
+    def above_below(self, anchor1: int):
+        """(above_list, below_list) for get_above_below: first obi node
+        with pos1 > anchor1, first oed-traversal node with
+        end1 < anchor1."""
+        i = self._br(self._pos1_keys, anchor1)
+        above = self._obi_nodes[i] if i < len(self._obi_nodes) else None
+        j = self._bl(self._end1_keys, anchor1)
+        below = self._oed_nodes[j - 1] if j > 0 else None
+        return above, below
+
+    def in_bbox(self, p1: int, p2: int) -> bool:
+        for (b1lo, b1hi, b2lo, b2hi) in \
+                self._bbox_bins.get(p1 >> self.BIN_SHIFT, ()):
+            if b1lo <= p1 <= b1hi and b2lo <= p2 <= b2hi:
+                return True
+        return False
+
+    def any_bbox_overlap(self, r1lo, r1hi, r2lo, r2hi) -> bool:
+        """Does any accepted bounding box intersect the rectangle?"""
+        sh = self.BIN_SHIFT
+        lo = max(0, r1lo) >> sh
+        hi = max(0, r1hi) >> sh
+        seen = set()
+        for b in range(lo, hi + 1):
+            for box in self._bbox_bins.get(b, ()):
+                if box in seen:
+                    continue
+                seen.add(box)
+                (b1lo, b1hi, b2lo, b2hi) = box
+                if not (b1hi < r1lo or b1lo > r1hi
+                        or b2hi < r2lo or b2lo > r2hi):
+                    return True
+        return False
 
 
 def format_alignment(v1, v2, start1, start2, stop1, stop2, s, script,
@@ -1391,14 +1523,10 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
                              trim_to_peak, traceback_mem, seg_infos)
         if not device.ok:
             device = None
-    # bounding boxes of accepted alignments, for the device-safety test
-    acc_bb: list[tuple] = []
-
-    def _in_accepted_bbox(p1, p2):
-        for (b1lo, b1hi, b2lo, b2hi) in acc_bb:
-            if b1lo <= p1 <= b1hi and b2lo <= p2 <= b2hi:
-                return True
-        return False
+    # incremental index over accepted alignments: obi/oed linked lists,
+    # stab/overlap bins, and the device-safety bounding boxes
+    aidx = AcceptIndex()
+    n_bbox = 0
 
     if device is not None:
         # lazy-batch heuristic: don't speculatively extend anchors
@@ -1406,8 +1534,8 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
         # (their device result would be rejected by the overlap test
         # below anyway, and most are killed by msp_left_right)
         device.precheck = (
-            lambda j: not _in_accepted_bbox(device.seg_infos[j][0],
-                                            device.seg_infos[j][1]))
+            lambda j: not aidx.in_bbox(device.seg_infos[j][0],
+                                       device.seg_infos[j][1]))
 
     obi = oed = None
     paired_bases = 0
@@ -1419,7 +1547,8 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
         mp = GAlign(pos1=0, pos2=0,
                     end1=len(target.v) - 1, end2=len(target.v) - 1)
         mp.save_seg(mp.pos1, mp.pos2, mp.end1, mp.end2)
-        obi, oed = insert_align(mp, obi, oed)
+        aidx.insert(mp)
+        obi, oed = aidx.obi, aidx.oed
         mp.last_seg = mp.first_seg
         mp.first_seg.prev_seg = None
         mp.last_seg.next_seg = None
@@ -1430,7 +1559,8 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
                       score=max(ident_score, thresh), is_trivial=True)
         mp.align = a
         trivial_mp = mp
-        acc_bb.append((0, len(target.v) - 1, 0, len(target.v) - 1))
+        aidx.add_bbox(0, len(target.v) - 1, 0, len(target.v) - 1)
+        n_bbox += 1
     else:
         # partitioned triviality (gapped_extend.c:1123-1280): insert a
         # trivial alignment per identical partition pair so that
@@ -1452,7 +1582,8 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
         for (b1, e1, b2, e2) in triv_pairs:
             mp = GAlign(pos1=b1, pos2=b2, end1=e1, end2=e2)
             mp.save_seg(b1, b2, e1, e2)
-            obi, oed = insert_align(mp, obi, oed)
+            aidx.insert(mp)
+            obi, oed = aidx.obi, aidx.oed
             mp.last_seg = mp.first_seg
             mp.first_seg.prev_seg = None
             mp.last_seg.next_seg = None
@@ -1464,28 +1595,11 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
                           end1=e1 + 1, end2=e2 + 1, script=script,
                           score=max(s, thresh), is_trivial=True)
             mp.align = a
-            acc_bb.append((b1, e1, b2, e2))
-
-    # obi-order snapshot for msp_left_right's stab filter, rebuilt
-    # after every list mutation (O(n) rebuilds, n accepted aligns)
-    ali_index = None
-
-    def _obi_index():
-        nonlocal ali_index
-        if ali_index is None:
-            ps, es, als = [], [], []
-            p = obi
-            while p is not None:
-                ps.append(p.pos1)
-                es.append(p.end1)
-                als.append(p)
-                p = p.next
-            ali_index = (np.asarray(ps, np.int64),
-                         np.asarray(es, np.int64), als)
-        return ali_index
+            aidx.add_bbox(b1, e1, b2, e2)
+            n_bbox += 1
 
     for k, mp in enumerate(msps):
-        if not msp_left_right(obi, mp, _obi_index()):
+        if not msp_left_right(obi, mp, cands=aidx.stab(mp.pos1)):
             if device is not None:
                 device.release(k)
             continue
@@ -1493,7 +1607,8 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
         aligner.right_align = mp.right_align1
         aligner.left_seg = mp.left_seg1
         aligner.right_seg = mp.right_seg1
-        get_above_below(aligner, mp.pos1, obi, oed)
+        aligner.above_list, aligner.below_list = \
+            aidx.above_below(mp.pos1)
 
         # partitioned sequences: clamp the DP to the anchor's partition
         # (gapped_extend.c:1355-1375)
@@ -1511,7 +1626,7 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
                             and mp.right_seg1 is None):
             use_dev = False
             _x["dev-skip bounded"] = _x.get("dev-skip bounded", 0) + 1
-        if use_dev and _in_accepted_bbox(mp.pos1, mp.pos2):
+        if use_dev and aidx.in_bbox(mp.pos1, mp.pos2):
             use_dev = False
             _x["dev-skip in-bbox"] = _x.get("dev-skip in-bbox", 0) + 1
         if use_dev:
@@ -1533,15 +1648,12 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
                 use_dev = False
             if not use_dev and device is not None:
                 _x["dev-skip status"] = _x.get("dev-skip status", 0) + 1
-        if use_dev and acc_bb:
+        if use_dev and n_bbox:
             r1lo, r1hi, r2lo, r2hi = device.explored_rect(k)
-            for (b1lo, b1hi, b2lo, b2hi) in acc_bb:
-                if not (b1hi < r1lo or b1lo > r1hi
-                        or b2hi < r2lo or b2lo > r2hi):
-                    use_dev = False
-                    _x["dev-skip overlap"] = \
-                        _x.get("dev-skip overlap", 0) + 1
-                    break
+            if aidx.any_bbox_overlap(r1lo, r1hi, r2lo, r2hi):
+                use_dev = False
+                _x["dev-skip overlap"] = \
+                    _x.get("dev-skip overlap", 0) + 1
         if use_dev:
             device.stats_device += 1
             s, start1, start2, stop1, stop2, script = device.compose(
@@ -1573,10 +1685,12 @@ def gapped_extend(target, query, scoring, anchors: SegmentTable,
             mp.first_seg = mp.last_seg = None
             continue
 
-        align_left_right(obi, mp)
-        obi, oed = insert_align(mp, obi, oed)
-        ali_index = None
-        acc_bb.append((mp.pos1, mp.end1, mp.pos2, mp.end2))
+        align_left_right(obi, mp,
+                         cands=aidx.overlapping(mp.pos1, mp.end1))
+        aidx.insert(mp)
+        obi, oed = aidx.obi, aidx.oed
+        aidx.add_bbox(mp.pos1, mp.end1, mp.pos2, mp.end2)
+        n_bbox += 1
 
         # paired-bases limit (gapped_extend.c:1444-1459): stop processing
         # HSPs; without 'keep', discard everything for this query/strand

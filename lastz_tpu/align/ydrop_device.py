@@ -208,11 +208,15 @@ class DeviceYDrop:
             # G=8 -> 0.99 Gcells/s, G=64 -> 2.7, TPU_EVIDENCE.json);
             # clamped to the lane count (power-of-two batches keep it
             # a divisor)
+            import math
             g_env = int(os.environ.get("LASTZ_TPU_PALLAS_G", "64"))
+            # the kernel asserts B % G == 0; gcd rounds an arbitrary
+            # LASTZ_TPU_YDROP_BATCH down to an actual divisor
+            g = max(1, min(g_env, 2 * B))
             kw = dict(kw, rows=p_rows,
                       max_blocks=kw["max_blocks"]
                       * max(1, self.rows // p_rows),
-                      G=max(1, min(g_env, 2 * B)),
+                      G=math.gcd(g, 2 * B),
                       interpret=jax.default_backend() == "cpu")
             mega = ydrop_mega_pallas
         else:

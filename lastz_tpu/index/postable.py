@@ -163,6 +163,8 @@ def build_seed_position_table(
                     out_pos = scratch["out_pos"] = \
                         np.empty(cap, np.uint32)
             else:
+                # np.empty is safe: native build_postable zero-fills
+                # csr_start itself in its pass 0 (ydrop_row.cpp memset)
                 csr_start = np.empty(num_words + 1, np.int32)
                 out_pos = np.empty(cap, np.uint32)
             sv = np.ascontiguousarray(seq_v, np.uint8)
