@@ -573,7 +573,9 @@ def embed_scaling(detail):
     bench_scaling.py at chromosome-scale shapes, too slow to re-run
     inside every bench invocation)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "SCALING_r04.json")
+                        "SCALING_r05.json")
+    if not os.path.exists(path):
+        path = path.replace("r05", "r04")
     if os.path.exists(path):
         try:
             with open(path) as f:

@@ -1,18 +1,28 @@
 #!/usr/bin/env python
-"""Chromosome-scale e2e scaling bench (VERDICT r3 item 2).
+"""Chromosome-scale e2e scaling bench (VERDICT r3 item 2, r4 items 5/6).
 
 The reference's defining workload is a chromosome pair (191 Mbp vs
 94 Mbp, ~4.5 h at default sensitivity — README.lastz.html Figure 1(b);
 BASELINE.md row 2).  This script benches ours vs the reference C
 binary on the same synthetic conserved-segment pairs as bench.py but
 at a ladder of sizes, recording e2e wall clock, stage timers, peak
-RSS for BOTH binaries, and LAV equivalence at every rung.  Results go
-to SCALING_r04.json, which bench.py embeds into its artifact.
+RSS for BOTH binaries, and LAV equivalence at every rung.
+
+Artifact-quality rules (VERDICT r4 weak 1/2):
+  * every binary's RSS is measured in its OWN fresh wrapper process
+    (RUSAGE_CHILDREN of a wrapper that ran nothing else), never from
+    this orchestrator's cumulative child high-water mark;
+  * min-of-N with INTERLEAVED A/B order at every rung (ref, ours,
+    ref, ours), so load drift on a shared host hits both binaries.
 
 Usage:
   python bench_scaling.py                    # default ladder 4/12/40 Mbp
   LASTZ_TPU_SCALE_BPS=4000000,40000000 python bench_scaling.py
-  python bench_scaling.py worker <t> <q> <out.lav> <runs>   # internal
+  LASTZ_TPU_SCALE_CHROM=90000000 python bench_scaling.py   # adds the
+      chromosome-shaped low-sensitivity rung (--notransition --step=20
+      --nogapped, the README's 2.5-minute recipe)
+  python bench_scaling.py worker <t> <q> <out.lav> <flags...>  # internal
+  python bench_scaling.py refworker <bin> <t> <q> <out.lav> <flags...>
 """
 
 import json
@@ -27,7 +37,7 @@ sys.path.insert(0, REPO)
 
 import numpy as np
 
-OUT = os.path.join(REPO, "SCALING_r04.json")
+OUT = os.path.join(REPO, "SCALING_r05.json")
 ALPHA = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
@@ -72,9 +82,9 @@ def make_pair(n, tpath, qpath, seed=42):
     write(qpath, "q", q)
 
 
-def run_worker(tpath, qpath, outpath, runs, flags=()):
-    """Child process: run our pipeline `runs` times (min wall), then
-    report wall/timers/RSS as one JSON line on stdout."""
+def run_worker(tpath, qpath, outpath, flags=()):
+    """Child process: run our pipeline ONCE, report
+    wall/timers/RSS as one JSON line on stdout."""
     os.environ["LASTZ_TPU_DEVICE"] = "0"
     import io
 
@@ -82,64 +92,68 @@ def run_worker(tpath, qpath, outpath, runs, flags=()):
     from lastz_tpu.cli import parse_options
     from lastz_tpu.pipeline import Pipeline
 
-    best = None
-    timers = {}
-    counters = {}
-    walls = []
-    for _ in range(runs):
-        _stats.reset()
-        t0 = time.time()
-        cfg = parse_options([tpath, qpath, *flags])
-        buf = io.StringIO()
-        Pipeline(cfg, buf).run()
-        dt = time.time() - t0
-        walls.append(dt)
-        if best is None or dt < best:
-            best = dt
-            st = _stats.current
-            timers = {k: round(v, 2) for k, v in st.timers.items()}
-            counters = dict(hsps=int(st.hsps),
-                            alignments=int(st.alignments))
-            with open(outpath, "w") as f:
-                f.write(buf.getvalue())
+    _stats.reset()
+    t0 = time.time()
+    cfg = parse_options([tpath, qpath, *flags])
+    buf = io.StringIO()
+    Pipeline(cfg, buf).run()
+    dt = time.time() - t0
+    st = _stats.current
+    with open(outpath, "w") as f:
+        f.write(buf.getvalue())
     print(json.dumps({
-        "seconds": round(best, 1),
-        "runs": [round(w, 1) for w in walls],
-        "timers": timers,
-        **counters,
+        "seconds": round(dt, 1),
+        "timers": {k: round(v, 2) for k, v in st.timers.items()},
+        "hsps": int(st.hsps),
+        "alignments": int(st.alignments),
         "peak_rss_mb": round(
             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024,
             1),
     }))
 
 
-def run_reference(binpath, tpath, qpath, outpath, flags=()):
-    pre = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+def run_refworker(binpath, tpath, qpath, outpath, flags=()):
+    """Child wrapper: run the reference binary once; our own
+    RUSAGE_CHILDREN covers exactly that one child."""
     t0 = time.time()
     with open(outpath, "w") as f:
         subprocess.run([binpath, tpath, qpath, *flags], stdout=f,
                        stderr=subprocess.DEVNULL, check=True)
     dt = time.time() - t0
-    post = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
-    return dt, max(post, pre) / 1024.0
+    rss = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    print(json.dumps({"seconds": round(dt, 1),
+                      "peak_rss_mb": round(rss / 1024.0, 1)}))
+
+
+def _spawn_json(argv):
+    r = subprocess.run(argv, capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-1500:])
+    return json.loads(r.stdout.strip().splitlines()[-1])
 
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
         run_worker(sys.argv[2], sys.argv[3], sys.argv[4],
-                   int(sys.argv[5]), tuple(sys.argv[6:]))
+                   tuple(sys.argv[5:]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "refworker":
+        run_refworker(sys.argv[2], sys.argv[3], sys.argv[4],
+                      sys.argv[5], tuple(sys.argv[6:]))
         return
 
     import bench
     binpath = bench.ensure_reference()
     sizes = [int(s) for s in os.environ.get(
-        "LASTZ_TPU_SCALE_BPS", "4000000,12000000,40000000").split(",")]
+        "LASTZ_TPU_SCALE_BPS", "4000000,12000000,40000000").split(",")
+        if s]
     results = {"generated": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                           time.gmtime()),
                "note": ("synthetic conserved-segment pairs "
-                        "(bench.py shape), default sensitivity, "
-                        "single run per binary at >=40 Mbp; "
-                        "host path (LASTZ_TPU_DEVICE=0)"),
+                        "(bench.py shape); min-of-N wall with "
+                        "interleaved ref/ours order; per-run RSS from "
+                        "fresh wrapper processes; host path "
+                        "(LASTZ_TPU_DEVICE=0)"),
                "rungs": []}
     variants = [("default", ())]
     if os.environ.get("LASTZ_TPU_SCALE_INNER", "1") != "0":
@@ -153,51 +167,79 @@ def main():
         qpath = f"/tmp/lastz_scale_{tag}_q.fa"
         sys.stderr.write(f"[scaling] {tag}: generating pair...\n")
         make_pair(n, tpath, qpath)
-        runs = 2 if n <= 12_000_000 else 1
+        runs = int(os.environ.get("LASTZ_TPU_SCALE_RUNS", "2"))
 
         for vname, flags in (variants if size_i == 0
                              else variants[:1]):
             _run_rung(binpath, results, n, tag, tpath, qpath, runs,
                       vname, flags)
 
+    # chromosome-shaped rung (VERDICT r4 item 6): README's
+    # low-sensitivity recipe on a ~90 Mbp pair
+    chrom = int(os.environ.get("LASTZ_TPU_SCALE_CHROM", "0"))
+    if chrom:
+        tag = f"{chrom // 1_000_000}M"
+        tpath = f"/tmp/lastz_scale_{tag}_t.fa"
+        qpath = f"/tmp/lastz_scale_{tag}_q.fa"
+        sys.stderr.write(f"[scaling] {tag}: generating pair...\n")
+        make_pair(chrom, tpath, qpath)
+        _run_rung(binpath, results, chrom, tag, tpath, qpath,
+                  int(os.environ.get("LASTZ_TPU_SCALE_RUNS", "2")),
+                  "lowsens",
+                  ("--notransition", "--step=20", "--nogapped"))
+
 
 def _run_rung(binpath, results, n, tag, tpath, qpath, runs,
               vname, flags):
-    sys.stderr.write(f"[scaling] {tag}/{vname}: reference...\n")
     ref_lav = f"/tmp/lastz_scale_{tag}_{vname}_ref.lav"
-    ref_s, ref_rss = run_reference(binpath, tpath, qpath, ref_lav,
-                                   flags)
-
-    sys.stderr.write(f"[scaling] {tag}/{vname}: ours...\n")
     our_lav = f"/tmp/lastz_scale_{tag}_{vname}_ours.lav"
-    r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "worker",
-         tpath, qpath, our_lav, str(runs), *flags],
-        capture_output=True, text=True)
-    if r.returncode != 0:
+    me = os.path.abspath(__file__)
+    ref_runs, our_runs = [], []
+    ref_rss = our_rss = 0.0
+    ours_best = None
+    try:
+        for i in range(runs):
+            # interleaved A/B: load drift hits both binaries
+            sys.stderr.write(
+                f"[scaling] {tag}/{vname}: reference run {i + 1}...\n")
+            ref = _spawn_json([sys.executable, me, "refworker",
+                               binpath, tpath, qpath, ref_lav, *flags])
+            ref_runs.append(ref["seconds"])
+            ref_rss = max(ref_rss, ref["peak_rss_mb"])
+            sys.stderr.write(
+                f"[scaling] {tag}/{vname}: ours run {i + 1}...\n")
+            ours = _spawn_json([sys.executable, me, "worker",
+                                tpath, qpath, our_lav, *flags])
+            our_runs.append(ours["seconds"])
+            our_rss = max(our_rss, ours["peak_rss_mb"])
+            if ours_best is None or ours["seconds"] <= \
+                    min(w for w in our_runs):
+                ours_best = ours
+    except RuntimeError as e:
         results["rungs"].append(
-            {"pair_bp": n, "variant": vname,
-             "error": r.stderr[-1500:]})
+            {"pair_bp": n, "variant": vname, "error": str(e)[-1500:]})
         save(results)
         return
-    ours = json.loads(r.stdout.strip().splitlines()[-1])
 
     from lastz_tpu.tools.lav_compare import lav_equivalent
     with open(ref_lav) as f1, open(our_lav) as f2:
         same, why = lav_equivalent(f1.read(), f2.read())
 
+    ref_s = min(ref_runs)
+    our_s = min(our_runs)
     rung = {
         "pair_bp": n,
         "variant": vname,
-        "ref_seconds": round(ref_s, 1),
-        "ref_peak_rss_mb": round(ref_rss, 1),
-        "ours_seconds": ours["seconds"],
-        "ours_runs": ours["runs"],
-        "ours_peak_rss_mb": ours["peak_rss_mb"],
-        "ours_timers": ours["timers"],
-        "hsps": ours.get("hsps"),
-        "alignments": ours.get("alignments"),
-        "speedup_vs_c": round(ref_s / ours["seconds"], 3),
+        "ref_seconds": ref_s,
+        "ref_runs": ref_runs,
+        "ref_peak_rss_mb": ref_rss,
+        "ours_seconds": our_s,
+        "ours_runs": our_runs,
+        "ours_peak_rss_mb": our_rss,
+        "ours_timers": ours_best["timers"],
+        "hsps": ours_best.get("hsps"),
+        "alignments": ours_best.get("alignments"),
+        "speedup_vs_c": round(ref_s / our_s, 3),
         "lav_equivalent": bool(same),
     }
     if not same:
@@ -205,7 +247,7 @@ def _run_rung(binpath, results, n, tag, tpath, qpath, runs,
     results["rungs"].append(rung)
     sys.stderr.write(
         f"[scaling] {tag}/{vname}: ref {ref_s:.0f}s vs ours "
-        f"{ours['seconds']:.0f}s ({rung['speedup_vs_c']}x), "
+        f"{our_s:.0f}s ({rung['speedup_vs_c']}x), "
         f"lav_equivalent={same}\n")
     save(results)
 
@@ -217,4 +259,4 @@ def save(results):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

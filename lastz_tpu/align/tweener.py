@@ -89,9 +89,10 @@ def tweener_interpolate(pipeline, target, query, align_list):
             return False
         if int(_os.environ.get("LASTZ_TPU_SHARDS", "0")) > 1:
             return False
-        from ..search.device_hits import _device_search_enabled
-        if _device_search_enabled():
-            return False
+        # device-search mode deliberately KEEPS this host fast path:
+        # inner 7-mer windows are tiny (default 20 kbp), so the native
+        # sweep beats a tunnel round-trip per window by orders of
+        # magnitude (VERDICT r4 item 9)
         from ..search import native_sweep
         return native_sweep._enabled() and native_sweep.supported(
             probe_engine)
@@ -176,6 +177,9 @@ def tweener_interpolate(pipeline, target, query, align_list):
             trim_to_peak=not cfg.y_drop_untrimmed,
             score_thresh=score_thresh,
             traceback_mem=cfg.traceback_mem,
+            # inner windows are tiny: the host engine beats a device
+            # launch per window even when the outer run is device-mode
+            use_device=False,
         )
         for a in inner:
             a.beg1 += b1 - 1

@@ -192,14 +192,22 @@ class DeviceYDrop:
                   trim_to_peak=self.trim_to_peak, tb_cap=self.tb_cap)
         subsmall = jnp.asarray(self.subsmall)
 
-        # LASTZ_TPU_PALLAS=1 routes the mega-launch through the
-        # Pallas chunk kernel (ops/ydrop_pallas_exact.ydrop_mega_pallas)
-        # instead of the XLA scan kernel; identical contract, chunk
-        # rows capped at 512 for the kernel's VMEM budget
-        use_pallas = os.environ.get("LASTZ_TPU_PALLAS", "") \
-            not in ("", "0")
+        # The Pallas chunk kernel (ydrop_mega_pallas) is the DEFAULT
+        # device gapped kernel on TPU backends — it measured 2.68
+        # Gcells/s with traceback vs the XLA scan kernel's 0.89 on a
+        # v5e (TPU_EVIDENCE.json pallas_rate / xla_mega_rate), with a
+        # bit-identical contract validated on-chip every evidence run.
+        # LASTZ_TPU_PALLAS=0 falls back to the XLA mega kernel;
+        # LASTZ_TPU_PALLAS=1/interp forces the Pallas kernel on CPU
+        # backends (interpreter mode, for tests).  Chunk rows are
+        # capped at 512 for the kernel's VMEM budget.
+        import jax
+        pmode = os.environ.get("LASTZ_TPU_PALLAS", "auto")
+        if pmode == "auto":
+            use_pallas = jax.default_backend() not in ("cpu", "gpu")
+        else:
+            use_pallas = pmode not in ("", "0")
         if use_pallas:
-            import jax
             from ..ops.ydrop_pallas_exact import ydrop_mega_pallas
             p_rows = min(self.rows, 512)
             # anchor-group size G: the kernel is latency-bound on its
@@ -212,11 +220,26 @@ class DeviceYDrop:
             g_env = int(os.environ.get("LASTZ_TPU_PALLAS_G", "64"))
             # the kernel asserts B % G == 0; gcd rounds an arbitrary
             # LASTZ_TPU_YDROP_BATCH down to an actual divisor
-            g = max(1, min(g_env, 2 * B))
+            g = math.gcd(max(1, min(g_env, 2 * B)), 2 * B)
+
+            # VMEM gate: the kernel's blocks are double-buffered, and
+            # the traceback block alone is (rows+1)*G*W bytes — at the
+            # production W (lanes = 2*width = 1536) a G that was fine
+            # for the rate sweep's W=768 overflows the 100 MiB scoped
+            # budget ("register allocator spill slots" abort on v5e).
+            # Shrink G until the estimate fits ~80 MiB.
+            def vmem_est(G):
+                tb = (p_rows + 1) * G * self.lanes       # uint8
+                srow = p_rows * G * 128 * 4              # sub rows
+                vecs = 10 * G * self.lanes * 4           # CC/DD/b/pads
+                return 2 * (tb + srow + vecs)            # dbl-buffered
+
+            while g > 1 and vmem_est(g) > (80 << 20):
+                g = math.gcd(g // 2, 2 * B)  # stay a divisor
             kw = dict(kw, rows=p_rows,
                       max_blocks=kw["max_blocks"]
                       * max(1, self.rows // p_rows),
-                      G=math.gcd(g, 2 * B),
+                      G=g,
                       interpret=jax.default_backend() == "cpu")
             mega = ydrop_mega_pallas
         else:
@@ -264,7 +287,8 @@ class DeviceYDrop:
             c_prev = prev_off[selj]
             c_kw = kw
             if "G" in kw:  # compacted batch may be smaller than G
-                c_kw = dict(kw, G=min(kw["G"], padded))
+                import math as _math
+                c_kw = dict(kw, G=_math.gcd(kw["G"], padded))
             while blocks < self._MAX_CHUNKS:
                 c_state, c_prev, c_packed, _, _, _, _ = mega(
                     *c_args, c_state, c_prev, subsmall,

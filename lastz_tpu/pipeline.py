@@ -548,6 +548,19 @@ class Pipeline:
                 run_farmed(self, target, pt, farm,
                            lambda c, o: Pipeline(c, o))
                 farmed = True
+        if not farmed and not getattr(self, "_farm_worker", False):
+            # multi-process query sharding over jax.distributed
+            # (parallel/distributed.py): per-process shard pipelines,
+            # census all-reduce, host-0 output merge — the DCN form of
+            # the reference's capsule farm-out (capsule.c:6-15)
+            from .parallel.distributed import (
+                dist_enabled, dist_supported, process_count,
+                run_distributed)
+            if dist_enabled() and process_count() > 1 \
+                    and dist_supported(self):
+                run_distributed(self, target, pt,
+                                lambda c, o: Pipeline(c, o))
+                farmed = True
         while not farmed:
             query = query_file.load()
             if query is None:

@@ -583,9 +583,10 @@ def batched_search(engine, start: int = 0, end: int = 0,
                 if r is None:
                     continue
                 if twin:
-                    pending.append((g, *r, False))
+                    pending.append((g, *r, True))
                 else:
                     bases_hit += engine._report(*r)
+                    st.hsps += 1
             else:
                 left_score = int(ext["left_score"][i])
                 left_start = int(ext["left_start"][i])

@@ -13,26 +13,30 @@ earlier evidence — the JSON is rewritten after every stage):
   3. pallas_rate      — exact-kernel (with traceback) cells/s of the
                         Pallas chunk kernel at production-like shape
   4. xla_mega_rate    — cells/s of the XLA mega-launch exact kernel
-  5. xdrop_validate   — Pallas x-drop seed-extension kernel vs the
-                        batched host reference on the TPU
+  5. hitgen_validate  — device hit generation vs the scalar oracle on
+                        the TPU, hit-for-hit identical (STRICT: no
+                        silent host fallback)
   6. device_e2e       — small-pair full-pipeline run with
                         LASTZ_TPU_DEVICE=1 (device hit generation +
                         device gapped extension), wall clock + stage
                         timers + LAV equality vs the host-path run
 
-This is the evidence the judge asked for (VERDICT round 3, item 1):
-until a number in this file carries "platform": "tpu", every device
-kernel has only ever run in interpreter mode on CPU.
+ISOLATION & RETRY: every stage runs in a FRESH SUBPROCESS
+(`tpu_evidence.py --stage NAME`), because a TPU worker fault poisons
+the client process (and sometimes the worker itself) — observed as
+'TPU worker process crashed or restarted' on the NEXT stage even when
+that stage's program is sound.  A failed stage is retried up to
+--retries times with backoff; every attempt's outcome is recorded.
 
 Run directly (`python tpu_evidence.py`) or via tpu_watchdog.py, which
 polls the accelerator tunnel and launches this the moment the chip
-answers.  All stages share one process so the in-process jit cache is
-reused (the cross-process XLA compile cache is broken under the axon
-tunnel).
+answers.
 """
 
+import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 import traceback
@@ -42,6 +46,16 @@ sys.path.insert(0, REPO)
 OUT = os.path.join(REPO, "TPU_EVIDENCE.json")
 
 import numpy as np
+
+STAGE_TIMEOUT = {
+    "probe": 600,
+    "pallas_validate": 900,
+    "pallas_rate": 900,
+    "xla_mega_rate": 900,
+    "hitgen_validate": 1200,
+    "device_e2e": 3600,
+}
+STAGES = list(STAGE_TIMEOUT)
 
 
 def _now():
@@ -62,24 +76,29 @@ def save_evidence(ev):
     os.replace(tmp, OUT)
 
 
-def record(ev, name, fn):
-    """Run one evidence stage, recording outcome + timing + errors."""
-    t0 = time.time()
-    entry = {"ts": _now()}
-    sys.stderr.write(f"[evidence] stage {name} ...\n")
-    try:
-        entry["result"] = fn()
-        entry["ok"] = True
-    except Exception:
-        entry["ok"] = False
-        entry["error"] = traceback.format_exc(limit=20)
-    entry["seconds"] = round(time.time() - t0, 1)
-    ev["stages"][name] = entry
-    save_evidence(ev)
-    sys.stderr.write(
-        f"[evidence] stage {name}: ok={entry['ok']} "
-        f"({entry['seconds']}s)\n")
-    return entry["ok"]
+class _EnvPatch:
+    """Set env vars, restoring prior values (or deletion) on exit."""
+
+    def __init__(self, env: dict):
+        self.env = env
+        self.saved = {}
+
+    def __enter__(self):
+        for k, v in self.env.items():
+            self.saved[k] = os.environ.get(k)
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        return False
 
 
 # ---------------------------------------------------------------- stages
@@ -194,9 +213,7 @@ def stage_xla_mega_rate():
 
 
 def stage_hitgen_validate():
-    """Device hit generation (which routes x-drop seed extension
-    through the Pallas scan kernel on a real TPU backend,
-    search/device_hits.py:274-285) vs the scalar oracle, ON THE TPU:
+    """Device hit generation vs the scalar oracle, ON THE TPU:
     hit-for-hit identical HSPs, including the diagonal-hash drop
     protocol (SURVEY.md A.2)."""
     import jax
@@ -217,9 +234,7 @@ def stage_hitgen_validate():
     s2[mut] = alpha_b[rng.integers(0, 4, mut.sum())]
 
     def collect(env):
-        saved = {k: os.environ.get(k) for k in env}
-        os.environ.update(env)
-        try:
+        with _EnvPatch(env):
             seed = parse_seed("1110100110010101111", with_trans=1)
             pt = build_seed_position_table(
                 s1, 0, 0, UPPER_NUC_TO_BITS, seed, 1)
@@ -234,12 +249,6 @@ def stage_hitgen_validate():
                     hits.append((p1, p2, ln, s)) or ln)
             eng.search(0, len(s2))
             return hits
-        finally:
-            for k, v in saved.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
 
     ref = collect({"LASTZ_TPU_SCALAR_SEARCH": "1"})
     # STRICT: a device failure must fail this stage — a silent
@@ -263,8 +272,9 @@ def stage_hitgen_validate():
 def stage_device_e2e():
     """Small-pair full pipeline with LASTZ_TPU_DEVICE=1: device hit
     generation + device gapped extension, LAV-equal to the host path.
-    Records the wall clock honestly even if the tunnel makes it slow —
-    this is the measurement VERDICT item 5 asked for."""
+    Records the wall clock honestly even if the tunnel makes it slow,
+    plus which gapped kernel the device path used (Pallas exact is the
+    default on TPU; VERDICT r4 item 2)."""
     import io as _io
     os.environ["LASTZ_TPU_BENCH_BP"] = os.environ.get(
         "LASTZ_TPU_EVIDENCE_BP", "1000000")
@@ -293,51 +303,150 @@ def stage_device_e2e():
 
     # STRICT: a transient device error must fail this stage rather
     # than silently recording a host-path run as "device e2e"
-    os.environ["LASTZ_TPU_DEVICE"] = "1"
-    os.environ["LASTZ_TPU_DEVICE_STRICT"] = "1"
-    try:
+    with _EnvPatch({"LASTZ_TPU_DEVICE": "1",
+                    "LASTZ_TPU_DEVICE_STRICT": "1"}):
+        import jax
+        gapped_kernel = ("pallas_exact"
+                         if jax.default_backend() not in ("cpu", "gpu")
+                         and os.environ.get("LASTZ_TPU_PALLAS", "auto")
+                         not in ("0",)
+                         else "xla_mega")
         cold_dt, dev_lav, _ = run_once()          # compiles included
         warm_dt, dev_lav, dev_detail = run_once()  # steady state
-    finally:
-        os.environ["LASTZ_TPU_DEVICE"] = "0"
-        os.environ.pop("LASTZ_TPU_DEVICE_STRICT", None)
-    host_dt, host_lav, host_detail = run_once()
+    with _EnvPatch({"LASTZ_TPU_DEVICE": "0"}):
+        host_dt, host_lav, host_detail = run_once()
     if dev_detail.get("gapped_device", 0) <= 0:
         raise AssertionError(
             "device e2e ran but no gapped extension executed on "
             "device (gapped_device=0)")
+    if dev_detail["hsps"] != host_detail["hsps"]:
+        raise AssertionError(
+            f"hsps stat differs between paths: device "
+            f"{dev_detail['hsps']} vs host {host_detail['hsps']}")
 
     from lastz_tpu.tools.lav_compare import lav_equivalent
     same, why = lav_equivalent(dev_lav, host_lav)
+    if not same:
+        raise AssertionError(f"device LAV differs from host: {why[:300]}")
     import jax
     return {
         "platform": jax.devices()[0].platform,
         "pair_bp": bench.TARGET_BP,
+        "gapped_kernel": gapped_kernel,
         "device_cold_seconds": round(cold_dt, 1),
         "device_warm_seconds": round(warm_dt, 1),
         "host_seconds": round(host_dt, 1),
         "lav_equal_device_vs_host": bool(same),
-        "lav_diff": why[:400],
         "device_detail": dev_detail,
         "host_detail": host_detail,
     }
 
 
-def main():
-    # never force a platform: we want the real axon/TPU backend
+STAGE_FNS = {
+    "probe": stage_probe,
+    "pallas_validate": stage_pallas_validate,
+    "pallas_rate": stage_pallas_rate,
+    "xla_mega_rate": stage_xla_mega_rate,
+    "hitgen_validate": stage_hitgen_validate,
+    "device_e2e": stage_device_e2e,
+}
+
+_MARK = "EVIDENCE_RESULT_JSON:"
+
+
+def run_stage_inproc(name: str) -> int:
+    """Child-process entry: run one stage, print its JSON result."""
     os.environ.pop("JAX_PLATFORMS", None)
+    try:
+        result = STAGE_FNS[name]()
+    except Exception:
+        sys.stderr.write(traceback.format_exc(limit=20))
+        return 1
+    print(_MARK + json.dumps(result))
+    return 0
+
+
+def run_stage_subprocess(ev, name: str, retries: int = 2,
+                         backoff: float = 60.0) -> bool:
+    """Parent: run a stage in a fresh subprocess with retry."""
+    attempts = []
+    for attempt in range(retries + 1):
+        t0 = time.time()
+        sys.stderr.write(
+            f"[evidence] stage {name} (attempt {attempt + 1}) ...\n")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--stage", name],
+                capture_output=True, text=True,
+                timeout=STAGE_TIMEOUT[name], cwd=REPO)
+            out = r.stdout or ""
+            err = (r.stderr or "")[-2000:]
+            dt = time.time() - t0
+            result = None
+            for line in out.splitlines():
+                if line.startswith(_MARK):
+                    result = json.loads(line[len(_MARK):])
+            ok = r.returncode == 0 and result is not None
+            attempts.append({"ts": _now(), "ok": ok,
+                             "seconds": round(dt, 1),
+                             "error": None if ok else err})
+        except subprocess.TimeoutExpired:
+            ok, result = False, None
+            attempts.append({"ts": _now(), "ok": False,
+                             "seconds": round(time.time() - t0, 1),
+                             "error": f"stage timeout "
+                                      f"({STAGE_TIMEOUT[name]}s)"})
+        entry = {"ts": attempts[-1]["ts"], "ok": ok,
+                 "seconds": attempts[-1]["seconds"],
+                 "attempts": attempts}
+        if ok:
+            entry["result"] = result
+        else:
+            entry["error"] = attempts[-1]["error"]
+        ev["stages"][name] = entry
+        save_evidence(ev)
+        sys.stderr.write(
+            f"[evidence] stage {name}: ok={ok} "
+            f"({attempts[-1]['seconds']}s)\n")
+        if ok:
+            return True
+        if attempt < retries:
+            sys.stderr.write(
+                f"[evidence] retrying {name} in {backoff:.0f}s "
+                f"(TPU worker faults are transient)\n")
+            time.sleep(backoff)
+    return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", help="run ONE stage in-process "
+                                    "(child mode)")
+    ap.add_argument("--retries", type=int, default=2)
+    ap.add_argument("--only", help="comma-separated stage subset")
+    args = ap.parse_args()
+    if args.stage:
+        return run_stage_inproc(args.stage)
+
     ev = load_evidence()
     ev["last_run_ts"] = _now()
-    if not record(ev, "probe", stage_probe):
+    todo = STAGES if not args.only else [
+        s for s in STAGES if s in args.only.split(",")]
+    if not run_stage_subprocess(ev, "probe", retries=args.retries):
         sys.stderr.write("[evidence] probe failed; aborting\n")
         return 1
-    record(ev, "pallas_validate", stage_pallas_validate)
-    record(ev, "pallas_rate", stage_pallas_rate)
-    record(ev, "xla_mega_rate", stage_xla_mega_rate)
-    record(ev, "hitgen_validate", stage_hitgen_validate)
-    record(ev, "device_e2e", stage_device_e2e)
-    ok = all(s.get("ok") for s in ev["stages"].values())
+    for name in todo:
+        if name == "probe":
+            continue
+        run_stage_subprocess(ev, name, retries=args.retries)
+    ok = all(ev["stages"].get(s, {}).get("ok") for s in STAGES)
     ev["complete"] = bool(ok)
+    if ok:
+        hist = ev.setdefault("strict_passes", [])
+        hist.append({"ts": _now(), "stages": {
+            s: ev["stages"][s]["seconds"] for s in STAGES}})
+        ev["strict_passes"] = hist[-10:]
     save_evidence(ev)
     return 0 if ok else 2
 
