@@ -273,8 +273,13 @@ def _xdrop_both_pallas(seq1_rows, qwin_rows, qoff, seq1p, seq2p,
                        x_drop, interpret):
     """Both-direction scans via the Pallas kernel over target-sorted
     hit blocks; window escapes (rare long scans) finish exactly in
-    the XLA wave continuation."""
+    the XLA wave continuation.
+
+    K is the PADDED subflat stride (16) used by the XLA continuation;
+    the kernel's select chain uses the tight stride implied by
+    sub_tuple (k_real x k_real)."""
     from .xdrop_pallas import LMARGIN, NB, TS_ROWS, xdrop_scan_pallas
+    kp = int(round(len(sub_tuple) ** 0.5))
 
     H = p1.shape[0]
     order = jnp.argsort(p1)
@@ -288,14 +293,15 @@ def _xdrop_both_pallas(seq1_rows, qwin_rows, qoff, seq1p, seq2p,
     R1 = seq1_rows.shape[0]
     base_rows = jnp.clip((first + SEQ_PAD - LMARGIN) // 128, 0,
                          R1 - TS_ROWS)
+    base_rows = base_rows - (base_rows % 8)  # sublane-aligned DMA
     p1rel = p1s + SEQ_PAD - jnp.repeat(base_rows * 128, NB)
     p2rel = p2s + qoff
-    sh = (nblk, 8, 256)
+    sh = (nblk, NB // 256, 256)
     outs = xdrop_scan_pallas(
         seq1_rows, qwin_rows, base_rows,
         p1rel.reshape(sh), p2rel.reshape(sh),
         nls.reshape(sh), nrs.reshape(sh),
-        sub_tuple, K, x_drop, interpret=interpret)
+        sub_tuple, kp, x_drop, interpret=interpret)
     inv = jnp.zeros(H, jnp.int32).at[order].set(iota)
     res = [o.reshape(H)[inv] for o in outs]
     (rc, rb, rk, rbase, rcum, rrun, resc,
@@ -393,6 +399,72 @@ def _resolve_chains_dev(extent_s, pos2mL_s, de0_s, seg_start, live_s):
     return alive, de_before, max_len <= RESOLVE_CHAIN_CAP
 
 
+HASH_INACTIVE = jnp.int32(-1)
+
+
+def _resolve_chains_recover_dev(extent_s, start2_s, diag_s, de0_s,
+                                da0_s, seg_start, live_s):
+    """Recover-mode chain scan (process_for_recoverable_hit,
+    seed_search.c:1221-1420; device mirror of
+    search/batched._resolve_chains_recover): a hit whose hashed
+    diagonal was extended past it is dropped only when diagActual
+    matches its TRUE diagonal; a collision with a different diagonal
+    is accepted with an unblocked left extension (de_before = 0).
+
+    de0_s/da0_s: per-sorted-hit raw chain-head states (HASH_INACTIVE
+    kept distinct).  Returns (alive_s, de_before_s, fin_de, fin_da,
+    chain_valid, chain_hash_pos, converged); fin_*/chain_* are
+    per-chain (NCH,) end-of-launch values for the scatter-back."""
+    H = extent_s.shape[0]
+    NCH = DIAG_HASH_SIZE + 1
+    iota = jnp.arange(H, dtype=jnp.int32)
+    seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
+    starts = jnp.full((NCH,), H, jnp.int32).at[seg_id].min(
+        iota, mode="drop")
+    lens = jnp.zeros((NCH,), jnp.int32).at[seg_id].add(
+        1, mode="drop")
+    safe_start = jnp.minimum(starts, H - 1)
+    lens = jnp.where(live_s[safe_start], lens, 0)
+    max_len = jnp.max(lens)
+    cur0 = de0_s[safe_start]
+    curd0 = da0_s[safe_start]
+
+    def cond(st):
+        return st[0] < max_len
+
+    def body(st):
+        r, cur, curd, alive, de_before = st
+        idx = starts + r
+        act = r < lens
+        safe = jnp.minimum(idx, H - 1)
+        t = start2_s[safe]
+        e = extent_s[safe]
+        dg = diag_s[safe]
+        lv = live_s[safe]
+        inactive = cur == HASH_INACTIVE
+        c0 = jnp.where(inactive, 0, cur)
+        d0 = jnp.where(inactive, dg, curd)
+        covered = (c0 > t) & jnp.logical_not(inactive)
+        drop = covered & (d0 == dg)
+        unb = covered & (d0 != dg)
+        ok = jnp.logical_not(drop)
+        w = jnp.where(act, idx, H)
+        de_before = de_before.at[w].set(
+            jnp.where(unb, 0, c0), mode="drop")
+        alive = alive.at[w].set(ok, mode="drop")
+        upd = act & lv & ok & (e > c0)
+        cur = jnp.where(act & lv, jnp.where(upd, e, c0), cur)
+        curd = jnp.where(act & lv, jnp.where(upd, dg, d0), curd)
+        return r + 1, cur, curd, alive, de_before
+
+    alive0 = jnp.ones((H,), bool)
+    deb0 = jnp.zeros((H,), jnp.int32)
+    _, fin_de, fin_da, alive, de_before = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cur0, curd0, alive0, deb0))
+    return (alive, de_before, fin_de, fin_da, lens > 0,
+            max_len <= RESOLVE_CHAIN_CAP)
+
+
 # ---------------------------------------------------------------------------
 # Program 3: one fixed-budget hit launch
 # ---------------------------------------------------------------------------
@@ -402,24 +474,27 @@ def _resolve_chains_dev(extent_s, pos2mL_s, de0_s, seg_start, live_s):
     jax.jit,
     static_argnames=("no_extend", "self_compare", "same_strand",
                      "use_thresh", "has_alive", "K", "nprobe",
-                     "H", "out_cap", "sub_tuple", "pallas_interpret"))
+                     "H", "out_cap", "sub_tuple", "pallas_interpret",
+                     "x_drop", "recover"))
 def hit_launch(seq1p, seq2p, subflat, csr_pos, alive_tab,
-               cum, ends, karr, de,
+               cum, ends, karr, de, da,
                hit_base, total, chunk_lo,
-               adj_start, step, seed_len, x_drop, thresh, band,
+               adj_start, step, seed_len, thresh, band,
                len1, len2,
                seq1_rows=None, qwin_rows=None, qoff=None,
-               *, no_extend: bool, self_compare: bool,
+               *, x_drop: int, no_extend: bool, self_compare: bool,
                same_strand: bool, use_thresh: bool, has_alive: bool,
-               K: int, nprobe: int,
+               K: int, nprobe: int, recover: bool = False,
                H: int = HIT_BUDGET, out_cap: int = OUT_CAP,
                sub_tuple: tuple | None = None,
                pallas_interpret: bool = False):
     """One budgeted slice [hit_base, hit_base+H) of the chunk's
     candidate hits.  seq1p/seq2p are SEQ_PAD-padded compact codes;
     karr is this slice's precomputed pair index per hit
-    (expand_chunk).  Returns (de', out (9, out_cap) int32,
-    scalars (6,) int32).
+    (expand_chunk).  Returns (de', da', out (9, out_cap) int32,
+    scalars (6,) int32).  `da` is the diagActual state; it is only
+    consulted/advanced when `recover` (--recoverseeds,
+    process_for_recoverable_hit semantics).
 
     out rows: pos1, pos2, qidx (absolute query window index), lscore,
     lstart, rscore, rstop, de_before, bind.
@@ -486,20 +561,42 @@ def hit_launch(seq1p, seq2p, subflat, csr_pos, alive_tab,
     key_s = key[order]
     starts = jnp.concatenate([
         jnp.ones(1, bool), key_s[1:] != key_s[:-1]])
-    de0 = de[jnp.clip(key_s, 0, DIAG_HASH_SIZE - 1)]
-    de0 = jnp.maximum(de0, 0)  # HASH_INACTIVE (-1) activates to 0
-    alive_s, de_before_s, converged = _resolve_chains_dev(
-        extent[order], (pos2 - seed_len)[order], de0, starts,
-        live[order])
-    inv = jnp.zeros((H,), jnp.int32).at[order].set(i)
-    alive = alive_s[inv] & live
-    de_before = de_before_s[inv]
+    if recover:
+        de0 = de[jnp.clip(key_s, 0, DIAG_HASH_SIZE - 1)]
+        da0 = da[jnp.clip(key_s, 0, DIAG_HASH_SIZE - 1)]
+        (alive_s, de_before_s, fin_de, fin_da, chain_valid,
+         converged) = _resolve_chains_recover_dev(
+            extent[order], (pos2 - seed_len)[order], diag[order],
+            de0, da0, starts, live[order])
+        inv = jnp.zeros((H,), jnp.int32).at[order].set(i)
+        alive = alive_s[inv] & live
+        de_before = de_before_s[inv]
+        # per-chain end-of-launch scatter-back (the sentinel chain
+        # and empty chains drop out of range)
+        seg_id_all = jnp.cumsum(starts.astype(jnp.int32)) - 1
+        chain_hash = jnp.full(
+            (DIAG_HASH_SIZE + 1,), DIAG_HASH_SIZE,
+            jnp.int32).at[seg_id_all].min(key_s, mode="drop")
+        tgt = jnp.where(chain_valid, chain_hash, DIAG_HASH_SIZE)
+        de_adv = de.at[tgt].set(fin_de, mode="drop")
+        da_adv = da.at[tgt].set(fin_da, mode="drop")
+    else:
+        de0 = de[jnp.clip(key_s, 0, DIAG_HASH_SIZE - 1)]
+        de0 = jnp.maximum(de0, 0)  # HASH_INACTIVE (-1) activates to 0
+        alive_s, de_before_s, converged = _resolve_chains_dev(
+            extent[order], (pos2 - seed_len)[order], de0, starts,
+            live[order])
+        inv = jnp.zeros((H,), jnp.int32).at[order].set(i)
+        alive = alive_s[inv] & live
+        de_before = de_before_s[inv]
 
-    # advance the diagonal-extent state (joined below, only when the
-    # output did not overflow — an overflowing launch is discarded and
-    # re-run split, so its extents must not leak into `de`)
-    de_adv = de.at[jnp.where(live, h, 0)].max(
-        jnp.where(alive, extent, jnp.int32(-1)))
+        # advance the diagonal-extent state (joined below, only when
+        # the output did not overflow — an overflowing launch is
+        # discarded and re-run split, so its extents must not leak
+        # into `de`)
+        de_adv = de.at[jnp.where(live, h, 0)].max(
+            jnp.where(alive, extent, jnp.int32(-1)))
+        da_adv = da
 
     # candidate selection (host replay: search/batched.py:304-316)
     if no_extend:
@@ -526,9 +623,10 @@ def hit_launch(seq1p, seq2p, subflat, csr_pos, alive_tab,
         out = out.at[r, dst].set(v, mode="drop")
     overflow = n_keep > out_cap
     de_new = jnp.where(overflow, de, de_adv)
+    da_new = jnp.where(overflow, da, da_adv)
     n_live = jnp.sum(live.astype(jnp.int32))
     n_alive = jnp.sum(alive.astype(jnp.int32))
     scalars = jnp.stack([
         n_keep, n_live, n_live - n_alive, n_alive,
         converged.astype(jnp.int32), jnp.int32(0)])
-    return de_new, out, scalars
+    return de_new, da_new, out, scalars

@@ -39,8 +39,10 @@ NB = 2048            # hits per grid program
 TS_ROWS = 256        # target window rows (32768 codes)
 LMARGIN = 12288      # window codes kept left of a block's first hit
 QMARGIN = 16384      # query window margin beyond the chunk
-MIN32 = jnp.int32(-(1 << 30))
-BIG32 = jnp.int32(1 << 30)
+# plain Python ints: a jnp scalar here becomes a captured constant
+# inside the Pallas kernel closure, which pallas_call rejects
+MIN32 = -(1 << 30)
+BIG32 = 1 << 30
 
 _SH = (1, 2, 4, 8, 16, 32, 64)
 
@@ -51,8 +53,10 @@ def _prefix_sum(x, l_iota, asc: bool):
         if asc:
             x = x + jnp.where(l_iota >= sh, pltpu.roll(x, sh, 1), 0)
         else:
+            # roll is cyclic: left-shift by sh == right-shift 128-sh
+            # (pltpu.roll rejects negative shifts)
             x = x + jnp.where(l_iota <= 127 - sh,
-                              pltpu.roll(x, -sh, 1), 0)
+                              pltpu.roll(x, 128 - sh, 1), 0)
     return x
 
 
@@ -66,7 +70,7 @@ def _prefix_max(x, l_iota, asc: bool):
         else:
             x = jnp.maximum(
                 x, jnp.where(l_iota <= 127 - sh,
-                             pltpu.roll(x, -sh, 1), MIN32))
+                             pltpu.roll(x, 128 - sh, 1), MIN32))
     return x
 
 
@@ -79,7 +83,9 @@ def _window(ref, w):
     off = w % 128
     two = jnp.concatenate(
         [ref[pl.ds(r, 1), :], ref[pl.ds(r + 1, 1), :]], axis=1)
-    return pltpu.roll(two, -off, 1)[:, :128]
+    # cyclic left-shift by off == right-shift by 256-off (pltpu.roll
+    # rejects negative shifts); off == 0 maps to 256 == identity
+    return pltpu.roll(two, (256 - off) % 256, 1)[:, :128]
 
 
 def _make_kernel(sub_tuple: tuple, K: int, x_drop: int,
@@ -88,7 +94,6 @@ def _make_kernel(sub_tuple: tuple, K: int, x_drop: int,
 
     G = 8  # hits processed together: per-hit window loads feed one
     #        (8, 128)-wide vector pipeline, amortizing the scalar loop
-    l_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
     TS = TS_ROWS * 128
     QTS = q_rows * 128
 
@@ -102,11 +107,18 @@ def _make_kernel(sub_tuple: tuple, K: int, x_drop: int,
 
     def scan_group(t_ref, q_ref, p1v, p2v, nv, asc: bool):
         """p1v/p2v/nv: (G, 1) int32.  Returns 7 (G, 1) arrays."""
+        # created INSIDE the kernel: a closure-captured traced array
+        # is rejected by pallas_call
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
         l_scan = l_iota if asc else (127 - l_iota)
 
+        # every mask in the loop state is an int32 0/1 vector: bool
+        # (G, 1) vectors in the carry lower to i8<->i1 truncations
+        # that Mosaic rejects ("Unsupported target bitwidth for
+        # truncation")
         def cond(st):
             base, cum, runmax, best, kbest, consumed, live, esc = st
-            return jnp.any(live & (esc == 0))
+            return jnp.max(jnp.where(esc == 0, live, 0)) > 0
 
         def body(st):
             base, cum, runmax, best, kbest, consumed, live, esc = st
@@ -118,14 +130,17 @@ def _make_kernel(sub_tuple: tuple, K: int, x_drop: int,
                 w2 = p2v - base - 127
             esc_now = ((w1 < 0) | (w1 > TS - 129)
                        | (w2 < 0) | (w2 > QTS - 129))
-            act = live & (esc == 0) & jnp.logical_not(esc_now)
-            esc = jnp.where(live & (esc == 0) & esc_now,
-                            jnp.int32(1), esc)
+            open_ = (live != 0) & (esc == 0)
+            act = open_ & jnp.logical_not(esc_now)
+            acti = jnp.where(act, 1, 0)
+            esc = jnp.where(open_ & esc_now, jnp.int32(1), esc)
 
             rows1 = []
             rows2 = []
             for j in range(G):
-                ok = act[j, 0]
+                # scalar extraction must be from a 32-bit array
+                # (Mosaic rejects bool-array scalarization)
+                ok = acti[j, 0] != 0
                 rows1.append(_window(
                     t_ref, jnp.where(ok, w1[j, 0], 0)))
                 rows2.append(_window(
@@ -140,7 +155,7 @@ def _make_kernel(sub_tuple: tuple, K: int, x_drop: int,
             m = jnp.maximum(_prefix_max(c, l_iota, asc), runmax)
             bad = (c < jnp.maximum(m, 0) - x_drop) & valid
             any_bad = jnp.max(jnp.where(bad, 1, 0), axis=1,
-                              keepdims=True) > 0
+                              keepdims=True)
             first_bad = jnp.min(jnp.where(bad, l_scan, 128), axis=1,
                                 keepdims=True)
             take = jnp.minimum(jnp.minimum(first_bad + 1, rem), 128)
@@ -161,23 +176,36 @@ def _make_kernel(sub_tuple: tuple, K: int, x_drop: int,
                 act, jnp.sum(jnp.where(pick, m, 0), axis=1,
                              keepdims=True), runmax)
             base = jnp.where(act, base + 128, base)
-            live = jnp.where(
-                act, jnp.logical_not(any_bad) & (rem > 128), live)
+            cont = jnp.where((any_bad == 0) & (rem > 128), 1, 0)
+            live = jnp.where(act, cont, live)
             return (base, cum, runmax, best, kbest, consumed, live,
                     esc)
 
         z = jnp.zeros((G, 1), jnp.int32)
         st = (z, z, z, z, jnp.full((G, 1), -1, jnp.int32), z,
-              nv > 0, z)
+              jnp.where(nv > 0, 1, 0), z)
         st = jax.lax.while_loop(cond, body, st)
         base, cum, runmax, best, kbest, consumed, live, esc = st
-        escf = (live & (esc > 0)).astype(jnp.int32)
+        escf = jnp.where((live != 0) & (esc > 0), 1, 0)
         return consumed, best, kbest, base, cum, runmax, escf
 
-    def kernel(base_ref, t_ref, q_ref, p1_ref, p2_ref, nl_ref,
-               nr_ref, *outs):
+    def kernel(base_ref, t_hbm, q_ref, p1_ref, p2_ref, nl_ref,
+               nr_ref, *outs_and_scratch):
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        outs = outs_and_scratch[:14]
+        t_ref, dma_sem = outs_and_scratch[14:]
         r_outs = outs[:7]
         l_outs = outs[7:]
+
+        # the target window starts at an arbitrary ROW offset (hit
+        # dependent), which BlockSpec index_maps cannot express (they
+        # are in block units) — DMA the window from HBM explicitly
+        b = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            t_hbm.at[pl.ds(base_ref[b], TS_ROWS)], t_ref, dma_sem)
+        cp.start()
+        cp.wait()
 
         def group(g, carry):
             i0 = g * G
@@ -230,21 +258,29 @@ def xdrop_scan_pallas(seq1_rows, qwin_rows, base_rows,
     q_rows = qwin_rows.shape[0]
     kernel = _make_kernel(sub_tuple, K, int(x_drop), q_rows, nblk)
 
-    hit_spec = pl.BlockSpec((1, 8, 256), lambda b, base: (b, 0, 0),
+    hrows = p1rel.shape[1]  # NB // 256
+    hit_spec = pl.BlockSpec((1, hrows, 256),
+                            lambda b, base: (b, 0, 0),
                             memory_space=pltpu.SMEM)
-    out_sh = jax.ShapeDtypeStruct((nblk, 8, 256), jnp.int32)
+    out_sh = jax.ShapeDtypeStruct((nblk, hrows, 256), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((TS_ROWS, 128),
-                         lambda b, base: (base[b], 0),
-                         memory_space=pltpu.VMEM),
+            # whole target stays in HBM; the kernel DMAs its
+            # (TS_ROWS, 128) window at the block's ROW offset
+            # (base_rows is in rows — a BlockSpec index_map is in
+            # block units and cannot address it)
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((q_rows, 128), lambda b, base: (0, 0),
                          memory_space=pltpu.VMEM),
             hit_spec, hit_spec, hit_spec, hit_spec,
         ],
         out_specs=[hit_spec] * 14,
+        scratch_shapes=[
+            pltpu.VMEM((TS_ROWS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     return pl.pallas_call(
         kernel,

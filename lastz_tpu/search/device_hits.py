@@ -49,9 +49,14 @@ def _device_search_enabled() -> bool:
 def supported(engine) -> bool:
     if not _batched_supported(engine):
         return False
-    if engine.hit_mode != "simple":
-        # the device chain resolver tracks diagEnd only; recover mode
-        # also needs diagActual (host batched path handles it)
+    if engine.hit_mode not in ("simple", "recover"):
+        # twins need the 256K seed-hit queue with global aging — the
+        # batched host path (search/twins.py) handles them
+        return False
+    if engine.hit_mode == "recover" \
+            and engine.hp.gf_extend != GFEX_XDROP:
+        # matches the batched gate: without an extension the scalar
+        # processor's diagEnd/diagActual updates differ
         return False
     if engine.seed.rev_comp:
         return False
@@ -249,6 +254,8 @@ def device_search(engine, start: int = 0, end: int = 0):
         totals = [int(t) for t in jax.device_get(tots)]
 
     de = jnp.full((65536,), -1, jnp.int32)
+    da = jnp.zeros((65536,), jnp.int32)  # diagActual (recover mode)
+    recover = engine.hit_mode == "recover"
 
     # launch budgets: env-overridable; modest sizes for small runs so
     # CPU-backend tests don't pay multi-million-lane launches
@@ -268,7 +275,9 @@ def device_search(engine, start: int = 0, end: int = 0):
     static_kw = dict(
         no_extend=no_extend, self_compare=bool(engine.self_compare),
         same_strand=bool(engine.same_strand), use_thresh=use_thresh,
-        has_alive=alive_d is not None, K=K, nprobe=nprobe)
+        has_alive=alive_d is not None, K=K, nprobe=nprobe,
+        x_drop=int(hp.x_drop) if not no_extend else 0,
+        recover=recover)
 
     # Pallas scan path: sorted-window kernel on a real TPU (or in
     # interpreter mode for tests via LASTZ_TPU_PALLAS=interp)
@@ -278,19 +287,25 @@ def device_search(engine, start: int = 0, end: int = 0):
     if not no_extend and pmode != "0":
         from ..ops.xdrop_pallas import NB
         backend = jax.default_backend()
+        # gate on the REAL code count (code_map's range), not the
+        # padded table size: make_compact_alphabet always pads
+        # subsmall to 16x16, so gating on subsmall.shape silently
+        # disabled this kernel everywhere (and made its interpret
+        # tests vacuous)
+        k_real = int(code_map.max()) + 1
         if ((backend not in ("cpu", "gpu") or pmode == "interp")
-                and K <= 12 and H % NB == 0 and H >= NB
+                and k_real <= 12 and H % NB == 0 and H >= NB
                 and np.abs(subsmall).max() < (1 << 30)):
             use_pallas = True
             static_kw["sub_tuple"] = tuple(
-                int(v) for v in subsmall.reshape(-1))
+                int(v)
+                for v in subsmall[:k_real, :k_real].reshape(-1))
             static_kw["pallas_interpret"] = backend in ("cpu", "gpu")
             seq1_rows = _seq_rows32(engine.seq1, code_map)
             seq2_rows = _seq_rows32(engine.seq2, code_map)
     alive_arg = alive_d if alive_d is not None else jnp.zeros(
         1, jnp.uint8)
 
-    x_drop = int(hp.x_drop) if not no_extend else 0
     common = (seq1_d, seq2_d, subflat_d, csr_pos_d, alive_arg)
 
     sub = engine._sub
@@ -327,6 +342,7 @@ def device_search(engine, start: int = 0, end: int = 0):
                 r = engine._xdrop_extend(pos1, pos2, L)
                 if r is not None:
                     bases_hit += engine._report(*r)
+                    st.hsps += 1
             else:
                 similarity = int(lsc[i]) + int(rsc[i])
                 new_pos1 = int(rst[i])
@@ -394,13 +410,13 @@ def device_search(engine, start: int = 0, end: int = 0):
             t_launch = st.time("hitgen device")
             t_launch.__enter__()
             kslice = jax.lax.dynamic_slice_in_dim(karr, lo, H)
-            de2, out, scalars = hit_launch(
-                *common, cum, ends, kslice, de,
+            de2, da2, out, scalars = hit_launch(
+                *common, cum, ends, kslice, de, da,
                 jnp.int32(lo), jnp.int32(hi),
                 jnp.int32(chunk_lo),
                 jnp.int32(engine.pt.adj_start),
                 jnp.int32(engine.pt.step), jnp.int32(L),
-                jnp.int32(x_drop), jnp.int32(thresh),
+                jnp.int32(thresh),
                 jnp.int32(band),
                 jnp.int32(len(engine.seq1)),
                 jnp.int32(len(engine.seq2)),
@@ -419,6 +435,7 @@ def device_search(engine, start: int = 0, end: int = 0):
                 ranges[:0] = [(lo, mid), (mid, hi)]
                 continue
             de = de2
+            da = da2
             st.raw_seed_hits += int(sc[1])
             st.hash_dropped_hits += int(sc[2])
             st.ungapped_extensions += int(sc[3])
