@@ -374,7 +374,10 @@ def _resolve_chains_dev(extent_s, pos2mL_s, de0_s, seg_start, live_s):
 
     def cond(st):
         r, cur, alive, de_before = st
-        return r < max_len
+        # past the cap the launch is unconverged and discarded anyway
+        # (host replay takes over) — bail instead of walking a
+        # 10^4-hit chain to its end on device
+        return r < jnp.minimum(max_len, RESOLVE_CHAIN_CAP + 1)
 
     def body(st):
         r, cur, alive, de_before = st
@@ -430,7 +433,7 @@ def _resolve_chains_recover_dev(extent_s, start2_s, diag_s, de0_s,
     curd0 = da0_s[safe_start]
 
     def cond(st):
-        return st[0] < max_len
+        return st[0] < jnp.minimum(max_len, RESOLVE_CHAIN_CAP + 1)
 
     def body(st):
         r, cur, curd, alive, de_before = st
@@ -621,9 +624,11 @@ def hit_launch(seq1p, seq2p, subflat, csr_pos, alive_tab,
             bind.astype(jnp.int32))
     for r, v in enumerate(rows):
         out = out.at[r, dst].set(v, mode="drop")
-    overflow = n_keep > out_cap
-    de_new = jnp.where(overflow, de, de_adv)
-    da_new = jnp.where(overflow, da, da_adv)
+    # an overflowing OR unconverged launch is discarded and re-run as
+    # two half-ranges, so its state advance must not leak
+    discard = (n_keep > out_cap) | jnp.logical_not(converged)
+    de_new = jnp.where(discard, de, de_adv)
+    da_new = jnp.where(discard, da, da_adv)
     n_live = jnp.sum(live.astype(jnp.int32))
     n_alive = jnp.sum(alive.astype(jnp.int32))
     scalars = jnp.stack([

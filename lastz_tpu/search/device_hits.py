@@ -424,10 +424,11 @@ def device_search(engine, start: int = 0, end: int = 0):
                 H=H, out_cap=out_cap, **static_kw)
             sc = np.asarray(scalars)
             n_keep = int(sc[0])
-            if not int(sc[4]):
-                t_launch.__exit__()
-                return None  # unconverged fixpoint: host replay
-            if n_keep > out_cap:
+            if not int(sc[4]) or n_keep > out_cap:
+                # output overflow, or a hash chain longer than the
+                # lockstep resolver's cap: discard and re-run as two
+                # half-ranges (chain pieces shrink with the range and
+                # the diagonal state chains through `de`)
                 t_launch.__exit__()
                 mid = (lo + hi) // 2
                 if mid == lo:

