@@ -478,16 +478,18 @@ def _resolve_chains_recover_dev(extent_s, start2_s, diag_s, de0_s,
     static_argnames=("no_extend", "self_compare", "same_strand",
                      "use_thresh", "has_alive", "K", "nprobe",
                      "H", "out_cap", "sub_tuple", "pallas_interpret",
-                     "x_drop", "recover"))
+                     "x_drop", "recover", "has_resolve"))
 def hit_launch(seq1p, seq2p, subflat, csr_pos, alive_tab,
                cum, ends, karr, de, da,
                hit_base, total, chunk_lo,
                adj_start, step, seed_len, thresh, band,
                len1, len2,
                seq1_rows=None, qwin_rows=None, qoff=None,
+               csr_resolve=None, q_resolve=None, budgets=None,
                *, x_drop: int, no_extend: bool, self_compare: bool,
                same_strand: bool, use_thresh: bool, has_alive: bool,
                K: int, nprobe: int, recover: bool = False,
+               has_resolve: bool = False,
                H: int = HIT_BUDGET, out_cap: int = OUT_CAP,
                sub_tuple: tuple | None = None,
                pallas_interpret: bool = False):
@@ -514,6 +516,21 @@ def hit_launch(seq1p, seq2p, subflat, csr_pos, alive_tab,
     csr_idx = jnp.clip(ends[k] - 1 - within, 0, csr_pos.shape[0] - 1)
     pos1 = adj_start + step * csr_pos[csr_idx]
     pos2 = chunk_lo + seed_len + pidx
+    if has_resolve:
+        # overweight seeds: verify the demoted (resolving) bits of
+        # each query window against the index's packed per-entry
+        # words, within the probe's leftover transition budget
+        # (seed_search.c:878-980; search/batched.py:185-197)
+        xor = (csr_resolve[csr_idx]
+               ^ q_resolve[jnp.clip(pidx, 0,
+                                    q_resolve.shape[0] - 1)])
+        x = xor.astype(jnp.uint32)
+        x = x - ((x >> 1) & jnp.uint32(0x55555555))
+        x = (x & jnp.uint32(0x33333333)) \
+            + ((x >> 2) & jnp.uint32(0x33333333))
+        mism = ((((x + (x >> 4)) & jnp.uint32(0x0F0F0F0F))
+                 * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+        live = live & (mism <= budgets[k % nprobe])
     if has_alive:
         live = live & (alive_tab[csr_idx] != 0)
     if self_compare:

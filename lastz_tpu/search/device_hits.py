@@ -60,9 +60,10 @@ def supported(engine) -> bool:
         return False
     if engine.seed.rev_comp:
         return False
-    if engine.seed.type == "R":
-        # resolving-bit verification is host-side for now (the
-        # batched path handles it; ops/hitgen has no resolve filter)
+    if engine.seed.type == "R" and getattr(
+            engine.pt, "csr_resolve", None) is None:
+        # overweight seeds need the index's packed resolving words
+        # (quantum/capsule-loaded tables may lack them)
         return False
     hp = engine.hp
     sub = engine._sub
@@ -141,7 +142,12 @@ def _seq_device(seq, code_map):
     import jax.numpy as jnp
 
     from ..ops.hitgen import SEQ_PAD
-    key = (id(seq), seq.tobytes()[:64].__hash__(), len(seq),
+    # id() alone is unsafe (reuse after GC); sample three 64-byte
+    # windows so equal-length look-alike sequences don't collide
+    n2 = len(seq) // 2
+    key = (id(seq), seq.tobytes()[:64].__hash__(),
+           bytes(seq[n2:n2 + 64]).__hash__(),
+           bytes(seq[-64:]).__hash__(), len(seq),
            code_map.tobytes().__hash__(), _current_device())
     hit = _seq_cache.get(key)
     if hit is not None:
@@ -228,6 +234,29 @@ def device_search(engine, start: int = 0, end: int = 0):
         qdev = jnp.asarray(q_codes)
         packed, valid = pack_query_words(
             qdev, seed.bit_map, L, seed.bits_per_base)
+        # overweight (resolving) seeds: pack the demoted bits of each
+        # query window on device (same packer, resolve bit map) and
+        # upload the index's per-entry resolving words + per-probe
+        # transition budgets (seeds.c:8-127; batched.py:185-197)
+        has_resolve = seed.type == "R"
+        qres = csr_resolve_d = budgets_d = None
+        if has_resolve:
+            from .batched import _probe_budgets
+            resolve_map = tuple(
+                (int(src), i)
+                for i, src in enumerate(seed.resolve_bits))
+            qres, _ = pack_query_words(
+                qdev, resolve_map, L, seed.bits_per_base)
+            qres = qres.astype(jnp.uint32)
+            cached = getattr(engine.pt, "_hitgen_res_dev", None)
+            ck = (id(engine.pt.csr_resolve), _current_device())
+            if cached is None or cached[0] != ck:
+                cached = (ck, jnp.asarray(
+                    engine.pt.csr_resolve.astype(np.uint32)))
+                engine.pt._hitgen_res_dev = cached
+            csr_resolve_d = cached[1]
+            budgets_d = jnp.asarray(
+                _probe_budgets(seed).astype(np.int32))
         num_w = end - start - L + 1
         PCHUNK = min(_DEF_PCHUNK, max(1 << 14, (1 << 24) // nprobe),
                      1 << max(8, (num_w - 1).bit_length()))
@@ -237,6 +266,9 @@ def device_search(engine, start: int = 0, end: int = 0):
             packed = jnp.concatenate(
                 [packed, jnp.zeros(pad, packed.dtype)])
             valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+            if has_resolve:
+                qres = jnp.concatenate(
+                    [qres, jnp.zeros(pad, qres.dtype)])
         st.words_in_queries += int(jnp.sum(valid))
 
     # phase 1: per-chunk candidate totals (one small fetch; the pair
@@ -277,7 +309,7 @@ def device_search(engine, start: int = 0, end: int = 0):
         same_strand=bool(engine.same_strand), use_thresh=use_thresh,
         has_alive=alive_d is not None, K=K, nprobe=nprobe,
         x_drop=int(hp.x_drop) if not no_extend else 0,
-        recover=recover)
+        recover=recover, has_resolve=has_resolve)
 
     # Pallas scan path: sorted-window kernel on a real TPU (or in
     # interpreter mode for tests via LASTZ_TPU_PALLAS=interp)
@@ -384,6 +416,10 @@ def device_search(engine, start: int = 0, end: int = 0):
         t_setup.__enter__()
         pk = jax.lax.dynamic_slice_in_dim(packed, c * PCHUNK, PCHUNK)
         vd = jax.lax.dynamic_slice_in_dim(valid, c * PCHUNK, PCHUNK)
+        qres_slice = None
+        if has_resolve:
+            qres_slice = jax.lax.dynamic_slice_in_dim(
+                qres, c * PCHUNK, PCHUNK)
         cum, ends, _ = pair_counts(pk, vd, xors_d, csr_start_d)
         # one extra H of padding so an overflow-split launch at an
         # unaligned offset can still slice a full window
@@ -421,8 +457,14 @@ def device_search(engine, start: int = 0, end: int = 0):
                 jnp.int32(len(engine.seq1)),
                 jnp.int32(len(engine.seq2)),
                 *pall_args,
+                csr_resolve=csr_resolve_d, q_resolve=qres_slice,
+                budgets=budgets_d,
                 H=H, out_cap=out_cap, **static_kw)
-            sc = np.asarray(scalars)
+            # ONE tunnel round trip per launch: scalars + outputs
+            # fetched together (out is small, 9 x out_cap int32; the
+            # wasted transfer on an overflow is negligible next to a
+            # second RTT)
+            sc, out_np_full = jax.device_get((scalars, out))
             n_keep = int(sc[0])
             if not int(sc[4]) or n_keep > out_cap:
                 # output overflow, or a hash chain longer than the
@@ -440,7 +482,7 @@ def device_search(engine, start: int = 0, end: int = 0):
             st.raw_seed_hits += int(sc[1])
             st.hash_dropped_hits += int(sc[2])
             st.ungapped_extensions += int(sc[3])
-            out_np = (np.asarray(out[:, :n_keep]) if n_keep else None)
+            out_np = out_np_full[:, :n_keep] if n_keep else None
             t_launch.__exit__()
             if n_keep:
                 with st.time("hitgen report"):

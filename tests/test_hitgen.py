@@ -427,8 +427,8 @@ def _collect_seed(s1, s2, seed, env, gf_extend=GFEX_XDROP,
     return hits
 
 
-@pytest.mark.parametrize("env", [BATCHED, NATIVE],
-                         ids=["batched", "native"])
+@pytest.mark.parametrize("env", [BATCHED, NATIVE, DEVICE],
+                         ids=["batched", "native", "device"])
 @pytest.mark.parametrize("trans", [0, 1, 2])
 def test_overweight_seed_batched_matches_scalar(trans, env):
     """Overweight (resolving) seeds through the batched path must
@@ -447,8 +447,8 @@ def test_overweight_seed_batched_matches_scalar(trans, env):
     assert bat == ref
 
 
-@pytest.mark.parametrize("env", [BATCHED, NATIVE],
-                         ids=["batched", "native"])
+@pytest.mark.parametrize("env", [BATCHED, NATIVE, DEVICE],
+                         ids=["batched", "native", "device"])
 def test_overweight_seed_batched_dense_chains(env):
     """Dense-hit regime for resolving seeds: low threshold + short
     seed exercises deep hash chains and many resolve rejections."""
