@@ -94,6 +94,16 @@ def main():
                         "segment pairs as the scaling ladder; hits "
                         "asserted identical"),
                "rungs": []}
+    # partial re-runs merge: keep prior rungs for sizes not measured
+    # in this invocation
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                prior = json.load(f)
+            results["rungs"] = [r for r in prior.get("rungs", [])
+                                if r.get("pair_bp") not in sizes]
+        except Exception:
+            pass
     for n in sizes:
         sys.stderr.write(f"[device-seed] {n // 1_000_000}M: pair...\n")
         s1, s2 = load_pair(n)
