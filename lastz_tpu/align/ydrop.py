@@ -732,34 +732,44 @@ class YDropAligner:
         if y_drop_tail > self.tb_len:
             raise TracebackLimit("not enough space in trace_back array")
 
-        if reversed_:
-            lrow = lambda s: anchor1 - s.b1
-            ladv = lambda s, a, r, a1, a2: self._prev_sweep_seg(
-                True, s, a, r, a1, a2)
-            radv = lambda s, a, r, a1, a2: self._prev_sweep_seg(
-                False, s, a, r, a1, a2)
-            lrec, n_l = self._flatten_bound(
-                right_seg, right_align, L, lrow, ladv, +1, M,
-                anchor1, anchor2)
-            rrec, n_r = self._flatten_bound(
-                left_seg, left_align, R, lrow, radv, -1, M,
-                anchor1, anchor2)
-        else:
-            frow = lambda s: s.e1 - anchor1
-            ladv = lambda s, a, r, a1, a2: self._next_sweep_seg(
-                False, s, a, r, a1, a2)
-            radv = lambda s, a, r, a1, a2: self._next_sweep_seg(
-                True, s, a, r, a1, a2)
-            lrec, n_l = self._flatten_bound(
-                left_seg, left_align, L, frow, ladv, +1, M,
-                anchor1, anchor2)
-            rrec, n_r = self._flatten_bound(
-                right_seg, right_align, R, frow, radv, -1, M,
-                anchor1, anchor2)
+        def marshal(hz):
+            """Bound records + actives for rows [1, hz] (lazy
+            horizon: marshaling to the full M — the distance to the
+            sequence END — made the accept loop O(n^2) in accepted
+            alignments at 40 Mbp; rows beyond the sweep's actual
+            extent are never consulted, and the caller redoes the
+            call with a larger horizon when the sweep reaches hz)."""
+            if reversed_:
+                lrow = lambda s: anchor1 - s.b1
+                ladv = lambda s, a, r, a1, a2: self._prev_sweep_seg(
+                    True, s, a, r, a1, a2)
+                radv = lambda s, a, r, a1, a2: self._prev_sweep_seg(
+                    False, s, a, r, a1, a2)
+                lrec, n_l = self._flatten_bound(
+                    right_seg, right_align, L, lrow, ladv, +1, hz,
+                    anchor1, anchor2)
+                rrec, n_r = self._flatten_bound(
+                    left_seg, left_align, R, lrow, radv, -1, hz,
+                    anchor1, anchor2)
+            else:
+                frow = lambda s: s.e1 - anchor1
+                ladv = lambda s, a, r, a1, a2: self._next_sweep_seg(
+                    False, s, a, r, a1, a2)
+                radv = lambda s, a, r, a1, a2: self._next_sweep_seg(
+                    True, s, a, r, a1, a2)
+                lrec, n_l = self._flatten_bound(
+                    left_seg, left_align, L, frow, ladv, +1, hz,
+                    anchor1, anchor2)
+                rrec, n_r = self._flatten_bound(
+                    right_seg, right_align, R, frow, radv, -1, hz,
+                    anchor1, anchor2)
+            acts = self._flatten_actives(reversed_, align_list,
+                                         anchor1, anchor2, hz)
+            return lrec, n_l, rrec, n_r, acts
 
-        act_rows, seg_off, seg_cnt, n_acts, segs = \
-            self._flatten_actives(reversed_, align_list, anchor1,
-                                  anchor2, M)
+        horizon = min(M, max(8192, 4 * y_drop_tail))
+        (lrec, n_l, rrec, n_r,
+         (act_rows, seg_off, seg_cnt, n_acts, segs)) = marshal(horizon)
 
         tb = getattr(self, "_tb_buf", None)
         if tb is None or tb.shape[0] < self.tb_len:
@@ -780,23 +790,35 @@ class YDropAligner:
         p_i64 = ctypes.POINTER(ctypes.c_int64)
         p_u8 = ctypes.POINTER(ctypes.c_uint8)
         res = SweepResult()
-        lib.ydrop_sweep(
-            self.v1.ctypes.data_as(p_u8), self.v2.ctypes.data_as(p_u8),
-            self.sub.ctypes.data_as(p_i64),
-            i64(a_origin), i64(a_step), i64(b_origin), i64(b_step),
-            i64(M), i64(N),
-            i64(self.gap_e), i64(self.gap_oe), i64(self.y_drop),
-            i64(y_drop_tail), i64(neg_infinity_score()),
-            i64(1 if self.trim_to_peak else 0),
-            lrec.ctypes.data_as(p_i64), i64(n_l),
-            rrec.ctypes.data_as(p_i64), i64(n_r),
-            act_rows.ctypes.data_as(p_i64),
-            seg_off.ctypes.data_as(p_i64),
-            seg_cnt.ctypes.data_as(p_i64), i64(n_acts),
-            segs.ctypes.data_as(p_i64),
-            tb.ctypes.data_as(p_u8), i64(self.tb_len),
-            ops.ctypes.data_as(p_u8),
-            ctypes.byref(res))
+        while True:
+            lib.ydrop_sweep(
+                self.v1.ctypes.data_as(p_u8),
+                self.v2.ctypes.data_as(p_u8),
+                self.sub.ctypes.data_as(p_i64),
+                i64(a_origin), i64(a_step), i64(b_origin), i64(b_step),
+                i64(M), i64(N),
+                i64(self.gap_e), i64(self.gap_oe), i64(self.y_drop),
+                i64(y_drop_tail), i64(neg_infinity_score()),
+                i64(1 if self.trim_to_peak else 0),
+                lrec.ctypes.data_as(p_i64), i64(n_l),
+                rrec.ctypes.data_as(p_i64), i64(n_r),
+                act_rows.ctypes.data_as(p_i64),
+                seg_off.ctypes.data_as(p_i64),
+                seg_cnt.ctypes.data_as(p_i64), i64(n_acts),
+                segs.ctypes.data_as(p_i64),
+                tb.ctypes.data_as(p_u8), i64(self.tb_len),
+                ops.ctypes.data_as(p_u8),
+                ctypes.byref(res))
+            # lazy-horizon guard: a sweep that reached the marshaled
+            # horizon could have consulted bounds/actives we did not
+            # marshal — redo with a larger horizon (rare: only
+            # extensions longer than the initial 8192-row window)
+            if horizon >= M or int(res.n_rows) <= horizon:
+                break
+            horizon = min(M, horizon * 8)
+            (lrec, n_l, rrec, n_r,
+             (act_rows, seg_off, seg_cnt, n_acts, segs)) = \
+                marshal(horizon)
 
         from .. import stats as _stats
         ex = _stats.current.extra

@@ -1658,6 +1658,10 @@ void ydrop_sweep(
     out->end1 = end1;
     out->end2 = end2;
     out->truncated = truncated;
+    // always report how far the sweep actually got (the caller's
+    // lazy active-marshaling horizon check needs it; the prof-gated
+    // n_rows counter above only runs under LASTZ_TPU_SWEEP_PROF)
+    out->n_rows = row;
     out->tbp = tbp;
 }
 
