@@ -163,9 +163,17 @@ def _seq_device(seq, code_map):
 
 def _seq_rows32(seq, code_map):
     """(R, 128) int32 rows of the padded compact codes (the Pallas
-    kernel's window layout), cached per device."""
+    kernel's window layout), cached per device.
+
+    The key samples sequence CONTENT like _seq_device's — id() alone
+    is unsafe (a strand loop's revcomp array can reuse a freed
+    array's id, silently serving the other strand's rows and losing
+    that strand's HSPs)."""
     import jax.numpy as jnp
-    key = ("rows32", id(seq), len(seq),
+    n2 = len(seq) // 2
+    key = ("rows32", id(seq), seq.tobytes()[:64].__hash__(),
+           bytes(seq[n2:n2 + 64]).__hash__(),
+           bytes(seq[-64:]).__hash__(), len(seq),
            code_map.tobytes().__hash__(), _current_device())
     hit = _seq_cache.get(key)
     if hit is not None:

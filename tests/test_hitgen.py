@@ -460,3 +460,36 @@ def test_overweight_seed_batched_dense_chains(env):
     bat = _collect_seed(s1, s2, seed, env, thresh=300, x_drop=300)
     assert len(ref) > 100
     assert bat == ref
+
+
+def test_seq_rows32_cache_keys_on_content():
+    """The Pallas row cache must key on sequence CONTENT: a strand
+    loop's revcomp array can reuse a freed array's id(), and an
+    id-keyed hit then serves the OTHER strand's rows — silently
+    losing that strand's HSPs (pseudocat/pseudopig lost the whole
+    minus-strand section before the fix)."""
+    import gc
+
+    from lastz_tpu.search import device_hits as dh
+
+    code_map = np.zeros(256, np.uint8)
+    for i, c in enumerate(b"ACGT"):
+        code_map[c] = i
+
+    def rows_payload(seq):
+        from lastz_tpu.ops.hitgen import SEQ_PAD
+        rows = np.asarray(dh._seq_rows32(seq, code_map))
+        flat = rows.reshape(-1)
+        return flat[SEQ_PAD:SEQ_PAD + len(seq)]
+
+    rng = np.random.default_rng(0)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    # many same-length alloc/free cycles to tickle id() reuse; the
+    # content assertion holds regardless of whether a collision
+    # happened on this run
+    for _ in range(12):
+        a = alpha[rng.integers(0, 4, 4096)]
+        np.testing.assert_array_equal(
+            rows_payload(a), code_map[a].astype(np.int32))
+        del a
+        gc.collect()
