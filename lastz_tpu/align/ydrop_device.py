@@ -137,6 +137,16 @@ class DeviceYDrop:
         self._computed.update(idxs)
         return idxs
 
+    def _target_args(self, A1, LO1, HI1, REV, row0, rows, max_blocks):
+        """Target codes + per-lane seq1 coordinates for one mega
+        launch whose lanes currently sit at DP row `row0` (the kernel
+        reads seq1 only inside rows [row0, row0 + max_blocks*rows)
+        relative to each lane's anchor — see ops/ydrop_exact._mega_one
+        a_idx).  Base class: the whole-target device array."""
+        import jax.numpy as jnp
+        return (self._v1c, jnp.asarray(A1), jnp.asarray(LO1),
+                jnp.asarray(HI1))
+
     def _compute_for(self, ix):
         import jax.numpy as jnp
         from ..ops.ydrop_exact import (
@@ -181,10 +191,6 @@ class DeviceYDrop:
             int(self.y_drop), lanes, 2 * B)
         state = {k: jnp.asarray(v) for k, v in st_np.items()}
         prev_off = jnp.zeros(2 * B, jnp.int32)
-        args = (self._v1c, self._v2c, jnp.asarray(A1), jnp.asarray(A2),
-                jnp.asarray(LO1), jnp.asarray(HI1), jnp.asarray(LO2),
-                jnp.asarray(HI2), jnp.asarray(REV), jnp.asarray(M),
-                jnp.asarray(N))
         kw = dict(gap_e=self.gap_e, gap_oe=self.gap_oe,
                   y_drop=int(self.y_drop), lanes=lanes, rows=self.rows,
                   max_blocks=self.max_blocks,
@@ -245,6 +251,19 @@ class DeviceYDrop:
         else:
             mega = ydrop_mega
 
+        # target codes + lane coordinates for this launch: the
+        # sharded-target subclass (align/ydrop_sharded.py) extracts
+        # per-lane read-band windows from the mesh residency and
+        # remaps the coordinates onto them; the base class hands the
+        # whole-target device array through unchanged
+        eff_rows, eff_blocks = kw["rows"], kw["max_blocks"]
+        v1c0, A1j, LO1j, HI1j = self._target_args(
+            A1, LO1, HI1, REV, np.zeros(2 * B, np.int64),
+            eff_rows, eff_blocks)
+        args = (v1c0, self._v2c, A1j, jnp.asarray(A2),
+                LO1j, HI1j, jnp.asarray(LO2), jnp.asarray(HI2),
+                jnp.asarray(REV), jnp.asarray(M), jnp.asarray(N))
+
         from .. import stats as _stats
         _x = _stats.current.extra
         t_launch = _stats.current.time("ydrop device")
@@ -276,8 +295,13 @@ class DeviceYDrop:
             sel = np.concatenate(
                 [undone, np.zeros(npad, np.int64)]).astype(np.int32)
             selj = jnp2.asarray(sel)
-            c_args = tuple(args[:2]) + tuple(
-                a[selj] for a in args[2:])
+            # lane-invariant args reselected once; target codes and
+            # seq1 coordinates are rebuilt per launch (the sharded
+            # subclass must re-extract windows as lanes advance)
+            c_fixed = tuple(args[i][selj] for i in (3, 6, 7, 8, 9, 10))
+            A1s, LO1s = A1[sel], LO1[sel]
+            HI1s, REVs = HI1[sel], REV[sel]
+            row_c = pk[0][sel].astype(np.int64)
             c_state = {k: v[selj] for k, v in state.items()}
             if npad:
                 padmask = np.zeros(len(sel), bool)
@@ -290,10 +314,17 @@ class DeviceYDrop:
                 import math as _math
                 c_kw = dict(kw, G=_math.gcd(kw["G"], padded))
             while blocks < self._MAX_CHUNKS:
+                v1c_c, A1c, LO1c, HI1c = self._target_args(
+                    A1s, LO1s, HI1s, REVs,
+                    np.maximum(row_c - 1, 0), eff_rows, eff_blocks)
+                c_args = (v1c_c, args[1], A1c, c_fixed[0], LO1c,
+                          HI1c, c_fixed[1], c_fixed[2], c_fixed[3],
+                          c_fixed[4], c_fixed[5])
                 c_state, c_prev, c_packed, _, _, _, _ = mega(
                     *c_args, c_state, c_prev, subsmall,
                     with_tb=False, **c_kw)
                 cpk = np.asarray(c_packed)
+                row_c = cpk[0].astype(np.int64)
                 blocks += self.max_blocks
                 launches += 1
                 cont_lanes += len(sel)
