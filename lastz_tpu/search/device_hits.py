@@ -256,13 +256,17 @@ def device_search(engine, start: int = 0, end: int = 0):
             qres, _ = pack_query_words(
                 qdev, resolve_map, L, seed.bits_per_base)
             qres = qres.astype(jnp.uint32)
+            # hold the host array itself in the cache entry so the
+            # identity check can't be fooled by id() reuse after GC
             cached = getattr(engine.pt, "_hitgen_res_dev", None)
-            ck = (id(engine.pt.csr_resolve), _current_device())
-            if cached is None or cached[0] != ck:
-                cached = (ck, jnp.asarray(
-                    engine.pt.csr_resolve.astype(np.uint32)))
+            if (cached is None
+                    or cached[0] is not engine.pt.csr_resolve
+                    or cached[1] != _current_device()):
+                cached = (engine.pt.csr_resolve, _current_device(),
+                          jnp.asarray(
+                              engine.pt.csr_resolve.astype(np.uint32)))
                 engine.pt._hitgen_res_dev = cached
-            csr_resolve_d = cached[1]
+            csr_resolve_d = cached[2]
             budgets_d = jnp.asarray(
                 _probe_budgets(seed).astype(np.int32))
         num_w = end - start - L + 1

@@ -353,7 +353,14 @@ def mesh_search_via_env(engine, n_shards: int, start: int = 0,
     if len(jax.devices()) < n_shards:
         return None
     seed = engine.seed
-    key = (id(engine.seq1), len(engine.seq1), seed.weight,
+    # sample target content into the key: id() alone is unsafe (a
+    # multi-target run's next target can reuse a freed array's id and
+    # silently serve the previous target's index)
+    s1 = engine.seq1
+    n2 = len(s1) // 2
+    key = (id(s1), s1.tobytes()[:64].__hash__(),
+           bytes(s1[n2:n2 + 64]).__hash__(),
+           bytes(s1[-64:]).__hash__(), len(s1), seed.weight,
            seed.length, tuple(seed.bit_map), engine.pt.step,
            n_shards)
     index = _INDEX_CACHE.get(key)
